@@ -1,0 +1,351 @@
+"""Driver-facing query registry: Ray pipelines + their DuckDB oracles.
+
+Each entry in ``QUERIES`` is ``name -> callable(sf_dir) -> Dataset/Table/DF``;
+``ORACLES[name]`` is the ANSI-SQL equivalent DuckDB runs over the same
+parquet tables (views: region nation customer supplier part orders lineitem
+events documents embeddings). Computed-column names match the SQL aliases
+exactly (driver hash-compares after sorting columns by name).
+
+Queries without an oracle (extraction, MinHash, language ID, ...) are
+genuinely non-SQL-expressible; the driver records a rows-only check and the
+pytest golden fixtures carry their correctness instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .functions.text_stats import token_count_arrays
+from .pipelines import extraction_pipeline, pages_dataset_from_documents, extract_pages
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Extraction pipelines (non-SQL-expressible; golden-fixture tested instead)
+# ---------------------------------------------------------------------------
+
+def q_extract(sf_dir: str):
+    """Full extraction, no dedup: one row per crawled page."""
+    ds = extraction_pipeline(sf_dir, dedup=False)
+    return ds.select_columns(["url", "warc_ts", "lang", "extracted_text",
+                              "method", "error", "n_blocks_kept",
+                              "n_blocks_dropped", "n_links", "n_chars",
+                              "n_words", "quality_score"])
+
+
+def q_extract_dedup(sf_dir: str):
+    """Extraction + keep-latest-crawl-per-url dedup (D2, the north-rule shuffle)."""
+    ds = extraction_pipeline(sf_dir, dedup=True)
+    return ds.select_columns(["url", "warc_ts", "extracted_text", "method",
+                              "n_chars", "n_words"])
+
+
+def q_links_flat(sf_dir: str):
+    """Hyperlink side-output: one row per extracted link (M21/M23 analog)."""
+    pages = pages_dataset_from_documents(sf_dir)
+    extracted = extract_pages(pages)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, texts, hrefs = [], [], []
+        for url, links in zip(batch["url"].to_pylist(),
+                              batch["links"].to_pylist()):
+            for lnk in links or []:
+                urls.append(url)
+                texts.append(lnk["text"])
+                hrefs.append(lnk["href"])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "link_text": pa.array(texts, pa.string()),
+                         "link_url": pa.array(hrefs, pa.string())})
+
+    return extracted.map_batches(explode, batch_format="pyarrow")
+
+
+def q_extract_quality_by_lang(sf_dir: str):
+    """Aggregate extraction metrics per language (metrics/lineage analog)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = extraction_pipeline(sf_dir, dedup=False)
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_pages"),
+        Sum("n_chars", alias_name="total_chars"),
+        Mean("quality_score", alias_name="avg_quality"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible operators over the driver tables (DuckDB oracles below)
+# ---------------------------------------------------------------------------
+
+def q_docs_token_stats(sf_dir: str):
+    """Per-document whitespace token count + char count (M25 word count)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(token_count_arrays(batch["text"]), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_docs_lang_stats(sf_dir: str):
+    """Group-by-language counts + average length (G2/G5 analog)."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup by content hash: canonical doc per distinct text.
+
+    Scale path: md5 computed per batch (C-speed hashing), groupby on the
+    32-char hash — the shuffle moves hashes + ids, never the text bodies.
+    """
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                  for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text_hash": pa.array(hashes, pa.string())})
+
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="n_dups"),
+    )
+
+
+def q_events_first_by_ts(sf_dir: str):
+    """Per-user earliest event (first-by-ts dedup — D2 semantics on events)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def local_first(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("user_id", "ascending"),
+                                                ("ts", "ascending"),
+                                                ("event_id", "ascending")])
+        t = batch.take(idx)
+        u = t.column("user_id").combine_chunks()
+        prev = u.slice(0, len(u) - 1)
+        keep = pa.concat_arrays([pa.array([True]),
+                                 pc.not_equal(u.slice(1), prev)])
+        return t.filter(keep)
+
+    def group_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
+
+    # local combine (no shuffle) then one groupby shuffle — same two-phase
+    # pattern as url dedup
+    return (ds.map_batches(local_first, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("user_id").map_groups(group_first, batch_format="pandas"))
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event_type (streaming analog)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return batch.append_column("hour", pc.floor_temporal(batch["ts"],
+                                                             unit="hour"))
+
+    return (ds.map_batches(add_hour, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "hour"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value", alias_name="total_value")))
+
+
+def q_top_users_by_value(sf_dir: str):
+    """Top-10 users by total event value (sort + limit; deterministic ties)."""
+    from ray.data.aggregate import Sum, Count
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="total_value"),
+                                          Count(alias_name="n_events"))
+    return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(10)
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary (partial-aggregate-friendly groupby)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def add_revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("revenue", rev)
+
+    return (ds.map_batches(add_revenue, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                       Sum("l_extendedprice", alias_name="sum_base_price"),
+                       Sum("revenue", alias_name="sum_disc_price"),
+                       Mean("l_quantity", alias_name="avg_qty"),
+                       Count(alias_name="count_order")))
+
+
+def q_orders_by_status(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    return ds.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total_price"))
+
+
+def q_customer_nation_revenue(sf_dir: str):
+    """Broadcast join: orders ⋈ customer ⋈ nation -> revenue per nation.
+
+    customer+nation are the small side: loaded once, shipped via ray.put
+    object-store broadcast, mapped inside map_batches — no shuffle join.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    key2nation = dict(zip(cust["c_custkey"].to_pylist(),
+                          cust["c_nationkey"].to_pylist()))
+    nid2name = dict(zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()))
+    lookup = {k: nid2name.get(v, "") for k, v in key2nation.items()}
+    ref = ray.put(lookup)
+
+    from ray.data.aggregate import Count, Sum
+
+    class JoinNation:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["n_name"] = batch["o_custkey"].map(self.lookup).fillna("")
+            return batch[["n_name", "o_totalprice"]]
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(JoinNation, fn_constructor_kwargs={"ref": ref},
+                                batch_format="pandas", concurrency=2)
+    return joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"))
+
+
+def q_embeddings_label_stats(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "embeddings", columns=["label"])
+    return ds.groupby("label").aggregate(Count(alias_name="n_vecs"))
+
+
+QUERIES = {
+    # extraction family (golden-fixture verified; driver rows-only check)
+    "extract": q_extract,
+    "extract_dedup": q_extract_dedup,
+    "links_flat": q_links_flat,
+    "extract_quality_by_lang": q_extract_quality_by_lang,
+    # SQL-expressible operators with oracles
+    "docs_token_stats": q_docs_token_stats,
+    "docs_lang_stats": q_docs_lang_stats,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "events_first_by_ts": q_events_first_by_ts,
+    "events_hourly": q_events_hourly,
+    "top_users_by_value": q_top_users_by_value,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "orders_by_status": q_orders_by_status,
+    "customer_nation_revenue": q_customer_nation_revenue,
+    "embeddings_label_stats": q_embeddings_label_stats,
+}
+
+
+ORACLES = {
+    "docs_token_stats": """
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS n_tokens,
+               length(text) AS n_chars
+        FROM documents
+    """,
+    "docs_lang_stats": """
+        SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "docs_exact_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY md5(text)
+    """,
+    "events_first_by_ts": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events, sum(value) AS total_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "top_users_by_value": """
+        SELECT user_id, sum(value) AS total_value, count(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id ASC LIMIT 10
+    """,
+    "lineitem_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               avg(l_quantity) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "orders_by_status": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               sum(o_totalprice) AS total_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "customer_nation_revenue": """
+        SELECT coalesce(n.n_name, '') AS n_name,
+               count(*) AS n_orders, sum(o.o_totalprice) AS revenue
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY coalesce(n.n_name, '')
+    """,
+    "embeddings_label_stats": """
+        SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    """,
+}

@@ -1,0 +1,20 @@
+"""Pure extraction library — no Ray imports anywhere in this subpackage.
+
+Byte-identical determinism is won or lost here (SURVEY.md §7.4): every
+function is pure, iteration order is explicit, no set-order dependence,
+no wall-clock, no randomness.
+"""
+
+from .links import fix_url
+from .normalize import normalize_text, normalize_ws
+from .sniff import sniff_payload
+from .document import extract_document, ExtractResult
+
+__all__ = [
+    "fix_url",
+    "normalize_text",
+    "normalize_ws",
+    "sniff_payload",
+    "extract_document",
+    "ExtractResult",
+]

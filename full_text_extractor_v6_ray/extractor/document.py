@@ -1,0 +1,105 @@
+"""Document-level extraction: sniff -> route -> extract -> normalize -> score.
+
+The per-row pure function the Ray batch stage calls once per page. Mirrors
+the reference's dual-strategy router (`_has_xml_access` sophisticated-vs-
+fallback predicate, /root/reference/src/processors/powerpoint/
+powerpoint_processor.py:46-55, and the extension router
+file_converter.py:64-100) with web semantics:
+
+  sniff(payload):  pdf   -> minimal in-process PDF parse (extractor.pdf)
+                   html  -> DOM walk -> block score/strip -> render
+                   empty/unknown or failed parse, with a non-empty upstream
+                   ``text`` column -> normalized plain-text fallback
+                   (the MarkItDown-fallback analog, S8)
+
+Per-row errors are captured, never raised (reference degradation principle,
+content_extractor.py:74-76): the row comes back with ``error`` set and empty
+text, so one poisoned page cannot kill a 10^12-row job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from .html_blocks import parse_html_blocks, score_and_filter
+from .normalize import normalize_text
+from .pdf import extract_pdf
+from .render import render_blocks
+from .sniff import sniff_payload
+
+
+@dataclass
+class ExtractResult:
+    extracted_text: str = ""
+    spans: list = field(default_factory=list)       # [{kind,start,end,href}]
+    links: list = field(default_factory=list)       # [(text, url)]
+    method: str = ""          # html | pdf | fallback_text | error
+    error: str = ""
+    n_blocks_kept: int = 0
+    n_blocks_dropped: int = 0
+    quality_score: float = 0.0   # kept-content share, 0..1
+
+
+def _fallback_text(text: str) -> ExtractResult:
+    """Plain-text fallback: normalize upstream naive text into paragraphs."""
+    paragraphs = [normalize_text(p) for p in text.split("\n\n")]
+    paragraphs = [p for p in paragraphs if p]
+    return ExtractResult(
+        extracted_text="\n\n".join(paragraphs),
+        method="fallback_text",
+        n_blocks_kept=len(paragraphs),
+        quality_score=1.0 if paragraphs else 0.0,
+    )
+
+
+def extract_document(
+    payload: bytes,
+    text_fallback: str = "",
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> ExtractResult:
+    """Extract main content from one page payload. Pure; never raises."""
+    try:
+        if payload is not None and len(payload) > cfg.max_html_bytes:
+            return ExtractResult(method="error", error="payload_too_large")
+
+        kind = sniff_payload(payload or b"")
+
+        if kind == "pdf":
+            text, link_urls, err = extract_pdf(payload)
+            if err and not text:
+                return ExtractResult(method="error", error=err)
+            return ExtractResult(
+                extracted_text=text,
+                links=[("", u) for u in link_urls],
+                method="pdf",
+                n_blocks_kept=text.count("\n\n") + 1 if text else 0,
+                quality_score=1.0 if text else 0.0,
+                error=err,
+            )
+
+        if kind == "html":
+            html_text = payload.decode("utf-8", errors="replace")
+            blocks, title, boiler_chars = parse_html_blocks(html_text, cfg)
+            kept, dropped_score = score_and_filter(blocks, cfg)
+            text, spans, links = render_blocks(kept, title, cfg)
+            if text:
+                kept_chars = sum(b.char_count() for b in kept) or len(text)
+                total = kept_chars + boiler_chars
+                return ExtractResult(
+                    extracted_text=text,
+                    spans=spans,
+                    links=links,
+                    method="html",
+                    n_blocks_kept=len(kept),
+                    n_blocks_dropped=dropped_score,
+                    quality_score=round(kept_chars / total, 6) if total else 0.0,
+                )
+            # parse produced nothing -> fallback
+        if text_fallback:
+            return _fallback_text(text_fallback)
+        if kind == "empty":
+            return ExtractResult(method="error", error="empty_payload")
+        return ExtractResult(method="error", error="no_content")
+    except Exception as exc:  # absolute backstop: degradation principle
+        return ExtractResult(method="error", error=f"extract_error:{type(exc).__name__}")

