@@ -1,0 +1,179 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline pipeline in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus efficiency = (t8/t32)/4 — the sandbox stand-in for the N-vs-4N-node
+cluster criterion (BASELINE.md).
+
+This script OWNS its Ray session (unlike __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench corpus: R pages per document (distinct urls/templates). At sf0.1
+# (5000 docs) R=40 -> ~224k pages / ~450 MB html — large enough that
+# sustained extraction dominates the fixed costs (ray init, actor spawn,
+# sort barrier ≈ 8 s) being measured into the scaling ratio.
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "40"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from full_text_extractor_v6_ray.pipelines import (
+        extract_pages,
+        pages_dataset_from_documents,
+    )
+    from full_text_extractor_v6_ray.stages.dedup import dedup_latest_by_ts
+
+    import shutil
+
+    # sink on memory-backed storage: a real N-node cluster writes to N
+    # nodes' disks/object store (bandwidth scales with cluster size); this
+    # sandbox has ONE shared disk (measured: +25 s constant at every CPU
+    # count, pure artifact), so /dev/shm stands in for scale-out storage.
+    out_base = os.environ.get("GRAFT_BENCH_OUT",
+                              "/dev/shm" if os.path.isdir("/dev/shm")
+                              else "/tmp")
+    out_dir = f"{out_base}/bench_out_{NUM_CPUS}"
+
+    def full_pipeline(replicate: int, sink: str):
+        shutil.rmtree(sink, ignore_errors=True)
+        pages = pages_dataset_from_documents(SF_DIR, replicate=replicate)
+        extracted = extract_pages(pages)
+        dedup_latest_by_ts(extracted).write_parquet(sink)
+
+    # untimed warm-up of the FULL pipeline at small replicate: spawns
+    # worker processes, triggers imports, warms the page cache
+    full_pipeline(2, out_dir + ".warm")
+    shutil.rmtree(out_dir + ".warm", ignore_errors=True)
+
+    queries: dict[str, float] = {}
+
+    # -- headline: synth -> extract -> url-dedup shuffle -> parquet sink ---
+    t = time.perf_counter()
+    full_pipeline(REPLICATE, out_dir)
+    queries["extract_dedup_write"] = round(time.perf_counter() - t, 3)
+
+    # -- extract-only throughput (streaming count, no sink) ----------------
+    t = time.perf_counter()
+    pages = pages_dataset_from_documents(SF_DIR, replicate=REPLICATE)
+    n_pages = extract_pages(pages).count()
+    queries["extract"] = round(time.perf_counter() - t, 3)
+
+    # -- token stats over documents (vectorized arrow kernels) -------------
+    from full_text_extractor_v6_ray import driver_queries as dq
+
+    t = time.perf_counter()
+    dq.q_docs_token_stats(SF_DIR).count()
+    queries["docs_token_stats"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    dq.q_events_hourly(SF_DIR).count()
+    queries["events_hourly"] = round(time.perf_counter() - t, 3)
+
+    headline = queries["extract_dedup_write"]
+    docs_per_sec = round(n_pages / queries["extract"], 1)
+
+    ray.shutdown()
+    return {
+        "metric": "extract_dedup_write_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "replicate": REPLICATE,
+        "extract_docs_per_sec": docs_per_sec,
+    }
+
+
+def _hw_ceiling(n_lo: int, n_hi: int) -> float:
+    """Raw CPU scaling ceiling of this box: aggregate throughput of plain
+    busy-loop processes at n_hi vs n_lo. On SMT/virtualized hosts this is
+    <1.0 — no software can beat it; reported for context."""
+    import multiprocessing as mp
+
+    def agg(n: int) -> float:
+        with mp.Pool(n) as p:
+            return sum(p.map(_burn, [0.5] * n))
+
+    lo, hi = agg(n_lo), agg(n_hi)
+    return round((hi / lo) / (n_hi / n_lo), 3)
+
+
+def _burn(seconds: float) -> int:
+    t = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t < seconds:
+        for _ in range(10000):
+            x += 1
+    return x
+
+
+def run_scaling() -> dict:
+    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    # larger corpus for the scaling runs: fixed costs (init, actor spawn,
+    # sort barrier ~8 s) must be small vs measured work
+    scale_rep = os.environ.get("GRAFT_SCALING_REPLICATE", "150")
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPLICATE=scale_rep)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(n_lo), run(n_hi)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (n_hi / n_lo)
+    return {
+        "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{n_lo}": t_lo,
+        f"sec_{n_hi}": t_hi,
+        f"docs_per_sec_{n_lo}": lo.get("extract_docs_per_sec"),
+        f"docs_per_sec_{n_hi}": hi.get("extract_docs_per_sec"),
+        "hw_ceiling": _hw_ceiling(n_lo, n_hi),
+        "sf": lo.get("sf"),
+        "n_pages": lo.get("n_pages"),
+        "replicate": int(scale_rep),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

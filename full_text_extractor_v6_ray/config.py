@@ -58,6 +58,10 @@ class PipelineConfig:
     """Ray-side execution knobs (scale tuning, not semantics)."""
 
     batch_size: int = 128           # pages per batch; html rows are wide (~100 KB avg)
+    # documents per page-synthesis task: small so the fused synth->extract
+    # chain yields many fine-grained tasks (load balance / short tail);
+    # with replicate=R one task carries ~doc_batch_size*R pages
+    doc_batch_size: int = 32
     # extractor actor-pool size; None -> autoscale (1, cluster_cpus - 2) so
     # the pool NEVER reserves every CPU (a fixed pool == cluster size
     # deadlocks the read stage — observed: 8 actors on 4 CPUs starved

@@ -140,28 +140,12 @@ def q_docs_exact_dedup(sf_dir: str):
 
 def q_events_first_by_ts(sf_dir: str):
     """Per-user earliest event (first-by-ts dedup — D2 semantics on events)."""
+    from .stages.dedup import keyed_keep_one
+
     ds = _read(sf_dir, "events",
                columns=["event_id", "ts", "user_id", "event_type", "value"])
-
-    def local_first(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(batch, sort_keys=[("user_id", "ascending"),
-                                                ("ts", "ascending"),
-                                                ("event_id", "ascending")])
-        t = batch.take(idx)
-        u = t.column("user_id").combine_chunks()
-        prev = u.slice(0, len(u) - 1)
-        keep = pa.concat_arrays([pa.array([True]),
-                                 pc.not_equal(u.slice(1), prev)])
-        return t.filter(keep)
-
-    def group_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
-
-    # local combine (no shuffle) then one groupby shuffle — same two-phase
-    # pattern as url dedup
-    return (ds.map_batches(local_first, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("user_id").map_groups(group_first, batch_format="pandas"))
+    return keyed_keep_one(ds, "user_id",
+                          [("ts", "ascending"), ("event_id", "ascending")])
 
 
 def q_events_hourly(sf_dir: str):
@@ -268,6 +252,134 @@ def q_embeddings_label_stats(sf_dir: str):
     return ds.groupby("label").aggregate(Count(alias_name="n_vecs"))
 
 
+# ---------------------------------------------------------------------------
+# training-data operators (SURVEY.md "beyond the reference" family)
+# ---------------------------------------------------------------------------
+
+def q_docs_langid(sf_dir: str):
+    """Heuristic language ID (n-gram/stopword profiles) per document."""
+    from .stages.text_ops import LangIdBatch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LangIdBatch, batch_format="pyarrow", batch_size=512,
+                         concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def q_docs_quality(sf_dir: str):
+    """Gopher/C4-style quality scoring per document."""
+    from .stages.text_ops import QualityScoreBatch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScoreBatch, batch_format="pyarrow",
+                         batch_size=512, concurrency=(1, 4))
+    return out.select_columns(["doc_id", "n_tokens", "mean_token_len",
+                               "stop_ratio", "punct_ratio", "digit_ratio",
+                               "max_repeat_ratio", "quality"])
+
+
+def q_docs_fingerprint(sf_dir: str):
+    """Content fingerprints: md5 (exact-dup key, SQL-oracled) per doc."""
+    from .stages.text_ops import FingerprintBatch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(FingerprintBatch, batch_format="pyarrow",
+                         batch_size=512, concurrency=(1, 4))
+    return out.select_columns(["doc_id", "content_md5"])
+
+
+def q_docs_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs over documents."""
+    from .stages.fuzzy_dedup import minhash_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dup_pairs(ds, threshold=0.7)
+
+
+def q_docs_simhash_pairs(sf_dir: str):
+    """SimHash near-duplicate pairs (Hamming <= 3) over documents."""
+    from .stages.fuzzy_dedup import simhash_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dup_pairs(ds, max_hamming=3)
+
+
+def _first_query_vecs(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    idx = np.argsort(np.array(tbl["vec_id"].to_pylist()))[:n]
+    ids = [int(tbl["vec_id"][int(i)].as_py()) for i in idx]
+    vecs = np.array([tbl["embedding"][int(i)].as_py() for i in idx],
+                    dtype=np.float64)
+    return ids, vecs
+
+
+def q_knn_cosine_top10(sf_dir: str):
+    """Exact brute-force cosine top-10 for the 5 lowest vec_id queries."""
+    from .stages.embed import knn_cosine
+
+    ids, vecs = _first_query_vecs(sf_dir, 5)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_cosine(ds, ids, vecs, k=10).copy()
+    out["score"] = out["score"].round(6)
+    return out
+
+
+def q_knn_cosine_lsh_top10(sf_dir: str):
+    """Approximate (multi-table LSH) variant of the same search."""
+    from .stages.embed import knn_cosine_lsh
+
+    ids, vecs = _first_query_vecs(sf_dir, 5)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_cosine_lsh(ds, ids, vecs, k=10).copy()
+    out["score"] = out["score"].round(6)
+    return out
+
+
+def q_embeddings_norms(sf_dir: str):
+    """Per-vector L2 norm (vectorized numpy per batch)."""
+    from .stages.embed import _to_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "l2_norm": pa.array(np.round(np.linalg.norm(m, axis=1), 6),
+                                pa.float64()),
+        })
+
+    return ds.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_media_decode_stats(sf_dir: str):
+    """Multimodal plumbing: synth media -> decode actor pool -> dim stats."""
+    from ray.data.aggregate import Count, Mean
+
+    from .stages.multimodal import DecodeImageBatch, media_dataset_from_documents
+
+    media = media_dataset_from_documents(sf_dir)
+    decoded = media.map_batches(DecodeImageBatch, batch_format="pyarrow",
+                                batch_size=64, concurrency=(1, 4))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        metas = batch.column("media_meta").to_pylist()
+        return pa.table({
+            "width": pa.array([m["width"] for m in metas], pa.int32()),
+            "height": pa.array([m["height"] for m in metas], pa.int32()),
+            "ok": pa.array([e == "" for e in
+                            batch.column("decode_error").to_pylist()]),
+        })
+
+    flat = decoded.map_batches(flatten, batch_format="pyarrow")
+    return flat.groupby("ok").aggregate(Count(alias_name="n_media"),
+                                        Mean("width", alias_name="avg_width"),
+                                        Mean("height", alias_name="avg_height"))
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -285,6 +397,16 @@ QUERIES = {
     "orders_by_status": q_orders_by_status,
     "customer_nation_revenue": q_customer_nation_revenue,
     "embeddings_label_stats": q_embeddings_label_stats,
+    # training-data operators
+    "docs_langid": q_docs_langid,
+    "docs_quality": q_docs_quality,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
+    "knn_cosine_top10": q_knn_cosine_top10,
+    "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
+    "embeddings_norms": q_embeddings_norms,
+    "media_decode_stats": q_media_decode_stats,
 }
 
 
@@ -347,5 +469,29 @@ ORACLES = {
     """,
     "embeddings_label_stats": """
         SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    """,
+    "docs_fingerprint": """
+        SELECT doc_id, md5(text) AS content_md5 FROM documents
+    """,
+    "knn_cosine_top10": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings ORDER BY vec_id LIMIT 5),
+             s AS (SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(e.embedding, q.qv) AS raw
+                   FROM embeddings e CROSS JOIN q)
+        SELECT query_id, vec_id, round(raw, 6) AS score
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id
+                   ORDER BY round(raw, 9) DESC, vec_id ASC) AS rn
+              FROM s)
+        WHERE rn <= 10
+    """,
+    "embeddings_norms": """
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding,
+                                                  x -> CAST(x AS DOUBLE) *
+                                                       CAST(x AS DOUBLE)))),
+                     6) AS l2_norm
+        FROM embeddings
     """,
 }

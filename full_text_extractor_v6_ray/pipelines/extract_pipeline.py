@@ -25,7 +25,8 @@ from ..stages.extract import ExtractBatch
 
 
 def pages_dataset_from_documents(sf_dir: str, seed: int = 42,
-                                 pcfg: PipelineConfig = DEFAULT_PIPELINE_CONFIG
+                                 pcfg: PipelineConfig = DEFAULT_PIPELINE_CONFIG,
+                                 replicate: int = 1,
                                  ) -> "ray.data.Dataset":
     """Streaming synthetic pages over the driver's documents table.
 
@@ -37,8 +38,10 @@ def pages_dataset_from_documents(sf_dir: str, seed: int = 42,
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
-    return docs.map_batches(PageGenBatch(seed), batch_format="pyarrow",
-                            batch_size=pcfg.batch_size, zero_copy_batch=True)
+    return docs.map_batches(PageGenBatch(seed, replicate),
+                            batch_format="pyarrow",
+                            batch_size=pcfg.doc_batch_size,
+                            zero_copy_batch=True)
 
 
 def _pool_size(pcfg: PipelineConfig) -> tuple[int, int]:
@@ -55,7 +58,12 @@ def _pool_size(pcfg: PipelineConfig) -> tuple[int, int]:
         total = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         total = 8
-    return (1, max(1, total - 2))
+    cap = max(1, total - 2)
+    # FIXED pool at cap: the autoscaler is too conservative (observed
+    # plateau at ~half the cap on a 220k-page run), and autoscaling from a
+    # low floor pays actor-startup latency serially. cap = cpus-2 keeps the
+    # read/shuffle stages schedulable (full-width pool deadlocks the read).
+    return (cap, cap)
 
 
 def extract_pages(pages: "ray.data.Dataset",

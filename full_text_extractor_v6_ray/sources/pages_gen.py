@@ -268,10 +268,17 @@ class PageGenBatch:
 
     Stateless and pure per row; used as a plain function stage (no actor
     state needed). Arrow in / Arrow out.
+
+    ``replicate=R`` synthesizes R distinct pages per document (distinct
+    doc-id offsets -> distinct urls/templates) — the bench uses it to scale
+    the corpus without touching the frozen correctness corpus (R=1).
     """
 
-    def __init__(self, seed: int = 42):
+    _VARIANT_STRIDE = 10_000_019  # prime >> any doc_id, keeps ids disjoint
+
+    def __init__(self, seed: int = 42, replicate: int = 1):
         self.seed = seed
+        self.replicate = max(1, int(replicate))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -280,8 +287,10 @@ class PageGenBatch:
         langs = batch["lang"].to_pylist()
         sources = batch["source"].to_pylist()
         for d, t, l, s in zip(doc_ids, texts, langs, sources):
-            rows.extend(build_page_row(int(d), t or "", l or "", s or "",
-                                       self.seed))
+            for v in range(self.replicate):
+                rows.extend(build_page_row(int(d) + v * self._VARIANT_STRIDE,
+                                           t or "", l or "", s or "",
+                                           self.seed))
         return _rows_to_table(rows)
 
 

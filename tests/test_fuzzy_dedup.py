@@ -1,0 +1,120 @@
+"""MinHash / SimHash / Jaccard near-dup tests on controlled corpora."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+    MinHashBatch,
+    SimHashBatch,
+    dup_components,
+    minhash_signature,
+    ngram_jaccard,
+    _perm_params,
+)
+from full_text_extractor_v6_ray.stages.text_ops import shingle_hashes
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun sets "
+        "behind the tall mountains and the river flows gently through the "
+        "quiet valley toward the distant sea")
+NEAR = BASE.replace("quiet valley", "silent valley")   # 1-word change
+FAR = ("completely different content about spacecraft propulsion systems "
+       "and orbital mechanics calculations for interplanetary transfer "
+       "windows using gravitational assists around major planets")
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, FAR) < 0.05
+    assert 0.7 < ngram_jaccard(BASE, NEAR) < 1.0
+    assert ngram_jaccard("", "") == 1.0
+    assert ngram_jaccard(BASE, "") == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    a, b = _perm_params(256, 42)
+    sa = minhash_signature(shingle_hashes(BASE), a, b)
+    sb = minhash_signature(shingle_hashes(NEAR), a, b)
+    sf = minhash_signature(shingle_hashes(FAR), a, b)
+    est_near = (sa == sb).mean()
+    est_far = (sa == sf).mean()
+    true_near = ngram_jaccard(BASE, NEAR)
+    assert abs(est_near - true_near) < 0.15
+    assert est_far < 0.05
+
+
+def test_minhash_batch_deterministic():
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([BASE, NEAR], pa.string())})
+    s1 = MinHashBatch()(t)["minhash"].to_pylist()
+    s2 = MinHashBatch()(t)["minhash"].to_pylist()
+    assert s1 == s2
+
+
+def test_simhash_hamming_tracks_similarity():
+    sh = SimHashBatch()
+    a, n, f = sh.signature(BASE), sh.signature(NEAR), sh.signature(FAR)
+    d_near = bin(a ^ n).count("1")
+    d_far = bin(a ^ f).count("1")
+    assert d_near < d_far
+    assert d_near <= 6
+
+
+def test_minhash_pipeline_finds_planted_dups(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import minhash_dup_pairs
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(500)]
+    texts, ids = [], []
+    for i in range(60):
+        words = [vocab[rng.randint(500)] for _ in range(80)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    # plant near-dups: 100/101 copy docs 0/1 with one word changed
+    for src, nid in [(0, 100), (1, 101)]:
+        words = texts[src].split()
+        words[5] = "CHANGED"
+        texts.append(" ".join(words))
+        ids.append(nid)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    pairs = minhash_dup_pairs(ds, threshold=0.7).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 100) in found and (1, 101) in found
+    assert len(found) == 2  # no false positives on random docs
+
+
+def test_simhash_pipeline_finds_planted_dups(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import simhash_dup_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i}" for i in range(800)]
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(" ".join(vocab[rng.randint(800)] for _ in range(120)))
+        ids.append(i)
+    words = texts[3].split()
+    words[10] = "XYZ"
+    texts.append(" ".join(words))
+    ids.append(200)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    pairs = simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (3, 200) in found
+
+
+def test_dup_components_union_find():
+    import pandas as pd
+
+    pairs = pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    comp = dup_components(pairs)
+    by = dict(zip(comp["doc_id"], comp["component"]))
+    assert by[1] == by[2] == by[3] == 1
+    assert by[10] == by[11] == 10

@@ -1,0 +1,72 @@
+import numpy as np
+import pyarrow as pa
+
+from full_text_extractor_v6_ray.stages.text_ops import (
+    FingerprintBatch,
+    LangIdBatch,
+    QualityScoreBatch,
+    fnv1a_64,
+    shingle_hashes,
+)
+
+
+def tbl(texts, ids=None):
+    ids = ids or list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_langid_basic():
+    out = LangIdBatch()(tbl([
+        "the cat sat on the mat and it was happy with the dog",
+        "der Hund und die Katze sind mit dem Ball im Garten",
+        "le chat est dans la maison et il ne veut pas sortir",
+        "el perro y el gato están en la casa con los niños",
+        "",
+    ]))
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "es", "und"]
+    assert all(0 <= c <= 1 for c in out["lang_conf"].to_pylist())
+
+
+def test_langid_cjk():
+    out = LangIdBatch()(tbl(["这是一个中文句子，用来测试语言识别功能。"]))
+    assert out["lang_pred"].to_pylist() == ["zh"]
+
+
+def test_quality_score_ranges_and_penalties():
+    good = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the green fields for a while longer today")
+    spam = "buy buy buy buy buy buy buy buy buy buy buy buy"
+    out = QualityScoreBatch()(tbl([good, spam, ""]))
+    q = out["quality"].to_pylist()
+    assert q[0] > q[1]            # repetition penalty
+    assert q[2] == 0.0
+    assert out["n_tokens"].to_pylist()[0] == len(good.split())
+    assert out["max_repeat_ratio"].to_pylist()[1] > 0.9
+
+
+def test_fingerprint_stability_and_dedup_key():
+    t1 = "alpha beta gamma delta epsilon zeta"
+    out1 = FingerprintBatch()(tbl([t1, t1, t1 + " extra"]))
+    md5s = out1["content_md5"].to_pylist()
+    assert md5s[0] == md5s[1] != md5s[2]
+    fp = out1["fp64"].to_pylist()
+    assert fp[0] == fp[1]
+    # recompute in a fresh instance -> identical (cross-process stability)
+    out2 = FingerprintBatch()(tbl([t1]))
+    assert out2["fp64"].to_pylist()[0] == fp[0]
+
+
+def test_fnv1a_known_vector():
+    # FNV-1a 64 published test vector: empty string -> offset basis
+    assert fnv1a_64(b"") == 0xCBF29CE484222325
+    assert fnv1a_64(b"a") == 0xAF63DC4C8601EC8C
+
+
+def test_shingle_hashes_deterministic_and_set_semantics():
+    a = shingle_hashes("one two three four five", 3)
+    b = shingle_hashes("one two three four five", 3)
+    assert np.array_equal(a, b)
+    assert len(a) == 3  # 5 tokens, k=3 -> 3 shingles
+    short = shingle_hashes("one", 3)
+    assert len(short) >= 1
