@@ -355,6 +355,77 @@ def q_embeddings_norms(sf_dir: str):
     return ds.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_links_reparsed(sf_dir: str):
+    """M21: the reference's markdown->links regex reparser over
+    extracted_text (2-phase flow parity; equals the links column)."""
+    from .stages.links import links_from_markdown
+
+    extracted = extraction_pipeline(sf_dir, dedup=False)
+    return links_from_markdown(extracted)
+
+
+def q_links_dedup_longest(sf_dir: str):
+    """G4: per (url, link_url) keep-longest-text link dedup
+    (reference hyperlink_extractor.py:172-195 semantics)."""
+    from .stages.links import dedupe_links_keep_longest, explode_links_column
+
+    extracted = extraction_pipeline(sf_dir, dedup=False)
+    return dedupe_links_keep_longest(explode_links_column(extracted))
+
+
+def q_extract_error_summary(sf_dir: str):
+    """G1: success/error counters as a grouped rollup (folder_processor
+    success_count/error_count/errors{} analog)."""
+    from ray.data.aggregate import Count
+
+    ds = extraction_pipeline(sf_dir, dedup=False)
+    return ds.groupby(["method", "error"]).aggregate(
+        Count(alias_name="n_pages"))
+
+
+def q_extract_top_by_chars(sf_dir: str):
+    """O1/O3 analog: global sort + limit over extraction output."""
+    ds = extraction_pipeline(sf_dir, dedup=True)
+    top = ds.select_columns(["url", "n_chars", "n_words", "method"]).sort(
+        ["n_chars", "url"], descending=[True, False]).limit(25)
+    return top
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity window) per user —
+    the streaming-shaped windowed aggregate (guide: ordered, partitioned
+    log -> groupby(key).map_groups over the sorted group)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("event_id", "count"),
+            total_value=("value", "sum"),
+        )
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_order_keys_union(sf_dir: str):
+    """Set op: distinct union of order keys from orders and lineitem."""
+    from ray.data.aggregate import Count
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        lambda b: b.rename_columns(["okey"]), batch_format="pyarrow")
+    l = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        lambda b: b.rename_columns(["okey"]), batch_format="pyarrow")
+    u = o.union(l)
+    return (u.groupby("okey").aggregate(Count(alias_name="__n"))
+            .select_columns(["okey"]))
+
+
 def q_media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synth media -> decode actor pool -> dim stats."""
     from ray.data.aggregate import Count, Mean
@@ -407,6 +478,13 @@ QUERIES = {
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
     "embeddings_norms": q_embeddings_norms,
     "media_decode_stats": q_media_decode_stats,
+    # links / windows / set ops
+    "links_reparsed": q_links_reparsed,
+    "links_dedup_longest": q_links_dedup_longest,
+    "extract_error_summary": q_extract_error_summary,
+    "extract_top_by_chars": q_extract_top_by_chars,
+    "events_sessions": q_events_sessions,
+    "order_keys_union": q_order_keys_union,
 }
 
 
@@ -485,6 +563,30 @@ ORACLES = {
                    ORDER BY round(raw, 9) DESC, vec_id ASC) AS rn
               FROM s)
         WHERE rn <= 10
+    """,
+    "events_sessions": """
+        WITH o AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, sum(new_s) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_n
+            FROM o
+        )
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events, sum(value) AS total_value
+        FROM s GROUP BY user_id, session_n
+    """,
+    "order_keys_union": """
+        SELECT o_orderkey AS okey FROM orders
+        UNION
+        SELECT l_orderkey AS okey FROM lineitem
     """,
     "embeddings_norms": """
         SELECT vec_id,
