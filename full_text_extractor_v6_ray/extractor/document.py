@@ -80,7 +80,12 @@ def extract_document(
 
         if kind == "html":
             html_text = payload.decode("utf-8", errors="replace")
-            blocks, title, boiler_chars = parse_html_blocks(html_text, cfg)
+            if cfg.use_fast_parser:
+                from .html_fast import parse_html_blocks_fast
+                blocks, title, boiler_chars = parse_html_blocks_fast(
+                    html_text, cfg)
+            else:
+                blocks, title, boiler_chars = parse_html_blocks(html_text, cfg)
             kept, dropped_score = score_and_filter(blocks, cfg)
             text, spans, links = render_blocks(kept, title, cfg)
             if text:
