@@ -426,6 +426,99 @@ def q_order_keys_union(sf_dir: str):
             .select_columns(["okey"]))
 
 
+def q_embeddings_neardup(sf_dir: str, threshold: float = 0.45):
+    """Embedding-cosine near-duplicate pairs (exact, oracle-checked).
+
+    Sandbox-exact path: the normalized matrix is broadcast once
+    (``ray.put``), each batch computes one matmul and emits pairs
+    (vec_a < vec_b, cosine >= threshold). At 10^12 scale this becomes the
+    LSH-bucketed variant (stages/embed.knn_cosine_lsh machinery).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from .stages.embed import _normalize, _to_matrix
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    full = _normalize(np.array(tbl["embedding"].to_pylist(), dtype=np.float64))
+    full_ids = np.array(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    ref = ray.put({"mat": full, "ids": full_ids})
+
+    class NearDup:
+        def __init__(self):
+            d = ray.get(ref)
+            self.mat, self.ids = d["mat"], d["ids"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_to_matrix(batch.column("embedding")))
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            scores = vecs @ self.mat.T
+            rows_a, rows_b, sims = [], [], []
+            for i, vid in enumerate(vec_ids):
+                hits = np.nonzero(scores[i] >= threshold)[0]
+                for j in hits:
+                    other = int(self.ids[j])
+                    if int(vid) < other:   # i<j once, no self-pairs
+                        rows_a.append(int(vid))
+                        rows_b.append(other)
+                        sims.append(round(float(scores[i, j]), 6))
+            return pa.table({"vec_a": pa.array(rows_a, pa.int64()),
+                             "vec_b": pa.array(rows_b, pa.int64()),
+                             "cosine": pa.array(sims, pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(NearDup, batch_format="pyarrow", batch_size=1024,
+                          concurrency=(1, 4))
+
+
+def q_part_filter_pushdown(sf_dir: str):
+    """Predicate + projection pushdown at the read (prune-at-read rule)."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_size", "p_retailprice"],
+        filter=pads.field("p_size") > 40,
+    )
+    return ds
+
+
+def q_lineitem_minmax(sf_dir: str):
+    """Min/Max/Std aggregate family (ddof=1 == SQL stddev_samp)."""
+    from ray.data.aggregate import Max, Min, Std
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    return ds.groupby("l_returnflag").aggregate(
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+        Std("l_extendedprice", alias_name="std_price"))
+
+
+def q_page_metadata(sf_dir: str):
+    """G6: per-page structural metadata completeness rollup by lang."""
+    from ray.data.aggregate import Count, Mean
+
+    from .stages.metadata import PageMetadataBatch
+
+    pages = pages_dataset_from_documents(sf_dir)
+    meta = pages.map_batches(PageMetadataBatch, batch_format="pyarrow",
+                             batch_size=256, concurrency=(1, 4))
+    return meta.groupby("lang_attr").aggregate(
+        Count(alias_name="n_pages"),
+        Mean("completeness", alias_name="avg_completeness"))
+
+
+def q_data_islands(sf_dir: str):
+    """M12 analog: JSON data islands summarized per page."""
+    from .stages.metadata import DataIslandBatch
+
+    pages = pages_dataset_from_documents(sf_dir)
+    return pages.map_batches(DataIslandBatch, batch_format="pyarrow",
+                             batch_size=256, concurrency=(1, 4))
+
+
 def q_media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synth media -> decode actor pool -> dim stats."""
     from ray.data.aggregate import Count, Mean
@@ -485,6 +578,11 @@ QUERIES = {
     "extract_top_by_chars": q_extract_top_by_chars,
     "events_sessions": q_events_sessions,
     "order_keys_union": q_order_keys_union,
+    "embeddings_neardup": q_embeddings_neardup,
+    "part_filter_pushdown": q_part_filter_pushdown,
+    "lineitem_minmax": q_lineitem_minmax,
+    "page_metadata": q_page_metadata,
+    "data_islands": q_data_islands,
 }
 
 
@@ -587,6 +685,28 @@ ORACLES = {
         SELECT o_orderkey AS okey FROM orders
         UNION
         SELECT l_orderkey AS okey FROM lineitem
+    """,
+    "embeddings_neardup": """
+        -- cast to DOUBLE: duckdb computes float32 cosine otherwise, which
+        -- diverges from the engine's float64 math at the 1e-6 tolerance
+        WITH d AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS emb
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        FROM d a JOIN d b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+    """,
+    "part_filter_pushdown": """
+        SELECT p_partkey, p_size, p_retailprice FROM part WHERE p_size > 40
+    """,
+    "lineitem_minmax": """
+        SELECT l_returnflag,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               stddev_samp(l_extendedprice) AS std_price
+        FROM lineitem GROUP BY l_returnflag
     """,
     "embeddings_norms": """
         SELECT vec_id,

@@ -234,7 +234,12 @@ def build_page_row(doc_id: int, text: str, lang: str, source: str,
             f"<!DOCTYPE html>\n<html lang='{lang}'><head>"
             f"<title>{_html.escape(title)}</title>"
             f"<meta charset='utf-8'><style>.x{{color:red}}</style>"
-            f"<script>var t={doc_id};</script></head>\n"
+            f"<script>var t={doc_id};</script>"
+            # JSON data island (M12 chart-data analog; killed in extraction,
+            # surfaced by stages/metadata.DataIslandBatch)
+            f'<script type="application/json">'
+            f'{{"doc_id": {doc_id}, "lang": "{lang}", '
+            f'"n_words": {len(ws)}}}</script></head>\n'
             f"<body>\n{body}\n</body></html>"
         )
         payload = html_str.encode("utf-8")
