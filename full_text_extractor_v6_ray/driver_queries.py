@@ -519,6 +519,55 @@ def q_data_islands(sf_dir: str):
                              batch_size=256, concurrency=(1, 4))
 
 
+def q_orders_customer_hashjoin(sf_dir: str):
+    """Explicit partitioned hash join (both sides shuffled once by key)."""
+    from .stages.joins import bucket_hash_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_mktsegment"])
+    joined = bucket_hash_join(orders, cust, "o_custkey", "c_custkey",
+                              num_buckets=16)
+    return joined.select_columns(["o_orderkey", "o_custkey", "o_totalprice",
+                                  "c_name", "c_mktsegment"])
+
+
+def q_events_orders_asof(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (right side pre-reduced to one order per
+    (custkey, date) for unambiguous matches)."""
+    from .stages.dedup import keyed_keep_one
+    from .stages.joins import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch["o_custkey"], pa.string()),
+            pc.cast(batch["o_orderdate"], pa.string()), "|")
+        return batch.append_column("__ck", key)
+
+    orders1 = orders.map_batches(add_key, batch_format="pyarrow")
+    orders1 = keyed_keep_one(orders1, "__ck",
+                             [("o_orderkey", "descending")]).drop_columns(["__ck"])
+
+    joined = asof_join(events, orders1, "user_id", "o_custkey",
+                       "ts", "o_orderdate", num_buckets=16)
+    return joined.select_columns(["event_id", "user_id", "ts", "o_orderkey"])
+
+
+def q_events_user_approx_distinct(sf_dir: str):
+    """HLL(p=12) approximate distinct users (mergeable-sketch pattern)."""
+    from .stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_users": [round(est)]})
+
+
 def q_media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synth media -> decode actor pool -> dim stats."""
     from ray.data.aggregate import Count, Mean
@@ -583,6 +632,9 @@ QUERIES = {
     "lineitem_minmax": q_lineitem_minmax,
     "page_metadata": q_page_metadata,
     "data_islands": q_data_islands,
+    "orders_customer_hashjoin": q_orders_customer_hashjoin,
+    "events_orders_asof": q_events_orders_asof,
+    "events_user_approx_distinct": q_events_user_approx_distinct,
 }
 
 
@@ -697,6 +749,21 @@ ORACLES = {
                round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
         FROM d a JOIN d b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+    """,
+    "orders_customer_hashjoin": """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "events_orders_asof": """
+        WITH o1 AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts, o1.o_orderkey
+        FROM events e
+        ASOF LEFT JOIN o1
+            ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
     """,
     "part_filter_pushdown": """
         SELECT p_partkey, p_size, p_retailprice FROM part WHERE p_size > 40

@@ -1,0 +1,82 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The guide's sketch pattern: emit ONE serialized sketch per batch from
+``map_batches`` (no shuffle of raw values), merge the handful of partials
+at the end — sketches are designed to be mergeable, so the merge order
+never matters and the result is deterministic for a given input set.
+
+HLL with p=12 (4096 registers, ~1.6% standard error), md5-based hashing
+(stable across processes — never Python's salted hash()).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+P = 12
+M = 1 << P
+_ALPHA = 0.7213 / (1 + 1.079 / M)
+
+
+def _hash64(values) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
+         for v in values],
+        dtype=np.uint64,
+    )
+
+
+def hll_partial(values) -> np.ndarray:
+    """(M,) uint8 register array for one batch of values."""
+    regs = np.zeros(M, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    rest = (h << np.uint64(P)) | np.uint64((1 << P) - 1)
+    # rank = leading zeros of remaining 64-P bits + 1
+    for i, r in zip(idx, rest):
+        rank = 1
+        mask = np.uint64(1) << np.uint64(63)
+        rr = np.uint64(r)
+        while not (rr & mask) and rank <= 64 - P:
+            rank += 1
+            mask >>= np.uint64(1)
+        if rank > regs[i]:
+            regs[i] = rank
+    return regs
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(M, dtype=np.uint8)
+    for p_ in parts:
+        np.maximum(out, p_, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    est = _ALPHA * M * M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * M and zeros:
+        est = M * math.log(M / zeros)   # linear counting small-range fix
+    return est
+
+
+def approx_distinct(ds: "ray.data.Dataset", col: str) -> float:
+    """Distributed approximate distinct count of one column."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_partial(batch.column(col).to_pylist())
+        return pa.table({"sketch": pa.array([regs.tobytes()],
+                                            pa.binary(M))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = hll_merge([np.frombuffer(p["sketch"], dtype=np.uint8)
+                        for p in parts])
+    return hll_estimate(merged)
