@@ -568,6 +568,21 @@ def q_events_user_approx_distinct(sf_dir: str):
     return pd.DataFrame({"approx_users": [round(est)]})
 
 
+def q_events_type_count_salted(sf_dir: str):
+    """Skew-safe grouped aggregate: salted two-phase count+sum by type."""
+    from .stages.salted import salted_count_sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return salted_count_sum(ds, "event_type", sum_col="value", n_salts=8)
+
+
+def q_docs_sample(sf_dir: str):
+    """Seeded random sample (deterministic given seed; rows-only check
+    asserts determinism through the test suite, not SQL)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return ds.random_sample(0.1, seed=42)
+
+
 def q_media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synth media -> decode actor pool -> dim stats."""
     from ray.data.aggregate import Count, Mean
@@ -635,6 +650,8 @@ QUERIES = {
     "orders_customer_hashjoin": q_orders_customer_hashjoin,
     "events_orders_asof": q_events_orders_asof,
     "events_user_approx_distinct": q_events_user_approx_distinct,
+    "events_type_count_salted": q_events_type_count_salted,
+    "docs_sample": q_docs_sample,
 }
 
 
@@ -764,6 +781,10 @@ ORACLES = {
         FROM events e
         ASOF LEFT JOIN o1
             ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+    """,
+    "events_type_count_salted": """
+        SELECT event_type, count(*) AS n_rows, sum(value) AS total
+        FROM events GROUP BY event_type
     """,
     "part_filter_pushdown": """
         SELECT p_partkey, p_size, p_retailprice FROM part WHERE p_size > 40

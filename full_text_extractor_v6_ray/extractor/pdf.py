@@ -38,6 +38,7 @@ _TJ = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\[\]\\]|\\.)*?\]\s*TJ",
 _LITERAL = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.DOTALL)
 _URI = re.compile(rb"/URI\s*\(((?:[^()\\]|\\.)*)\)")
 _STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_TEXT_URL = re.compile(r"https?://[^\s<>()\"']+")
 _FLATE = re.compile(rb"/FlateDecode")
 
 _ESCAPES = {
@@ -121,6 +122,13 @@ def extract_pdf(payload: bytes) -> tuple[str, list[str], str]:
             url = _decode_pdf_string(m.group(1)).strip()
             if url and url not in links:
                 links.append(url)
+        # regex URL scan of the page text (reference M22,
+        # hyperlink_extractor.py:277-296) with J2 membership dedup
+        for para in paragraphs:
+            for m in _TEXT_URL.finditer(para):
+                url = m.group(0).rstrip(".,;:)")
+                if url not in links:
+                    links.append(url)
     except Exception as exc:  # degradation principle: never raise
         return "", [], f"pdf_parse_error:{type(exc).__name__}"
 

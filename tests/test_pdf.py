@@ -29,3 +29,14 @@ def test_unparseable_pdf_is_error_not_garbage():
     r = extract_document(b"%PDF-1.7\nbinary compressed stuff", "")
     assert r.method == "error"
     assert r.error == "pdf_unsupported"
+
+
+def test_pdf_inline_text_urls_scanned():
+    """M22 parity: bare URLs in PDF text are collected (J2 dedup)."""
+    payload = _mk_pdf(["Visit https://docs.example.org/guide today.",
+                       "Repeat: https://docs.example.org/guide."],
+                      link="https://annot.example.org/x")
+    text, links, err = extract_pdf(payload)
+    assert err == ""
+    assert links == ["https://annot.example.org/x",
+                     "https://docs.example.org/guide"]
