@@ -338,6 +338,17 @@ def q_knn_cosine_lsh_top10(sf_dir: str):
     return out
 
 
+def q_knn_cosine_ivf_top10(sf_dir: str):
+    """IVF (coarse k-means) ANN variant of the same search."""
+    from .stages.embed import knn_cosine_ivf
+
+    ids, vecs = _first_query_vecs(sf_dir, 5)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_cosine_ivf(ds, ids, vecs, k=10, n_clusters=8, nprobe=3).copy()
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def q_embeddings_norms(sf_dir: str):
     """Per-vector L2 norm (vectorized numpy per batch)."""
     from .stages.embed import _to_matrix
@@ -633,6 +644,7 @@ QUERIES = {
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
+    "knn_cosine_ivf_top10": q_knn_cosine_ivf_top10,
     "embeddings_norms": q_embeddings_norms,
     "media_decode_stats": q_media_decode_stats,
     # links / windows / set ops

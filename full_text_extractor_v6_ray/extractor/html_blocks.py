@@ -44,6 +44,8 @@ BLOCK_TAGS = frozenset(
 )
 
 _HEADING = re.compile(r"^h([1-6])$")
+# dict lookup beats regex match in the per-tag hot path
+_H_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 
 # Generic / meaningless alt text (reference alt-quality regexes,
 # content_extractor.py:182-210: image\d*, picture\d*, len<3, generic words).
@@ -192,10 +194,10 @@ class BlockParser(HTMLParser):
             self._flush()
 
         if active and not kill and not boiler:
-            m = _HEADING.match(tag)
-            if m:
+            hl = _H_LEVEL.get(tag)
+            if hl:
                 self._cur_kind = "heading"
-                self._cur_level = int(m.group(1))
+                self._cur_level = hl
             elif tag == "ul" or tag == "ol":
                 self._lists.append([tag == "ol", 0])
             elif tag == "li":
@@ -270,8 +272,8 @@ class BlockParser(HTMLParser):
         active = self._kill_n == 0 and self._boiler_n == 0
         if not active:
             return
-        if _HEADING.match(tag) or tag in ("p", "li", "blockquote", "figure",
-                                          "figcaption", "dt", "dd"):
+        if tag in _H_LEVEL or tag in ("p", "li", "blockquote", "figure",
+                                      "figcaption", "dt", "dd"):
             if not self._table_depth:
                 self._flush()
         if tag in ("ul", "ol"):

@@ -188,3 +188,109 @@ def knn_cosine_lsh(embeddings: "ray.data.Dataset", query_ids: list[int],
         kind="mergesort")
     out = partials.groupby("query_id", sort=True).head(k)
     return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, seed: int = 42,
+               iters: int = 10) -> np.ndarray:
+    """Seeded Lloyd's k-means on a normalized sample -> (k, d) centroids.
+
+    Deterministic: init = first k rows of a seeded permutation; fixed
+    iteration count; ties broken by argmax order.
+    """
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(x))[:n_clusters]
+    cent = x[idx].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssignBatch:
+    """Broadcast centroids once; assign each vector to its nearest list."""
+
+    def __init__(self, centroids_ref):
+        self.cent = ray.get(centroids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(batch.column("embedding")))
+        assign = (vecs @ self.cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(assign))
+
+
+def knn_cosine_ivf(embeddings: "ray.data.Dataset", query_ids: list[int],
+                   query_vecs: np.ndarray, k: int = 10,
+                   n_clusters: int = 16, nprobe: int = 4,
+                   seed: int = 42, train_sample: int = 4096) -> pd.DataFrame:
+    """IVF ANN: coarse k-means partitions the corpus into inverted lists;
+    each query scans only its ``nprobe`` nearest lists.
+
+    Train on a driver-side sample (bounded by ``train_sample`` rows — at
+    10^12 scale a seeded random_sample feeds this), broadcast centroids via
+    ``ray.put``, assign lists in map_batches, ONE groupby shuffle on the
+    list id, per-list numpy matmuls in map_groups.
+    """
+    qv = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    sample_tbl = pa.concat_tables(
+        b for b in embeddings.limit(train_sample)
+        .iter_batches(batch_size=1024, batch_format="pyarrow"))
+    cent = kmeans_fit(_to_matrix(sample_tbl.column("embedding")),
+                      n_clusters, seed)
+    cent_ref = ray.put(cent)
+
+    assigned = embeddings.map_batches(
+        IvfAssignBatch, fn_constructor_kwargs={"centroids_ref": cent_ref},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+    probes: dict[int, list[int]] = {}
+    order = np.argsort(-(qv @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    for qi, lists in enumerate(order):
+        for li in lists:
+            probes.setdefault(int(li), []).append(qi)
+    ref = ray.put({"probes": probes, "qmat": qv, "ids": list(query_ids)})
+
+    def per_list(g: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        li = int(g.column("ivf_list")[0].as_py())
+        qidx = q["probes"].get(li, [])
+        if not qidx:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        vecs = _normalize(_to_matrix(g.column("embedding")))
+        vec_ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        scores = vecs @ q["qmat"][qidx].T
+        kk = min(k, scores.shape[0])
+        oq, ov, osc = [], [], []
+        for ci, qi in enumerate(qidx):
+            col = scores[:, ci]
+            for i in np.argpartition(-col, kk - 1)[:kk]:
+                oq.append(int(q["ids"][qi]))
+                ov.append(int(vec_ids[i]))
+                osc.append(float(col[i]))
+        return pa.table({"query_id": pa.array(oq, pa.int64()),
+                         "vec_id": pa.array(ov, pa.int64()),
+                         "score": pa.array(osc, pa.float64())})
+
+    partials = assigned.groupby("ivf_list").map_groups(
+        per_list, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    partials = partials.drop_duplicates(["query_id", "vec_id"])
+    partials["score_r"] = partials["score"].round(9)
+    partials = partials.sort_values(
+        ["query_id", "score_r", "vec_id"], ascending=[True, False, True],
+        kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k)
+    return out[["query_id", "vec_id", "score"]].reset_index(drop=True)

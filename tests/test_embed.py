@@ -106,3 +106,36 @@ def test_multimodal_garbage_payload_errors_cleanly():
                       "media_type": pa.array(["image/jpeg"], pa.string())})
     out = DecodeImageBatch()(batch)
     assert out["decode_error"].to_pylist()[0].startswith("decode_error:")
+
+
+def test_knn_ivf_recall(ray_session, emb_table):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.embed import knn_cosine, knn_cosine_ivf
+
+    qvecs = np.array(emb_table["embedding"].to_pylist()[:5], dtype=np.float64)
+    qids = emb_table["vec_id"].to_pylist()[:5]
+    ds = ray.data.from_arrow(emb_table)
+
+    exact = knn_cosine(ds, qids, qvecs, k=10)
+    approx = knn_cosine_ivf(ds, qids, qvecs, k=10, n_clusters=8, nprobe=3)
+
+    # every query's own vector lives in its top-probed list -> self-match
+    for qid in qids:
+        hits = approx[approx["query_id"] == qid]
+        assert len(hits) > 0
+        assert hits.iloc[0]["vec_id"] == qid
+
+    exact_set = set(zip(exact["query_id"], exact["vec_id"]))
+    approx_set = set(zip(approx["query_id"], approx["vec_id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5   # nprobe=3/8 lists scanned
+
+
+def test_kmeans_deterministic():
+    from full_text_extractor_v6_ray.stages.embed import kmeans_fit
+
+    rng = np.random.RandomState(0)
+    x = rng.standard_normal((500, 16))
+    a = kmeans_fit(x, 8, seed=42)
+    b = kmeans_fit(x, 8, seed=42)
+    assert np.array_equal(a, b)
