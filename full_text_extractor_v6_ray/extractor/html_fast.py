@@ -33,7 +33,7 @@ _TAG = re.compile(
     r"|!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|$)"    # CDATA
     r"|(?P<decl>![^>]*)>?"                     # doctype / decl
     r"|(?P<pi>\?[^>]*)>?"                      # processing instruction
-    r"|(?P<close>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:-]*)"
+    r"|(?P<close>/\s*)?(?P<name>[a-zA-Z][a-zA-Z0-9:-]*)"
     r"(?P<attrs>(?:[^<>\"']|\"[^\"]*\"|'[^']*')*?)"
     r"(?P<selfclose>/)?>"
     r")",
@@ -86,6 +86,18 @@ def fast_feed(parser: BlockParser, html_text: str) -> None:
             handle_data(_unescape(html_text[pos:lt]))
         m = _TAG.match(html_text, lt)
         if m is None:
+            nxt = html_text[lt + 1:lt + 2]
+            if nxt == "/":
+                # '</' + non-name with a closing '>': bogus comment per
+                # stdlib/HTML5 — skipped. Without '>', stdlib flushes the
+                # rest as text at EOF — emit '<' and re-lex the remainder.
+                gt = html_text.find(">", lt + 2)
+                if gt >= 0:
+                    pos = gt + 1
+                    continue
+                handle_data("<")
+                pos = lt + 1
+                continue
             # stray '<' — literal text (stdlib treats invalid tags as text)
             handle_data("<")
             pos = lt + 1
@@ -107,10 +119,14 @@ def fast_feed(parser: BlockParser, html_text: str) -> None:
             # rawtext/RCDATA: consume to the matching close tag verbatim
             close = re.compile(rf"</{name}(?:\s[^>]*)?>", re.IGNORECASE)
             cm = close.search(html_text, pos)
-            end = cm.start() if cm else n
-            handle_data(html_text[pos:end])  # killed by the filter anyway
+            if cm is None:
+                # unterminated rawtext: stdlib DISCARDS the content at EOF
+                # and leaves the element open (popped by close())
+                pos = n
+                continue
+            handle_data(html_text[pos:cm.start()])  # killed by filter anyway
             parser.handle_endtag(name)
-            pos = cm.end() if cm else n
+            pos = cm.end()
 
 
 def parse_html_blocks_fast(
