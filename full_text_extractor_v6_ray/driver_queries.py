@@ -594,6 +594,49 @@ def q_docs_sample(sf_dir: str):
     return ds.random_sample(0.1, seed=42)
 
 
+def q_supplier_region_stats(sf_dir: str):
+    """Two-hop broadcast join: supplier -> nation -> region rollup."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    n2r = dict(zip(nat["n_nationkey"].to_pylist(),
+                   nat["n_regionkey"].to_pylist()))
+    r2name = dict(zip(reg["r_regionkey"].to_pylist(),
+                      reg["r_name"].to_pylist()))
+    lookup = {nk: r2name.get(rk, "") for nk, rk in n2r.items()}
+    ref = ray.put(lookup)
+
+    class AddRegion:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["r_name"] = batch["s_nationkey"].map(self.lookup).fillna("")
+            return batch[["r_name", "s_acctbal"]]
+
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    joined = sup.map_batches(AddRegion, batch_format="pandas",
+                             concurrency=(1, 2))
+    return joined.groupby("r_name").aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("s_acctbal", alias_name="total_acctbal"))
+
+
+def q_part_type_stats(sf_dir: str):
+    """Per-type part statistics (brand diversity via groupby)."""
+    from ray.data.aggregate import Count, Mean, Max
+
+    ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice", "p_size"])
+    return ds.groupby("p_type").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Max("p_size", alias_name="max_size"))
+
+
 def q_media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synth media -> decode actor pool -> dim stats."""
     from ray.data.aggregate import Count, Mean
@@ -664,6 +707,8 @@ QUERIES = {
     "events_user_approx_distinct": q_events_user_approx_distinct,
     "events_type_count_salted": q_events_type_count_salted,
     "docs_sample": q_docs_sample,
+    "supplier_region_stats": q_supplier_region_stats,
+    "part_type_stats": q_part_type_stats,
 }
 
 
@@ -797,6 +842,19 @@ ORACLES = {
     "events_type_count_salted": """
         SELECT event_type, count(*) AS n_rows, sum(value) AS total
         FROM events GROUP BY event_type
+    """,
+    "supplier_region_stats": """
+        SELECT coalesce(r.r_name, '') AS r_name,
+               count(*) AS n_suppliers, sum(s.s_acctbal) AS total_acctbal
+        FROM supplier s
+        LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY coalesce(r.r_name, '')
+    """,
+    "part_type_stats": """
+        SELECT p_type, count(*) AS n_parts,
+               avg(p_retailprice) AS avg_price, max(p_size) AS max_size
+        FROM part GROUP BY p_type
     """,
     "part_filter_pushdown": """
         SELECT p_partkey, p_size, p_retailprice FROM part WHERE p_size > 40
