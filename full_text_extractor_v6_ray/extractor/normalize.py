@@ -37,7 +37,18 @@ def normalize_text(s: str) -> str:
 
     NFC first so composed/decomposed input bytes converge before any
     offset computation; spans are computed AFTER this (SURVEY.md §7.4).
+
+    Fast path: ASCII text with no collapsible whitespace (the common case
+    for short inline segments) needs neither NFC (identity on ASCII) nor
+    the regex — byte-equivalent by construction (ASCII re \\s chars are
+    exactly space/\\t/\\n/\\r/\\f/\\v; lone spaces collapse to themselves;
+    strip handles the ends either way).
     """
+    if s.isascii():
+        if ("  " in s or "\t" in s or "\n" in s or "\r" in s
+                or "\x0b" in s or "\x0c" in s):
+            return _WS_RUN.sub(" ", s).strip()
+        return s.strip()
     return normalize_ws(unicodedata.normalize("NFC", s))
 
 
