@@ -14,9 +14,7 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
 # Language ID: stopword-profile n-gram heuristic
