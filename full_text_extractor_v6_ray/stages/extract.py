@@ -78,8 +78,6 @@ class ExtractBatch:
                      else [""] * batch.num_rows)
 
         texts: list[str] = []
-        spans_col: list[list[dict]] = []
-        links_col: list[list[dict]] = []
         methods: list[str] = []
         errors: list[str] = []
         kept: list[int] = []
@@ -88,12 +86,30 @@ class ExtractBatch:
         n_chars: list[int] = []
         n_words: list[int] = []
         quality: list[float] = []
+        # spans/links assembled Arrow-native from flat arrays + offsets
+        # (list-of-dict conversion measured at ~13% of batch time)
+        sp_kind: list[str] = []
+        sp_start: list[int] = []
+        sp_end: list[int] = []
+        sp_href: list[str] = []
+        sp_offs: list[int] = [0]
+        lk_text: list[str] = []
+        lk_href: list[str] = []
+        lk_offs: list[int] = [0]
 
         for payload, fb in zip(payloads, fallbacks):
             r = extract_document(payload, fb or "", cfg)
             texts.append(r.extracted_text)
-            spans_col.append(r.spans)
-            links_col.append([{"text": t, "href": h} for t, h in r.links])
+            for s in r.spans:
+                sp_kind.append(s["kind"])
+                sp_start.append(s["start"])
+                sp_end.append(s["end"])
+                sp_href.append(s["href"])
+            sp_offs.append(len(sp_kind))
+            for t, h in r.links:
+                lk_text.append(t)
+                lk_href.append(h)
+            lk_offs.append(len(lk_text))
             methods.append(r.method)
             errors.append(r.error)
             kept.append(r.n_blocks_kept)
@@ -103,13 +119,28 @@ class ExtractBatch:
             n_words.append(len(r.extracted_text.split()))
             quality.append(r.quality_score)
 
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(sp_offs, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(sp_kind, pa.string()),
+                 pa.array(sp_start, pa.int64()),
+                 pa.array(sp_end, pa.int64()),
+                 pa.array(sp_href, pa.string())],
+                names=["kind", "start", "end", "href"])).cast(SPANS_TYPE)
+        links_arr = pa.ListArray.from_arrays(
+            pa.array(lk_offs, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(lk_text, pa.string()),
+                 pa.array(lk_href, pa.string())],
+                names=["text", "href"])).cast(LINKS_TYPE)
+
         cols = {
             "url": urls,
             "warc_ts": ts,
             "lang": langs,
             "extracted_text": pa.array(texts, pa.string()),
-            "spans": pa.array(spans_col, SPANS_TYPE),
-            "links": pa.array(links_col, LINKS_TYPE),
+            "spans": spans_arr,
+            "links": links_arr,
             "method": pa.array(methods, pa.string()),
             "error": pa.array(errors, pa.string()),
             "n_blocks_kept": pa.array(kept, pa.int32()),
