@@ -32,6 +32,15 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
                                  columns=columns)
 
 
+def _round_cols(batch: pa.Table, cols: list, ndigits: int) -> pa.Table:
+    """Round float columns to a fixed precision (oracle hash stability)."""
+    for c in cols:
+        i = batch.schema.get_field_index(c)
+        batch = batch.set_column(
+            i, c, pc.round(batch.column(c), ndigits=ndigits))
+    return batch
+
+
 # ---------------------------------------------------------------------------
 # Extraction pipelines (non-SQL-expressible; golden-fixture tested instead)
 # ---------------------------------------------------------------------------
@@ -188,23 +197,30 @@ def q_lineitem_pricing_summary(sf_dir: str):
                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         return batch.append_column("revenue", rev)
 
-    return (ds.map_batches(add_revenue, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                       Sum("l_extendedprice", alias_name="sum_base_price"),
-                       Sum("revenue", alias_name="sum_disc_price"),
-                       Mean("l_quantity", alias_name="avg_qty"),
-                       Count(alias_name="count_order")))
+    agg = (ds.map_batches(add_revenue, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("revenue", alias_name="sum_disc_price"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Count(alias_name="count_order")))
+    # Float sums are accumulation-order sensitive across partitions; pin a
+    # fixed precision (matched in the oracle) so the value hash is stable.
+    return agg.map_batches(lambda b: _round_cols(
+        b, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"], 4),
+        batch_format="pyarrow")
 
 
 def q_orders_by_status(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
-    return ds.groupby("o_orderstatus").aggregate(
+    agg = ds.groupby("o_orderstatus").aggregate(
         Count(alias_name="n_orders"),
         Sum("o_totalprice", alias_name="total_price"))
+    return agg.map_batches(lambda b: _round_cols(b, ["total_price"], 4),
+                           batch_format="pyarrow")
 
 
 def q_customer_nation_revenue(sf_dir: str):
@@ -402,18 +418,33 @@ def q_extract_top_by_chars(sf_dir: str):
     return top
 
 
-def q_events_sessions(sf_dir: str):
+def q_events_sessions(sf_dir: str, num_buckets: int = 64):
     """Gap-based sessionization (30-min inactivity window) per user —
-    the streaming-shaped windowed aggregate (guide: ordered, partitioned
-    log -> groupby(key).map_groups over the sorted group)."""
+    the streaming-shaped windowed aggregate.
+
+    Scale shape: users are hash-bucketed (one shuffle on a small int key)
+    and each bucket is ONE vectorized pandas pass — sort by
+    (user, ts, event_id), session boundaries via shift/diff, per-session
+    rollup via a cython groupby on the integer session id. Python-call
+    cost is O(num_buckets), not O(users); a naive
+    ``groupby(user_id).map_groups`` pays a Python call per user (measured
+    in stages/dedup.py to halve throughput at 45k keys).
+    """
+    from .stages.dedup import _stable_bucket
+
     ds = _read(sf_dir, "events",
                columns=["event_id", "ts", "user_id", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _stable_bucket(batch.column("user_id"), num_buckets))
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum()
-        out = g.groupby(sid).agg(
+        sid = (new_user | gap).cumsum()
+        out = g.groupby(sid, sort=False).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             n_events=("event_id", "count"),
@@ -421,7 +452,10 @@ def q_events_sessions(sf_dir: str):
         )
         return out.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(bucket_sessions, batch_format="pandas"))
 
 
 def q_order_keys_union(sf_dir: str):
@@ -749,16 +783,17 @@ ORACLES = {
     """,
     "lineitem_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_base_price,
-               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-               avg(l_quantity) AS avg_qty,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "orders_by_status": """
         SELECT o_orderstatus, count(*) AS n_orders,
-               sum(o_totalprice) AS total_price
+               round(sum(o_totalprice), 4) AS total_price
         FROM orders GROUP BY o_orderstatus
     """,
     "customer_nation_revenue": """
@@ -776,11 +811,18 @@ ORACLES = {
         SELECT doc_id, md5(text) AS content_md5 FROM documents
     """,
     "knn_cosine_top10": """
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                   FROM embeddings ORDER BY vec_id LIMIT 5),
+        -- cast to DOUBLE: duckdb computes float32 cosine on the raw column,
+        -- which diverges from the engine's float64 math at round-6 (same
+        -- fix as embeddings_neardup below)
+        WITH d AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS emb
+                   FROM embeddings),
+             q AS (SELECT vec_id AS query_id, emb AS qv
+                   FROM d ORDER BY vec_id LIMIT 5),
              s AS (SELECT q.query_id, e.vec_id,
-                          list_cosine_similarity(e.embedding, q.qv) AS raw
-                   FROM embeddings e CROSS JOIN q)
+                          list_cosine_similarity(e.emb, q.qv) AS raw
+                   FROM d e CROSS JOIN q)
         SELECT query_id, vec_id, round(raw, 6) AS score
         FROM (SELECT *, row_number() OVER
                   (PARTITION BY query_id

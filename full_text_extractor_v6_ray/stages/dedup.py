@@ -48,8 +48,23 @@ def _keep_first_of_runs(batch: pa.Table, key: str,
     return t.filter(first)
 
 
+try:
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is baked into the env
+    _pl = None
+
+
 def _stable_bucket(values: pa.ChunkedArray, num_buckets: int) -> pa.Array:
-    """Deterministic cross-process hash bucket for a string/int column."""
+    """Deterministic cross-process hash bucket for a string/int column.
+
+    Fast path: polars ``Series.hash`` — vectorized (Rust) xxhash straight
+    off the Arrow buffers, no pandas object-array round-trip (that path
+    pays a Python-level siphash per row, two copies per batch). Fixed
+    seed -> same bucket for the same key in every process.
+    """
+    if _pl is not None:
+        h = _pl.from_arrow(values).hash(seed=0)
+        return (h % num_buckets).cast(_pl.Int64).to_arrow()
     np_vals = values.to_pandas().to_numpy()
     h = pd.util.hash_array(np_vals)  # fixed default hash key -> stable
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))

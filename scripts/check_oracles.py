@@ -53,8 +53,15 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     a, b = canon(ray_df.copy()), canon(sql_df.copy())
     if list(a.columns) != list(b.columns):
         return f"SCHEMA MISMATCH ray={list(a.columns)} sql={list(b.columns)}"
+    hash_ok = True
     for c in a.columns:
         av, bv = a[c], b[c]
+        # strict: exact match after canon round-6 — emulates the driver's
+        # value hash (round 1 lesson: isclose-tolerant check passed while
+        # the driver hash failed on last-ulp float sums)
+        strict = av.astype(str).tolist() == bv.astype(str).tolist()
+        if not strict:
+            hash_ok = False
         if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
             ok = all(
                 (pd.isna(x) and pd.isna(y)) or
@@ -62,11 +69,19 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
                  math.isclose(float(x), float(y), rel_tol=1e-6, abs_tol=1e-6))
                 for x, y in zip(av, bv))
         else:
-            ok = av.astype(str).tolist() == bv.astype(str).tolist()
+            ok = strict
         if not ok:
             diff = [(i, x, y) for i, (x, y) in enumerate(zip(av, bv))
                     if str(x) != str(y)][:3]
             return f"VALUES MISMATCH col={c} first={diff}"
+    if not hash_ok:
+        bad = [c for c in a.columns
+               if a[c].astype(str).tolist() != b[c].astype(str).tolist()]
+        diffs = []
+        for c in bad[:1]:
+            diffs = [(i, x, y) for i, (x, y)
+                     in enumerate(zip(a[c], b[c])) if str(x) != str(y)][:3]
+        return f"HASH MISMATCH cols={bad} first={diffs}"
     return "OK"
 
 
@@ -110,8 +125,11 @@ def main():
             verdict = compare(name, ray_df, sql_df)
         else:
             verdict = f"rows-only: {len(ray_df)} rows"
-        status = verdict if verdict.startswith(("OK", "rows-only")) else f"FAIL {verdict}"
-        if status.startswith("FAIL"):
+        status = (verdict if verdict.startswith(("OK", "rows-only"))
+                  else f"FAIL {verdict}")
+        if verdict.startswith("HASH MISMATCH"):
+            status = f"HASHFAIL {verdict}"
+        if status.startswith(("FAIL", "HASHFAIL")):
             failures += 1
         print(f"{name:32s} {status}")
 
