@@ -517,6 +517,16 @@ def q_embeddings_neardup(sf_dir: str, threshold: float = 0.45):
                           concurrency=(1, 4))
 
 
+def q_embeddings_neardup_lsh(sf_dir: str):
+    """Scale-path embedding near-dup: LSH-bucketed, no full-matrix
+    broadcast (q_embeddings_neardup is the exact small-scale verifier;
+    tests/test_embed.py checks this variant's recall against it)."""
+    from .stages.embed import cosine_neardup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_lsh(ds, threshold=0.45, n_planes=4, n_tables=8)
+
+
 def q_part_filter_pushdown(sf_dir: str):
     """Predicate + projection pushdown at the read (prune-at-read rule)."""
     import pyarrow.dataset as pads
@@ -732,6 +742,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "order_keys_union": q_order_keys_union,
     "embeddings_neardup": q_embeddings_neardup,
+    "embeddings_neardup_lsh": q_embeddings_neardup_lsh,
     "part_filter_pushdown": q_part_filter_pushdown,
     "lineitem_minmax": q_lineitem_minmax,
     "page_metadata": q_page_metadata,

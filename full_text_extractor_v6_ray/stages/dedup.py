@@ -70,6 +70,29 @@ def _stable_bucket(values: pa.ChunkedArray, num_buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 
 
+def hash_bucketed_distinct(ds: "ray.data.Dataset", cols: list[str],
+                           num_buckets: int = 32) -> "ray.data.Dataset":
+    """Distinct rows by integer key columns ``cols`` — one shuffle on a
+    hashed bucket, one VECTORIZED drop_duplicates per bucket
+    (O(num_buckets) Python calls; a per-key map_groups does not scale)."""
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (h ^ v) * golden
+        return batch.append_column(
+            _BUCKET, pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols).drop(columns=_BUCKET)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(_BUCKET).map_groups(dedup, batch_format="pandas"))
+
+
 def keyed_keep_one(ds: "ray.data.Dataset", key: str,
                    order: list[tuple[str, str]],
                    local_combine: bool = True,

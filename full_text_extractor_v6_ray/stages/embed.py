@@ -190,6 +190,74 @@ def knn_cosine_lsh(embeddings: "ray.data.Dataset", query_ids: list[int],
     return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
 
 
+def cosine_neardup_lsh(embeddings: "ray.data.Dataset",
+                       threshold: float = 0.45, n_planes: int = 8,
+                       n_tables: int = 4, seed: int = 42,
+                       num_buckets: int = 32) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup pairs WITHOUT a full-matrix broadcast —
+    the 10^12-scale path (the exact all-pairs variant is O(N^2) compute
+    with O(N*d) per-actor memory and exists only as the small-scale
+    oracle verifier, driver_queries.q_embeddings_neardup).
+
+    Shape: multi-table random-hyperplane LSH buckets each vector L times
+    (ints + the vector itself, shipped L x once — not N times); ONE
+    groupby shuffle on (table, bucket); per-bucket all-pairs matmul emits
+    (vec_a < vec_b, cosine >= threshold); vectorized hash-bucketed global
+    distinct. Recall is probabilistic (grows with L) — verified in tests
+    against the exact pairs, not by a SQL oracle.
+
+    Partitioning assumption: one (table, bucket) group fits a task —
+    bucket population ~ N/2^n_planes per table; raise n_planes with N.
+    """
+    from .dedup import hash_bucketed_distinct
+
+    class MultiLshPlanes:
+        """Plane sets built lazily from the first batch's dim (seeded —
+        identical in every actor)."""
+
+        def __init__(self):
+            self.signers = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _to_matrix(batch.column("embedding"))
+            if self.signers is None:
+                self.signers = [LshSignBatch(vecs.shape[1], n_planes,
+                                             seed + 1000 * t)
+                                for t in range(n_tables)]
+            tables = []
+            for t, s in enumerate(self.signers):
+                b = s.bucket_of(vecs).astype(np.int64)
+                tbl = batch.append_column(
+                    "lsh_table", pa.array(np.full(len(b), t, dtype=np.int32)))
+                tables.append(tbl.append_column("lsh_bucket", pa.array(b)))
+            return pa.concat_tables(tables)
+
+    bucketed = embeddings.map_batches(MultiLshPlanes, batch_format="pyarrow",
+                                      batch_size=4096, concurrency=(1, 4))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(g.column("embedding")))
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(ids)
+        if m < 2:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        scores = vecs @ vecs.T
+        ia, ib = np.nonzero(np.triu(scores >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi  # same vec_id bucketed twice (shouldn't happen)
+        return pa.table({"vec_a": pa.array(lo[keep]),
+                         "vec_b": pa.array(hi[keep]),
+                         "cosine": pa.array(
+                             np.round(scores[ia, ib][keep], 6))})
+
+    pairs = bucketed.groupby(["lsh_table", "lsh_bucket"]).map_groups(
+        per_bucket, batch_format="pyarrow")
+    return hash_bucketed_distinct(pairs, ["vec_a", "vec_b"], num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------

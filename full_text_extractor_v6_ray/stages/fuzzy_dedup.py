@@ -3,24 +3,29 @@
 Scale shapes (guide: "Aggregation at scale" / MinHash-LSH pattern):
 
   MinHash+LSH:  per-batch shingle->minhash signatures (numpy, vectorized)
-                -> flat explode to (band_id, band_hash, doc_id) rows
-                -> groupby band bucket (the ONLY shuffle; bucket rows are
-                   tiny fixed-width ints, never the text)
-                -> candidate pairs inside each bucket
-                -> verify by minhash-signature agreement (est. Jaccard)
-  SimHash:      64-bit signature per doc; 4x16-bit band buckets -> pairs
-                with Hamming distance <= max_hamming.
+                -> vectorized band explode to SLIM (band_hash, doc_id)
+                   rows — the signature NEVER enters a shuffle (carrying
+                   it per band row costs num_perm*8*bands ~ 16 KB/doc;
+                   slim rows are 16 B/doc/band)
+                -> coarse-bucket groupby on band_hash (the candidate
+                   shuffle; Python cost O(buckets), pair emission loops
+                   only over equal-hash runs of length >= 2)
+                -> vectorized global pair-distinct (hash-bucketed)
+                -> verification: signatures re-attached to the (few)
+                   candidate pairs via two bucketed hash joins; est.
+                   Jaccard = signature agreement, computed matrix-wise.
+  SimHash:      64-bit signature per doc; 4x16-bit band buckets; the
+                8-byte signature rides along in the band rows (32 B/doc
+                total — cheap, unlike minhash) so buckets verify Hamming
+                distance in place; same vectorized distinct.
   n-gram Jaccard: exact verification kernel used on candidate pairs.
 
-Signatures travel as fixed-width binary/int columns; connected components
-are NOT computed here (pairs are the output — at 10^12 scale components
-need iterative min-label propagation, see ``dup_components``).
+Connected components are NOT computed here (pairs are the output — at
+10^12 scale components need iterative min-label propagation, see
+``dup_components``).
 """
 
 from __future__ import annotations
-
-import hashlib
-from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -31,6 +36,9 @@ import ray.data
 from .text_ops import shingle_hashes
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_FNV_BASIS = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -73,65 +81,166 @@ class MinHashBatch:
             "minhash", pa.array(sigs, pa.binary(self.num_perm * 8)))
 
 
+def _sig_matrix(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
+    """fixed_size_binary(num_perm*8) column -> (n, num_perm) uint64 matrix.
+
+    Zero-copy off the Arrow data buffer when the column is fixed-width;
+    falls back to a bytes-join for plain binary (post-join pair columns).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    parts = []
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        if pa.types.is_fixed_size_binary(c.type):
+            buf = c.buffers()[1]
+            m = np.frombuffer(buf, dtype=np.uint64,
+                              count=len(c) * num_perm,
+                              offset=c.offset * num_perm * 8)
+            parts.append(m.reshape(len(c), num_perm))
+        else:
+            data = b"".join(c.to_pylist())
+            parts.append(np.frombuffer(data, dtype=np.uint64)
+                         .reshape(len(c), num_perm))
+    if not parts:
+        return np.zeros((0, num_perm), dtype=np.uint64)
+    return np.vstack(parts) if len(parts) > 1 else parts[0]
+
+
 def explode_bands(batch: pa.Table, num_perm: int = 128,
                   bands: int = 16) -> pa.Table:
-    """(doc_id, minhash) -> one row per band: (band_id, band_hash, doc_id)."""
-    rows_per_band = num_perm // bands
-    doc_ids, band_ids, band_hashes, sigs = [], [], [], []
-    for doc_id, sig in zip(batch["doc_id"].to_pylist(),
-                           batch["minhash"].to_pylist()):
-        arr = np.frombuffer(sig, dtype=np.uint64)
-        for bi in range(bands):
-            seg = arr[bi * rows_per_band:(bi + 1) * rows_per_band]
-            bh = hashlib.md5(seg.tobytes()).digest()[:8]
-            doc_ids.append(doc_id)
-            band_ids.append(bi)
-            band_hashes.append(int.from_bytes(bh, "little"))
-            sigs.append(sig)
+    """(doc_id, minhash) -> one SLIM row per band: (band_hash, doc_id).
+
+    Fully vectorized: the signature matrix is read zero-copy off the
+    Arrow buffer; each band's hash is an FNV-1a fold of its lanes seeded
+    by the band index (so equal segments in different bands collide only
+    like any 64-bit hash — caught by verification). Empty batches are
+    handled (width derived from num_perm, never from row 0).
+    """
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"band_hash": pa.array([], pa.uint64()),
+                         "doc_id": pa.array([], pa.int64())})
+    r = num_perm // bands
+    sig = _sig_matrix(batch.column("minhash"), num_perm)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    hashes = np.empty((bands, n), dtype=np.uint64)
+    for bi in range(bands):
+        h = np.full(n, _FNV_BASIS ^ (np.uint64(bi) * _GOLDEN), dtype=np.uint64)
+        seg = sig[:, bi * r:(bi + 1) * r]
+        for j in range(r):
+            h = (h ^ seg[:, j]) * _FNV_PRIME
+        hashes[bi] = h
     return pa.table({
-        "band_id": pa.array(band_ids, pa.int32()),
-        "band_hash": pa.array(band_hashes, pa.uint64()),
-        "doc_id": pa.array(doc_ids, pa.int64()),
-        "minhash": pa.array(sigs, pa.binary(len(batch["minhash"][0].as_py()))),
+        "band_hash": pa.array(hashes.reshape(-1)),
+        "doc_id": pa.array(np.tile(doc, bands)),
     })
 
 
-def _bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Candidate pairs within one (band_id, band_hash) bucket, verified by
-    minhash-signature agreement (unbiased Jaccard estimate)."""
-    docs = sorted(set(zip(g["doc_id"], g["minhash"])))
-    out_a, out_b, est = [], [], []
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            a_id, a_sig = docs[i]
-            b_id, b_sig = docs[j]
-            sa = np.frombuffer(a_sig, dtype=np.uint64)
-            sb = np.frombuffer(b_sig, dtype=np.uint64)
-            jac = float((sa == sb).mean())
-            if jac >= threshold:
-                out_a.append(min(a_id, b_id))
-                out_b.append(max(a_id, b_id))
-                est.append(round(jac, 6))
-    return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                         "doc_b": pd.Series(out_b, dtype="int64"),
-                         "est_jaccard": pd.Series(est, dtype="float64")})
+def _runs_ge2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end indices of equal-value runs of length >= 2 in sorted keys."""
+    if len(keys) < 2:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    starts = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1])))[0]
+    ends = np.concatenate((starts[1:], [len(keys)]))
+    mask = (ends - starts) >= 2
+    return starts[mask], ends[mask]
+
+
+def _candidate_pairs_in_bucket(g: pa.Table) -> pa.Table:
+    """All doc-id pairs sharing a band_hash inside one coarse bucket.
+
+    Vectorized run detection over the sorted hash column; the Python loop
+    touches only runs of length >= 2 (i.e. actual collisions), not rows.
+    """
+    bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bh))
+    bh, doc = bh[order], doc[order]
+    starts, ends = _runs_ge2(bh)
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        d = np.unique(doc[s:e])
+        if len(d) < 2:
+            continue
+        ia, ib = np.triu_indices(len(d), k=1)
+        out_a.append(d[ia])
+        out_b.append(d[ib])
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                     "doc_b": pa.array(np.concatenate(out_b))})
+
+
+def _distinct_pairs(pairs: "ray.data.Dataset",
+                    num_buckets: int = 32) -> "ray.data.Dataset":
+    """Global (doc_a, doc_b) distinct — vectorized, hash-bucketed."""
+    from .dedup import hash_bucketed_distinct
+
+    return hash_bucketed_distinct(pairs, ["doc_a", "doc_b"], num_buckets)
 
 
 def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
                       threshold: float = 0.8, num_perm: int = 128,
-                      bands: int = 16, seed: int = 42) -> "ray.data.Dataset":
-    """Full MinHash-LSH near-dup pipeline -> distinct (doc_a, doc_b, est_jaccard)."""
+                      bands: int = 16, seed: int = 42,
+                      num_buckets: int = 32) -> "ray.data.Dataset":
+    """Full MinHash-LSH near-dup pipeline -> distinct
+    (doc_a, doc_b, est_jaccard) pairs with est_jaccard >= threshold.
+
+    Shuffle inventory (all slim): band rows (16 B/doc/band), pair rows
+    (16 B/pair), and two signature joins keyed on doc_id that each move
+    the signature ONCE per doc — vs round 1's once per doc PER BAND.
+    """
+    from .joins import bucket_hash_join
+
     sigs = docs.map_batches(
         MinHashBatch, fn_constructor_kwargs={
             "text_col": text_col, "num_perm": num_perm, "seed": seed},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
-    banded = sigs.map_batches(
-        lambda b: explode_bands(b, num_perm, bands), batch_format="pyarrow")
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pandas")
-    # a pair found in multiple bands appears multiple times -> distinct
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        t = explode_bands(batch, num_perm, bands)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array((bh % np.uint64(num_buckets)).astype(np.int64)))
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+    cands = banded.groupby("__bucket").map_groups(
+        lambda g: _candidate_pairs_in_bucket(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow")
+    pairs = _distinct_pairs(cands, num_buckets)
+
+    sig_cols = sigs.select_columns(["doc_id", "minhash"])
+    sa = sig_cols.map_batches(lambda b: b.rename_columns(["doc_id", "sig_a"]),
+                              batch_format="pyarrow")
+    sb = sig_cols.map_batches(lambda b: b.rename_columns(["doc_id", "sig_b"]),
+                              batch_format="pyarrow")
+    j1 = bucket_hash_join(pairs, sa, "doc_a", "doc_id",
+                          num_buckets=num_buckets)
+    j2 = bucket_hash_join(j1, sb, "doc_b", "doc_id", num_buckets=num_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        A = _sig_matrix(batch.column("sig_a"), num_perm)
+        B = _sig_matrix(batch.column("sig_b"), num_perm)
+        jac = (A == B).mean(axis=1)
+        keep = jac >= threshold
+        return pa.table({
+            "doc_a": pa.array(batch.column("doc_a").to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "doc_b": pa.array(batch.column("doc_b").to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "est_jaccard": pa.array(np.round(jac[keep], 6)),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -166,13 +275,22 @@ class SimHashBatch:
         return batch.append_column("simhash", pa.array(sigs, pa.uint64()))
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit count of a uint64 array (uint8-view + unpackbits)."""
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                         axis=1).sum(axis=1)
+
+
 def simhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
-                      max_hamming: int = 3) -> "ray.data.Dataset":
+                      max_hamming: int = 3,
+                      num_buckets: int = 32) -> "ray.data.Dataset":
     """SimHash near-dup pairs via 4x16-bit band bucketing.
 
     Two signatures within Hamming distance <= 3 agree exactly on at least
     one of 4 disjoint 16-bit bands (pigeonhole) -> bucket by each band,
-    verify distance inside buckets.
+    verify distance inside buckets. The 8-byte signature rides in the band
+    rows (32 B/doc total — cheap, unlike the 1 KB minhash signature), so
+    verification happens in-bucket with no join.
     """
     sigs = docs.map_batches(SimHashBatch,
                             fn_constructor_kwargs={"text_col": text_col},
@@ -180,39 +298,61 @@ def simhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
                             concurrency=(1, 4))
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, keys, sims = [], [], [], []
-        for d, s in zip(batch["doc_id"].to_pylist(),
-                        batch["simhash"].to_pylist()):
-            s = int(s)
-            for bi in range(4):
-                doc_ids.append(d)
-                band_ids.append(bi)
-                keys.append((s >> (16 * bi)) & 0xFFFF)
-                sims.append(s)
-        return pa.table({"band_id": pa.array(band_ids, pa.int32()),
-                         "band_key": pa.array(keys, pa.int32()),
-                         "doc_id": pa.array(doc_ids, pa.int64()),
-                         "simhash": pa.array(sims, pa.uint64())})
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.uint64()),
+                             "__bucket": pa.array([], pa.int64())})
+        s = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, docs_, sims = [], [], []
+        for bi in range(4):
+            k16 = (s >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
+            keys.append((np.uint64(bi) << np.uint64(16)) | k16)
+            docs_.append(d)
+            sims.append(s)
+        key = np.concatenate(keys)
+        bucket = ((key * _GOLDEN) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"band_key": pa.array(key.astype(np.int64)),
+                         "doc_id": pa.array(np.concatenate(docs_)),
+                         "simhash": pa.array(np.concatenate(sims)),
+                         "__bucket": pa.array(bucket)})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs_ = sorted(set(zip(g["doc_id"], g["simhash"])))
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        key = g.column("band_key").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sim = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((doc, key))
+        key, doc, sim = key[order], doc[order], sim[order]
+        starts, ends = _runs_ge2(key)
         a_out, b_out, dist = [], [], []
-        for i in range(len(docs_)):
-            for j in range(i + 1, len(docs_)):
-                d = bin(int(docs_[i][1]) ^ int(docs_[j][1])).count("1")
-                if d <= max_hamming:
-                    a_out.append(min(docs_[i][0], docs_[j][0]))
-                    b_out.append(max(docs_[i][0], docs_[j][0]))
-                    dist.append(d)
-        return pd.DataFrame({"doc_a": pd.Series(a_out, dtype="int64"),
-                             "doc_b": pd.Series(b_out, dtype="int64"),
-                             "hamming": pd.Series(dist, dtype="int64")})
+        for s, e in zip(starts, ends):
+            dd, idx = np.unique(doc[s:e], return_index=True)
+            if len(dd) < 2:
+                continue
+            ss = sim[s:e][idx]
+            ia, ib = np.triu_indices(len(dd), k=1)
+            h = _popcount64(ss[ia] ^ ss[ib])
+            keep = h <= max_hamming
+            a_out.append(dd[ia][keep])
+            b_out.append(dd[ib][keep])
+            dist.append(h[keep])
+        if not a_out:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({"doc_a": pa.array(np.concatenate(a_out).astype(np.int64)),
+                         "doc_b": pa.array(np.concatenate(b_out).astype(np.int64)),
+                         "hamming": pa.array(np.concatenate(dist).astype(np.int64))})
 
     banded = sigs.map_batches(explode, batch_format="pyarrow")
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pairs = banded.groupby("__bucket").map_groups(
+        lambda g: bucket_pairs(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow")
+    # a pair found in multiple bands appears multiple times -> distinct
+    # (hamming is identical for every copy, so keeping any row is fine)
+    return _distinct_pairs(pairs, num_buckets)
 
 
 # ---------------------------------------------------------------------------

@@ -67,18 +67,55 @@ def _prep_side(ds: "ray.data.Dataset", key: str, side: int,
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _split_sides(g: pd.DataFrame, lcols: list[str], rcols: list[str]):
+def _pd_dtype(t: pa.DataType) -> str:
+    """Pandas dtype used for typed empty/NA columns of an arrow type."""
+    if pa.types.is_integer(t):
+        return "Int64"
+    if pa.types.is_floating(t):
+        return "float64"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_timestamp(t):
+        return "datetime64[ns]"
+    return "string"
+
+
+def _typed_empty(fields: list[tuple[str, pa.DataType]]) -> pd.DataFrame:
+    return pd.DataFrame({n: pd.Series([], dtype=_pd_dtype(t))
+                         for n, t in fields})
+
+
+def _split_sides(g: pd.DataFrame, lcols: list[str], rcols: list[str],
+                 ltypes: dict, rtypes: dict):
     lg = g.loc[g[_SIDE] == 0, lcols].copy()
     rg = g.loc[g[_SIDE] == 1, rcols].copy()
-    # int columns picked up nulls from the other side's padding -> pandas
-    # floats; restore integer dtype where values are integral
-    for df in (lg, rg):
+    # The union pads each side's rows with nulls in the OTHER side's
+    # columns, so after the pandas conversion every int/bool column whose
+    # opposite side had rows became float64/object. Restore from the
+    # ORIGINAL arrow schema — never by value inspection (an all-integral
+    # float column like totalprice=100.0 must stay float64).
+    for df, types in ((lg, ltypes), (rg, rtypes)):
         for c in df.columns:
-            if df[c].dtype == "float64" and df[c].notna().all():
-                as_int = df[c].astype("int64")
-                if (as_int == df[c]).all():
-                    df[c] = as_int
+            t = types.get(c)
+            if t is None:
+                continue
+            if pa.types.is_integer(t) and df[c].dtype != "int64":
+                df[c] = df[c].astype("int64")  # own side: never null
+            elif pa.types.is_boolean(t) and df[c].dtype == object:
+                df[c] = df[c].astype(bool)
     return lg, rg
+
+
+def _coerce_merged(df: pd.DataFrame, types: dict, cols: list[str]) -> pd.DataFrame:
+    """Right-side value columns after an outer-ish merge: unmatched rows
+    hold NaN, floating int-origin columns -> nullable Int64 (arrow int64)."""
+    for c in cols:
+        t = types.get(c)
+        if t is None or c not in df.columns:
+            continue
+        if pa.types.is_integer(t) and str(df[c].dtype) == "float64":
+            df[c] = df[c].astype("Int64")
+    return df
 
 
 def bucket_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
@@ -91,18 +128,21 @@ def bucket_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """
     ls, rs = left.schema().base_schema, right.schema().base_schema
     lcols, rcols = list(ls.names), list(rs.names)
+    ltypes, rtypes = dict(_fields(ls)), dict(_fields(rs))
+    out_fields = (_fields(ls) + [(n, t) for n, t in _fields(rs)
+                                 if n != right_key])
+    rvals = [n for n in rcols if n != right_key]
     lt = _prep_side(left, left_key, 0, num_buckets, ls, rs)
     rt = _prep_side(right, right_key, 1, num_buckets, rs, ls)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg, rg = _split_sides(g, lcols, rcols)
+        lg, rg = _split_sides(g, lcols, rcols, ltypes, rtypes)
         if lg.empty or (rg.empty and how == "inner"):
-            return pd.DataFrame({c: pd.Series([], dtype="object")
-                                 for c in []})
+            return _typed_empty(out_fields)
         merged = lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
         if right_key != left_key and right_key in merged.columns:
             merged = merged.drop(columns=[right_key])
-        return merged
+        return _coerce_merged(merged, rtypes, rvals)
 
     return lt.union(rt).groupby(_BUCKET).map_groups(join_bucket,
                                                     batch_format="pandas")
@@ -118,18 +158,24 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """
     ls, rs = left.schema().base_schema, right.schema().base_schema
     lcols, rcols = list(ls.names), list(rs.names)
+    ltypes, rtypes = dict(_fields(ls)), dict(_fields(rs))
     rvals = [c for c in rcols if c not in (key_right, ts_right)]
+    out_fields = _fields(ls) + [(n, t) for n, t in _fields(rs)
+                                if n in rvals]
     lt = _prep_side(left, key_left, 0, num_buckets, ls, rs)
     rt = _prep_side(right, key_right, 1, num_buckets, rs, ls)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg, rg = _split_sides(g, lcols, rcols)
+        lg, rg = _split_sides(g, lcols, rcols, ltypes, rtypes)
         if lg.empty:
-            return pd.DataFrame()
+            return _typed_empty(out_fields)
         lg = lg.sort_values([ts_left, key_left], kind="mergesort")
         if rg.empty:
             for c in rvals:
-                lg[c] = pd.NA
+                t = rtypes[c]
+                fill = pd.NaT if pa.types.is_timestamp(t) else pd.NA
+                lg[c] = pd.Series([fill] * len(lg),
+                                  dtype=_pd_dtype(t), index=lg.index)
             return lg
         rg = rg.sort_values([ts_right, key_right], kind="mergesort")
         merged = pd.merge_asof(
@@ -139,7 +185,7 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             merged = merged.drop(columns=[ts_right])
         if key_right in merged.columns and key_right != key_left:
             merged = merged.drop(columns=[key_right])
-        return merged
+        return _coerce_merged(merged, rtypes, rvals)
 
     return lt.union(rt).groupby(_BUCKET).map_groups(join_bucket,
                                                     batch_format="pandas")

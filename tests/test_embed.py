@@ -70,6 +70,33 @@ def test_knn_lsh_recall(ray_session, emb_table):
     assert recall >= 0.3
 
 
+def test_cosine_neardup_lsh_recall(ray_session, emb_table):
+    """LSH-bucketed near-dup (the scale path, no full-matrix broadcast)
+    vs the exact all-pairs verifier on the sf0.001 embeddings."""
+    import ray.data
+    from full_text_extractor_v6_ray.driver_queries import q_embeddings_neardup
+    from full_text_extractor_v6_ray.stages.embed import cosine_neardup_lsh
+
+    exact = q_embeddings_neardup(SF_DIR, threshold=0.45).to_pandas()
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+
+    ds = ray.data.from_arrow(emb_table)
+    approx = cosine_neardup_lsh(ds, threshold=0.45, n_planes=4,
+                                n_tables=8).to_pandas()
+    approx_pairs = set(zip(approx["vec_a"], approx["vec_b"]))
+
+    # no false positives: every emitted pair is genuinely >= threshold
+    assert approx_pairs <= exact_pairs
+    # recall: probabilistic by design; 8 tables x 4 planes on d=64
+    if exact_pairs:
+        recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.5
+    # deterministic: same seed -> identical pair set
+    again = cosine_neardup_lsh(ds, threshold=0.45, n_planes=4,
+                               n_tables=8).to_pandas()
+    assert set(zip(again["vec_a"], again["vec_b"])) == approx_pairs
+
+
 def test_multimodal_decode_roundtrip(ray_session):
     from full_text_extractor_v6_ray.stages.multimodal import (
         DecodeImageBatch,
