@@ -73,7 +73,44 @@ def run_checkpointed_extraction(
     ranges = _partition_ranges(n_rows, n_partitions)
 
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+
+    # Run-level manifest: resume is only valid against the SAME plan.
+    # Re-running with a different n_partitions / row count / input path /
+    # seed would silently map old manifest ids onto different row ranges
+    # (dropping or duplicating rows) — fail loudly instead.
+    run_meta = {"input_path": docs_path, "n_rows": n_rows,
+                "n_partitions": len(ranges), "seed": seed}
+    run_path = os.path.join(out_dir, "manifest", "_run.json")
+    if os.path.exists(run_path):
+        with open(run_path) as f:
+            prev = json.load(f)
+        if prev != run_meta:
+            raise ValueError(
+                f"checkpoint resume mismatch: {out_dir} was written with "
+                f"{prev}, current run plans {run_meta}; use a fresh out_dir "
+                f"or delete the stale checkpoint")
+    else:
+        tmp = run_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(run_meta, f, sort_keys=True)
+        os.rename(tmp, run_path)
+
     done = completed_partitions(out_dir)
+    # Belt-and-braces: each per-partition manifest must describe the same
+    # input slice this run would assign to its id.
+    for pid in sorted(done):
+        if pid >= len(ranges):
+            raise ValueError(
+                f"checkpoint resume mismatch: manifest {pid} beyond the "
+                f"{len(ranges)} partitions of the current plan")
+        with open(os.path.join(out_dir, "manifest", f"{pid}.json")) as f:
+            m = json.load(f)
+        start, stop = ranges[pid]
+        expect = {"path": docs_path, "row_start": start, "row_stop": stop}
+        if m.get("input") != expect:
+            raise ValueError(
+                f"checkpoint resume mismatch: manifest {pid} covers "
+                f"{m.get('input')}, current plan assigns {expect}")
     newly = 0
     skipped = 0
 

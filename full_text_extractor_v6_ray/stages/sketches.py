@@ -19,12 +19,25 @@ import pyarrow as pa
 
 import ray.data
 
+try:
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is baked into the env
+    _pl = None
+
 P = 12
 M = 1 << P
 _ALPHA = 0.7213 / (1 + 1.079 / M)
 
 
 def _hash64(values) -> np.ndarray:
+    """Vectorized stable 64-bit hash (polars xxhash off the Arrow buffers,
+    fixed seed -> identical across processes); md5 loop as fallback."""
+    if _pl is not None:
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            s = _pl.from_arrow(values)
+        else:
+            s = _pl.Series(values)
+        return s.hash(seed=0).to_numpy().astype(np.uint64)
     return np.array(
         [int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
          for v in values],
@@ -32,24 +45,29 @@ def _hash64(values) -> np.ndarray:
     )
 
 
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros for uint64 (x > 0)."""
+    n = np.zeros(len(x), dtype=np.int64)
+    x = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x < (np.uint64(1) << np.uint64(64 - s))
+        n[m] += s
+        x[m] = x[m] << np.uint64(s)
+    return n
+
+
 def hll_partial(values) -> np.ndarray:
-    """(M,) uint8 register array for one batch of values."""
+    """(M,) uint8 register array for one batch of values. Fully
+    vectorized: hash -> register index / rank via clz -> maximum.at."""
     regs = np.zeros(M, dtype=np.uint8)
     if len(values) == 0:
         return regs
     h = _hash64(values)
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    # low P bits forced to 1 -> rest is never 0, rank <= 64-P+1
     rest = (h << np.uint64(P)) | np.uint64((1 << P) - 1)
-    # rank = leading zeros of remaining 64-P bits + 1
-    for i, r in zip(idx, rest):
-        rank = 1
-        mask = np.uint64(1) << np.uint64(63)
-        rr = np.uint64(r)
-        while not (rr & mask) and rank <= 64 - P:
-            rank += 1
-            mask >>= np.uint64(1)
-        if rank > regs[i]:
-            regs[i] = rank
+    rank = (_clz64(rest) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
     return regs
 
 
@@ -72,7 +90,7 @@ def approx_distinct(ds: "ray.data.Dataset", col: str) -> float:
     """Distributed approximate distinct count of one column."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        regs = hll_partial(batch.column(col).to_pylist())
+        regs = hll_partial(batch.column(col))
         return pa.table({"sketch": pa.array([regs.tobytes()],
                                             pa.binary(M))})
 

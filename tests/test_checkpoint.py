@@ -56,6 +56,8 @@ def test_manifest_contents(ray_session, tmp_path):
 
     manifests = []
     for f in sorted(os.listdir(os.path.join(out, "manifest"))):
+        if f.startswith("_"):   # run-level plan manifest
+            continue
         with open(os.path.join(out, "manifest", f)) as fh:
             manifests.append(json.load(fh))
     assert len(manifests) == 2
@@ -65,6 +67,27 @@ def test_manifest_contents(ray_session, tmp_path):
         assert m["total_chars"] > 0
         assert "html" in " ".join(m["methods"]) or m["methods"]
         assert 0 <= m["avg_quality"] <= 1
+
+
+def test_resume_with_changed_plan_fails_loudly(ray_session, tmp_path):
+    """ADVICE item: resuming with a different n_partitions (or input row
+    count / seed) must refuse, not silently remap manifest ids onto
+    different row ranges."""
+    from full_text_extractor_v6_ray.pipelines.checkpoint import (
+        run_checkpointed_extraction,
+    )
+
+    out = str(tmp_path / "plan")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed_extraction(SF_DIR, out, n_partitions=4,
+                                    fail_after_partition=1)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_checkpointed_extraction(SF_DIR, out, n_partitions=8)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_checkpointed_extraction(SF_DIR, out, n_partitions=4, seed=7)
+    # same plan resumes fine
+    done = run_checkpointed_extraction(SF_DIR, out, n_partitions=4)
+    assert done["newly_written"] == 3 and done["skipped"] == 1
 
 
 def test_rerun_skips_everything(ray_session, tmp_path):
