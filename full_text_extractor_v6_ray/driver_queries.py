@@ -574,6 +574,55 @@ def q_data_islands(sf_dir: str):
                              batch_size=256, concurrency=(1, 4))
 
 
+def _doc_id_from_url(batch: pa.Table) -> pa.Array:
+    """Generated page urls end in 'doc-<id>' — recover the driver doc_id."""
+    return pc.cast(pc.replace_substring_regex(batch["url"], r".*doc-", ""),
+                   pa.int64())
+
+
+def q_chart_series(sf_dir: str):
+    """M12 with numeric fidelity: chart JSON islands -> one row per series
+    with type/name/points/sum (reference content_extractor.py:368-421).
+    Oracled: the generator's chart values are arithmetic in doc_id."""
+    from .stages.metadata import ChartSeriesBatch
+
+    pages = pages_dataset_from_documents(sf_dir)
+    charts = pages.map_batches(ChartSeriesBatch, batch_format="pyarrow",
+                               batch_size=256, concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": _doc_id_from_url(batch),
+            "chart_type": batch["chart_type"],
+            "series_name": batch["series_name"],
+            "n_points": pc.cast(batch["n_points"], pa.int64()),
+            "values_sum": batch["values_sum"],
+        })
+
+    return charts.map_batches(project, batch_format="pyarrow")
+
+
+def q_page_dates(sf_dir: str):
+    """Metadata depth (reference metadata_extractor.py:89-109,185-190
+    analog): author + published/modified dates from <meta>/OpenGraph/
+    JSON-LD. Oracled: generator metadata is arithmetic in doc_id."""
+    from .stages.metadata import PageMetadataBatch
+
+    pages = pages_dataset_from_documents(sf_dir)
+    meta = pages.map_batches(PageMetadataBatch, batch_format="pyarrow",
+                             batch_size=256, concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": _doc_id_from_url(batch),
+            "author": batch["author"],
+            "published": batch["published"],
+            "modified": batch["modified"],
+        })
+
+    return meta.map_batches(project, batch_format="pyarrow")
+
+
 def q_orders_customer_hashjoin(sf_dir: str):
     """Explicit partitioned hash join (both sides shuffled once by key)."""
     from .stages.joins import bucket_hash_join
@@ -747,6 +796,8 @@ QUERIES = {
     "lineitem_minmax": q_lineitem_minmax,
     "page_metadata": q_page_metadata,
     "data_islands": q_data_islands,
+    "chart_series": q_chart_series,
+    "page_dates": q_page_dates,
     "orders_customer_hashjoin": q_orders_customer_hashjoin,
     "events_orders_asof": q_events_orders_asof,
     "events_user_approx_distinct": q_events_user_approx_distinct,
@@ -876,6 +927,59 @@ ORACLES = {
                round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
         FROM d a JOIN d b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+    """,
+    "chart_series": """
+        -- mirrors sources/pages_gen.py chart-island arithmetic:
+        -- charts on doc_id % 10 = 2 (always html rows), 1 + doc_id % 3
+        -- series, values[q] = (doc_id + s*7 + q*3) % 100 over 4 points,
+        -- page rows tripled when doc_id % 17 = 0 (re-crawls)
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 2),
+             s AS (SELECT doc_id, sn FROM d
+                   CROSS JOIN (VALUES (0), (1), (2)) t(sn)
+                   WHERE sn <= doc_id % 3),
+             r AS (SELECT doc_id, sn FROM s
+                   CROSS JOIN (VALUES (0), (1), (2)) u(copy)
+                   WHERE copy = 0 OR doc_id % 17 = 0)
+        SELECT doc_id,
+               (['bar', 'line', 'pie'])[(doc_id % 3) + 1] AS chart_type,
+               'series_' || sn AS series_name,
+               CAST(4 AS BIGINT) AS n_points,
+               CAST((doc_id + sn * 7) % 100 + (doc_id + sn * 7 + 3) % 100
+                    + (doc_id + sn * 7 + 6) % 100
+                    + (doc_id + sn * 7 + 9) % 100 AS DOUBLE) AS values_sum
+        FROM r
+    """,
+    "page_dates": """
+        -- mirrors sources/pages_gen.py head-metadata arithmetic: author
+        -- on %5!=1 (meta) or %2=0 (JSON-LD, same value); published on
+        -- %4!=2 (OpenGraph) or %2=0 (JSON-LD); modified on %3=0; pdf
+        -- (%50=3) and garbage (%100=7) rows carry no metadata; re-crawl
+        -- rows tripled on %17=0
+        WITH base AS (
+            SELECT doc_id,
+                   (doc_id % 50 <> 3 AND doc_id % 100 <> 7) AS is_html,
+                   TIMESTAMP '2025-01-01'
+                       + INTERVAL 1 SECOND * (doc_id * 7) AS ts0
+            FROM documents
+        ), rep AS (
+            SELECT base.* FROM base
+            CROSS JOIN (VALUES (0), (1), (2)) t(c)
+            WHERE c = 0 OR doc_id % 17 = 0
+        )
+        SELECT doc_id,
+               CASE WHEN is_html AND (doc_id % 5 <> 1 OR doc_id % 2 = 0)
+                    THEN 'Author ' ||
+                         lpad(CAST(doc_id % 37 AS VARCHAR), 2, '0')
+                    ELSE '' END AS author,
+               CASE WHEN is_html AND (doc_id % 4 <> 2 OR doc_id % 2 = 0)
+                    THEN strftime(ts0 - INTERVAL 1 DAY * (doc_id % 365),
+                                  '%Y-%m-%dT%H:%M:%S')
+                    ELSE '' END AS published,
+               CASE WHEN is_html AND doc_id % 3 = 0
+                    THEN strftime(ts0 - INTERVAL 1 DAY * (doc_id % 30),
+                                  '%Y-%m-%dT%H:%M:%S')
+                    ELSE '' END AS modified
+        FROM rep
     """,
     "orders_customer_hashjoin": """
         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime
 import html as _html
+import json
 import random
 import re
 
@@ -230,16 +231,58 @@ def build_page_row(doc_id: int, text: str, lang: str, source: str,
         # measures parsing throughput, not per-row scheduling overhead
         appendix = "\n".join(f"<p>{_para(ws, rng, 4)}</p>" for _ in range(6))
         body += f"\n<h2>Appendix</h2>\n{appendix}"
+        # Head metadata (author / OpenGraph dates / JSON-LD) — arithmetic
+        # on doc_id only, NEVER the rng: consuming rng draws here would
+        # shift every later draw and change the golden extracted_text.
+        # Presence varies by doc_id so completeness has a distribution.
+        author = f"Author {doc_id % 37:02d}"
+        pub = (ts0 - datetime.timedelta(days=doc_id % 365)
+               ).strftime("%Y-%m-%dT%H:%M:%S")
+        mod = (ts0 - datetime.timedelta(days=doc_id % 30)
+               ).strftime("%Y-%m-%dT%H:%M:%S")
+        head_meta = ""
+        if doc_id % 5 != 1:
+            head_meta += f"<meta name='author' content='{author}'>"
+        if doc_id % 4 != 2:
+            head_meta += ("<meta property='article:published_time' "
+                          f"content='{pub}'>")
+        if doc_id % 3 == 0:
+            head_meta += ("<meta property='article:modified_time' "
+                          f"content='{mod}'>")
+        islands = (
+            f'<script type="application/json">'
+            f'{{"doc_id": {doc_id}, "lang": "{lang}", '
+            f'"n_words": {len(ws)}}}</script>'
+        )
+        if doc_id % 2 == 0:
+            ld = {"@context": "https://schema.org", "@type": "Article",
+                  "headline": title, "datePublished": pub,
+                  "author": {"@type": "Person", "name": author}}
+            islands += ('<script type="application/ld+json">'
+                        + json.dumps(ld, sort_keys=True) + "</script>")
+        if doc_id % 10 == 2:
+            # chart data island (M12 analog with numeric series — the web
+            # counterpart of content_extractor.py:368-421's chart_type /
+            # title / categories / series extraction)
+            n_series = 1 + doc_id % 3
+            cats = [f"Q{q + 1}" for q in range(4)]
+            series = [{"name": f"series_{s}",
+                       "values": [float((doc_id + s * 7 + q * 3) % 100)
+                                  for q in range(4)]}
+                      for s in range(n_series)]
+            chart = {"chart": {"type": ["bar", "line", "pie"][doc_id % 3],
+                               "title": f"{title} metrics",
+                               "categories": cats, "series": series}}
+            islands += ('<script type="application/json">'
+                        + json.dumps(chart, sort_keys=True) + "</script>")
         html_str = (
             f"<!DOCTYPE html>\n<html lang='{lang}'><head>"
             f"<title>{_html.escape(title)}</title>"
-            f"<meta charset='utf-8'><style>.x{{color:red}}</style>"
+            f"<meta charset='utf-8'>{head_meta}<style>.x{{color:red}}</style>"
             f"<script>var t={doc_id};</script>"
-            # JSON data island (M12 chart-data analog; killed in extraction,
-            # surfaced by stages/metadata.DataIslandBatch)
-            f'<script type="application/json">'
-            f'{{"doc_id": {doc_id}, "lang": "{lang}", '
-            f'"n_words": {len(ws)}}}</script></head>\n'
+            # JSON data islands (killed in extraction, surfaced by
+            # stages/metadata.DataIslandBatch / ChartSeriesBatch)
+            f"{islands}</head>\n"
             f"<body>\n{body}\n</body></html>"
         )
         payload = html_str.encode("utf-8")

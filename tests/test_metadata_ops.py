@@ -32,11 +32,51 @@ def test_url_to_artifact_name():
 def test_page_metadata_completeness():
     out = PageMetadataBatch()(_pages([
         "<html lang='en'><head><title>T</title>"
+        "<meta name='description' content='d'>"
+        "<meta name='author' content='Jo Writer'>"
+        "<meta property='article:published_time' content='2025-03-01T00:00:00'>"
+        "</head><h1>H</h1></html>",
+        "<html lang='en'><head><title>T</title>"
         "<meta name='description' content='d'></head><h1>H</h1></html>",
         "<html><body><p>bare</p></body></html>",
     ]))
-    assert out["completeness"].to_pylist() == [1.0, 0.0]
-    assert out["lang_attr"].to_pylist() == ["en", ""]
+    assert out["completeness"].to_pylist() == [1.0, round(4 / 6, 6), 0.0]
+    assert out["lang_attr"].to_pylist() == ["en", "en", ""]
+    assert out["author"].to_pylist() == ["Jo Writer", "", ""]
+    assert out["published"].to_pylist() == ["2025-03-01T00:00:00", "", ""]
+
+
+def test_page_metadata_jsonld_fallback():
+    """JSON-LD supplies author/dates when meta/OpenGraph tags are absent;
+    meta tags win when both exist."""
+    ld = ('<script type="application/ld+json">{"@type": "Article", '
+          '"datePublished": "2024-01-02T03:04:05", '
+          '"dateModified": "2024-02-02T03:04:05", '
+          '"author": {"@type": "Person", "name": "Ld Author"}}</script>')
+    out = PageMetadataBatch()(_pages([
+        f"<html><head>{ld}</head><body><p>x</p></body></html>",
+        f"<html><head><meta name='author' content='Meta Author'>{ld}"
+        f"</head><body><p>x</p></body></html>",
+    ]))
+    assert out["author"].to_pylist() == ["Ld Author", "Meta Author"]
+    assert out["published"].to_pylist()[0] == "2024-01-02T03:04:05"
+    assert out["modified"].to_pylist()[0] == "2024-02-02T03:04:05"
+
+
+def test_chart_series_extraction():
+    from full_text_extractor_v6_ray.stages.metadata import ChartSeriesBatch
+
+    chart = ('<script type="application/json">{"chart": {"type": "bar", '
+             '"title": "T metrics", "categories": ["Q1", "Q2"], '
+             '"series": [{"name": "s0", "values": [1.5, 2.5]}, '
+             '{"name": "s1", "values": [3, 4]}]}}</script>')
+    plain = '<script type="application/json">{"a": 1}</script>'
+    out = ChartSeriesBatch()(_pages([chart + plain, "<p>none</p>"]))
+    assert out["series_name"].to_pylist() == ["s0", "s1"]
+    assert out["chart_type"].to_pylist() == ["bar", "bar"]
+    assert out["categories"].to_pylist() == ["Q1,Q2", "Q1,Q2"]
+    assert out["series_values"].to_pylist() == [[1.5, 2.5], [3.0, 4.0]]
+    assert out["values_sum"].to_pylist() == [4.0, 7.0]
 
 
 def test_data_islands_parse_and_skip_invalid():
@@ -62,6 +102,10 @@ def test_generated_pages_carry_islands():
     docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(0, 20)
     pages = pages_table_from_documents(docs)
     out = DataIslandBatch()(pages)
-    # every html page has exactly one parseable island with doc_id/lang/n_words
+    # every html page has a parseable island with doc_id/lang/n_words;
+    # even doc_ids add a JSON-LD Article island, %10==2 adds a chart island
     assert out.num_rows >= 18
-    assert set(out["top_keys"].to_pylist()) == {"doc_id,lang,n_words"}
+    keys = set(out["top_keys"].to_pylist())
+    assert "doc_id,lang,n_words" in keys
+    assert any("@context" in k for k in keys)    # JSON-LD present
+    assert "chart" in keys                        # chart island present
