@@ -66,12 +66,12 @@ def extract_document(
         kind = sniff_payload(payload or b"")
 
         if kind == "pdf":
-            text, link_urls, err = extract_pdf(payload)
+            text, link_pairs, err = extract_pdf(payload)
             if err and not text:
                 return ExtractResult(method="error", error=err)
             return ExtractResult(
                 extracted_text=text,
-                links=[("", u) for u in link_urls],
+                links=list(link_pairs),
                 method="pdf",
                 n_blocks_kept=text.count("\n\n") + 1 if text else 0,
                 quality_score=1.0 if text else 0.0,

@@ -171,29 +171,66 @@ _TEMPLATES = [
 ]
 
 
-def _mk_pdf(paragraphs: list[str], link: str = "") -> bytes:
-    """Minimal uncompressed single-page PDF carrying the given paragraphs."""
+def _mk_pdf(paragraphs: list[str], link: str = "", per_page: int = 2,
+            compress: bool = False, objstm: bool = False) -> bytes:
+    """Minimal deterministic PDF: ``per_page`` paragraphs per page (page
+    tree with /Kids order), optional FlateDecode content streams, and the
+    link annotation optionally packed into a /Type /ObjStm object stream
+    (PDF 1.5 layout) — exercising the extractor.pdf structural paths."""
+    import zlib
+
     def esc(s: str) -> str:
         return (s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
                 .encode("latin-1", errors="replace").decode("latin-1"))
 
-    content = "\n".join(
-        f"BT /F1 12 Tf 72 {720 - 40 * i} Td ({esc(p)}) Tj ET"
-        for i, p in enumerate(paragraphs)
-    )
+    chunks = [paragraphs[i:i + per_page]
+              for i in range(0, len(paragraphs), per_page)] or [[]]
+    n_pages = len(chunks)
+    page_nums = [3 + 2 * i for i in range(n_pages)]
+    content_nums = [4 + 2 * i for i in range(n_pages)]
+    annot_num = 3 + 2 * n_pages
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+
+    parts: list[bytes] = [b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n"]
+    parts.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    parts.append(f"2 0 obj << /Type /Pages /Kids [{kids}] "
+                 f"/Count {n_pages} >> endobj\n".encode("latin-1"))
+
     annot = (f"<< /Type /Annot /Subtype /Link /Rect [72 60 200 80] "
              f"/A << /S /URI /URI ({esc(link)}) >> >>") if link else ""
-    body = (
-        "%PDF-1.4\n"
-        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
-        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
-        f"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
-        f"{'/Annots [5 0 R]' if annot else ''} >> endobj\n"
-        f"4 0 obj << /Length {len(content)} >> stream\n{content}\nendstream endobj\n"
-        + (f"5 0 obj {annot} endobj\n" if annot else "")
-        + "trailer << /Root 1 0 R >>\n%%EOF\n"
-    )
-    return body.encode("latin-1")
+    for i, (pnum, cnum, paras) in enumerate(
+            zip(page_nums, content_nums, chunks)):
+        annots = f"/Annots [{annot_num} 0 R] " if annot and i == 0 else ""
+        parts.append(
+            f"{pnum} 0 obj << /Type /Page /Parent 2 0 R "
+            f"/Contents {cnum} 0 R {annots}>> endobj\n".encode("latin-1"))
+        content = "\n".join(
+            f"BT /F1 12 Tf 72 {720 - 40 * j} Td ({esc(p)}) Tj ET"
+            for j, p in enumerate(paras)).encode("latin-1")
+        filt = b""
+        if compress:
+            content = zlib.compress(content, 6)
+            filt = b"/Filter /FlateDecode "
+        parts.append(f"{cnum} 0 obj << {filt.decode()}/Length "
+                     f"{len(content)} >> stream\n".encode("latin-1")
+                     + content + b"\nendstream endobj\n")
+
+    if annot:
+        if objstm:
+            inner = annot.encode("latin-1")
+            header = f"{annot_num} 0 ".encode("latin-1")
+            first = len(header)
+            data = zlib.compress(header + inner, 6)
+            parts.append(
+                f"{annot_num + 1} 0 obj << /Type /ObjStm /N 1 "
+                f"/First {first} /Filter /FlateDecode /Length {len(data)} "
+                f">> stream\n".encode("latin-1")
+                + data + b"\nendstream endobj\n")
+        else:
+            parts.append(f"{annot_num} 0 obj {annot} endobj\n"
+                         .encode("latin-1"))
+    parts.append(b"trailer << /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(parts)
 
 
 def _naive_text(html_str: str) -> str:
@@ -219,7 +256,11 @@ def build_page_row(doc_id: int, text: str, lang: str, source: str,
 
     if doc_id % 50 == 3:
         paras = [_sentence(ws, rng, 8, 12) for _ in range(3)]
-        payload = _mk_pdf(paras, link=f"https://{host}/ref/{doc_id}")
+        # two PDF shapes: plain multi-page (…03) and FlateDecode content
+        # + ObjStm-packed annotation (…53, the PDF 1.5 layout)
+        fancy = doc_id % 100 == 53
+        payload = _mk_pdf(paras, link=f"https://{host}/ref/{doc_id}",
+                          per_page=2, compress=fancy, objstm=fancy)
         naive = " ".join(paras)
     elif doc_id % 100 == 7:
         payload = b"\x00\x01\x02GARBAGE<<<not html" + bytes(str(doc_id), "ascii")

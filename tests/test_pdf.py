@@ -9,7 +9,7 @@ def test_pdf_text_and_link():
     text, links, err = extract_pdf(payload)
     assert err == ""
     assert text == "First paragraph.\n\nSecond (with parens)."
-    assert links == ["https://x.com/ref"]
+    assert links == [("Link on page 1", "https://x.com/ref")]
 
 
 def test_pdf_routed_by_sniff():
@@ -32,11 +32,56 @@ def test_unparseable_pdf_is_error_not_garbage():
 
 
 def test_pdf_inline_text_urls_scanned():
-    """M22 parity: bare URLs in PDF text are collected (J2 dedup)."""
+    """M22 parity: bare URLs in PDF text are collected with a +/-50-char
+    context window (hyperlink_extractor.py:283-296) and (url, page)
+    membership dedup (J2)."""
     payload = _mk_pdf(["Visit https://docs.example.org/guide today.",
                        "Repeat: https://docs.example.org/guide."],
-                      link="https://annot.example.org/x")
+                      link="https://annot.example.org/x", per_page=2)
     text, links, err = extract_pdf(payload)
     assert err == ""
-    assert links == ["https://annot.example.org/x",
-                     "https://docs.example.org/guide"]
+    assert [u for _, u in links] == ["https://annot.example.org/x",
+                                     "https://docs.example.org/guide"]
+    ctx = [t for t, u in links if u == "https://docs.example.org/guide"][0]
+    assert "Visit" in ctx and "today" in ctx   # context window, not bare url
+
+
+def test_pdf_multipage_segmentation():
+    """Five paragraphs at 2/page -> 3 pages in /Kids order; text joins
+    pages in order; regex URLs report the right page via dedup scope."""
+    paras = [f"Paragraph number {i}." for i in range(5)]
+    paras[4] = "Last visit https://per.page/url here."
+    payload = _mk_pdf(paras, per_page=2)
+    text, links, err = extract_pdf(payload)
+    assert err == ""
+    assert text.split("\n\n") == [
+        "Paragraph number 0.", "Paragraph number 1.", "Paragraph number 2.",
+        "Paragraph number 3.", "Last visit https://per.page/url here."]
+    assert [u for _, u in links] == ["https://per.page/url"]
+
+
+def test_pdf_flate_and_objstm():
+    """PDF 1.5 shape: FlateDecode content streams + the link annotation
+    packed inside a /Type /ObjStm object stream."""
+    payload = _mk_pdf(["Compressed alpha.", "Compressed beta.",
+                       "Compressed gamma."],
+                      link="https://objstm.example.org/a",
+                      per_page=2, compress=True, objstm=True)
+    assert b"FlateDecode" in payload and b"ObjStm" in payload
+    assert b"Compressed alpha." not in payload   # genuinely compressed
+    text, links, err = extract_pdf(payload)
+    assert err == ""
+    assert text == ("Compressed alpha.\n\nCompressed beta.\n\n"
+                    "Compressed gamma.")
+    assert links == [("Link on page 1", "https://objstm.example.org/a")]
+
+
+def test_pdf_same_url_distinct_pages_kept():
+    """(url, page) dedup keeps one hit per page, not one global."""
+    paras = ["See https://dup.example.org/x now.",
+             "Also https://dup.example.org/x again.",
+             "And https://dup.example.org/x once more."]
+    payload = _mk_pdf(paras, per_page=1)
+    _, links, err = extract_pdf(payload)
+    assert err == ""
+    assert [u for _, u in links] == ["https://dup.example.org/x"] * 3
