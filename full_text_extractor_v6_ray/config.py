@@ -73,6 +73,14 @@ class PipelineConfig:
     # ReadParquet forever)
     concurrency: int | None = None
     num_cpus_per_actor: float = 1.0
+    # Extractor execution mode. The extractor's state is module-level
+    # compiled regexes — paid once per WORKER PROCESS at import either
+    # way — so the task pool (False) reuses Ray's prestarted workers and
+    # skips the 5-14 s per-execution actor-pool spawn (measured at 32
+    # cpus: tasks 11.6 s vs actors 16-26 s on the 223k-page bench).
+    # Set True for a variant with genuinely expensive per-actor state
+    # (e.g. a model load), where amortizing setup across batches wins.
+    use_actor_pool: bool = False
     dedup_salt_buckets: int = 16    # two-phase salted dedup for hot hosts
     dedup_hot_threshold: int = 10_000  # rows per url-key before salting engages
     output_partitions: int = 0      # 0 = leave to Ray block sizing

@@ -12,7 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
-@dataclass
+@dataclass(slots=True)
 class Segment:
     """One inline run: text + formatting flags + raw href.
 
@@ -27,7 +27,7 @@ class Segment:
     href: str = ""
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One block-level unit of content in document order."""
 

@@ -64,32 +64,39 @@ def alt_is_meaningful(alt: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> bool:
     return not _GENERIC_ALT.match(alt)
 
 
-class _El:
-    __slots__ = ("tag", "kill", "boiler", "bold", "italic", "code", "href", "pre")
+# Per-config static tag facts (kill, boiler_tag, bold, italic, code,
+# heading_level, is_block) — one dict lookup in the hot per-tag path
+# replaces five set-membership tests. Shared across all parsers of the
+# same (hashable, frozen) config within a worker process.
+_TAGINFO_CACHE: dict = {}
 
-    def __init__(self, tag, kill, boiler, bold, italic, code, href, pre):
-        self.tag = tag
-        self.kill = kill
-        self.boiler = boiler
-        self.bold = bold
-        self.italic = italic
-        self.code = code
-        self.href = href
-        self.pre = pre
+
+def _taginfo_table(cfg: ExtractConfig) -> dict:
+    tbl = _TAGINFO_CACHE.get(cfg)
+    if tbl is None:
+        tbl = {}
+        _TAGINFO_CACHE[cfg] = tbl
+    return tbl
 
 
 class BlockParser(HTMLParser):
-    """Streaming HTML -> list[Block] in document order."""
+    """Streaming HTML -> list[Block] in document order.
+
+    The element stack holds plain tuples
+    ``(tag, kill, boiler, bold, italic, code, href, pre)`` — measurably
+    cheaper to build than even a __slots__ class in this per-tag path.
+    """
 
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
         # convert_charrefs=True performs entity decoding (M19) at parse time.
         super().__init__(convert_charrefs=True)
         self.cfg = cfg
+        self._taginfo = _taginfo_table(cfg)
         self.blocks: list[Block] = []
         self.title: str = ""
         self.dropped_boiler_chars = 0
 
-        self._stack: list[_El] = []
+        self._stack: list[tuple] = []
         # incremental flag counters (no stack scans per data event)
         self._kill_n = 0
         self._boiler_n = 0
@@ -119,22 +126,18 @@ class BlockParser(HTMLParser):
 
     # ---- helpers -------------------------------------------------------
 
-    def _flags(self):
-        return (self._bold_n > 0, self._italic_n > 0, self._code_n > 0,
-                self._href[-1] if self._href else "")
-
     def _flush(self):
         """Close the in-progress block, if it has any visible content."""
         if self._segments:
-            blk = Block(
-                kind=self._cur_kind,
-                level=self._cur_level,
-                ordered=self._cur_ordered,
-                index=self._cur_index,
-                segments=self._segments,
-            )
-            if blk.visible_text().strip():
-                self.blocks.append(blk)
+            # equivalent to visible_text().strip() truthiness, no join
+            if any(s.text and not s.text.isspace() for s in self._segments):
+                self.blocks.append(Block(
+                    kind=self._cur_kind,
+                    level=self._cur_level,
+                    ordered=self._cur_ordered,
+                    index=self._cur_index,
+                    segments=self._segments,
+                ))
             self._segments = []
         self._cur_kind = "para"
         self._cur_level = 0
@@ -152,8 +155,15 @@ class BlockParser(HTMLParser):
 
     # ---- parser events -------------------------------------------------
 
-    def handle_starttag(self, tag, attrs):
+    def _tag_entry(self, tag):
         cfg = self.cfg
+        e = (tag in cfg.kill_tags, tag in cfg.boilerplate_tags,
+             tag in ("b", "strong"), tag in ("i", "em"), tag == "code",
+             _H_LEVEL.get(tag, 0), tag in BLOCK_TAGS)
+        self._taginfo[tag] = e
+        return e
+
+    def handle_starttag(self, tag, attrs):
         if tag in VOID_TAGS:
             if tag == "br":
                 if self._kill_n == 0 and self._boiler_n == 0:
@@ -162,8 +172,10 @@ class BlockParser(HTMLParser):
                     elif self._table_depth and self._cell is not None:
                         self._cell.append(" ")
                     else:
-                        b, i, c, h = self._flags()
-                        self._segments.append(Segment(" ", b, i, c, h))
+                        self._segments.append(Segment(
+                            " ", self._bold_n > 0, self._italic_n > 0,
+                            self._code_n > 0,
+                            self._href[-1] if self._href else ""))
             elif tag == "img":
                 self._handle_img(attrs)
             elif tag == "hr":
@@ -171,11 +183,12 @@ class BlockParser(HTMLParser):
                     self._flush()
             return
 
-        kill = tag in cfg.kill_tags
-        boiler = (tag in cfg.boilerplate_tags) or self._is_boiler_attrs(attrs)
-        bold = tag in ("b", "strong")
-        italic = tag in ("i", "em")
-        code = tag == "code"
+        info = self._taginfo.get(tag)
+        if info is None:
+            info = self._tag_entry(tag)
+        kill, boiler, bold, italic, code, hl, is_block = info
+        if not boiler and attrs:
+            boiler = self._is_boiler_attrs(attrs)
         href = ""
         if tag == "a":
             for k, v in attrs:
@@ -190,11 +203,10 @@ class BlockParser(HTMLParser):
             # it is the h1-fallback for title promotion (render_blocks)
             self._in_title = True
 
-        if active and tag in BLOCK_TAGS and not self._table_depth:
+        if active and is_block and not self._table_depth:
             self._flush()
 
         if active and not kill and not boiler:
-            hl = _H_LEVEL.get(tag)
             if hl:
                 self._cur_kind = "heading"
                 self._cur_level = hl
@@ -226,8 +238,8 @@ class BlockParser(HTMLParser):
             elif tag == "pre":
                 self._pre_buf = []
 
-        self._stack.append(_El(tag, kill, boiler, bold, italic, code, href,
-                               tag == "pre"))
+        self._stack.append((tag, kill, boiler, bold, italic, code, href,
+                            tag == "pre"))
         if kill:
             self._kill_n += 1
         if boiler:
@@ -250,23 +262,23 @@ class BlockParser(HTMLParser):
             self.handle_starttag(tag, attrs)
             self.handle_endtag(tag)
 
-    def _pop(self, el: _El):
-        if el.kill:
+    def _pop(self, el: tuple):
+        tag, kill, boiler, bold, italic, code, href, pre = el
+        if kill:
             self._kill_n -= 1
-        if el.boiler:
+        if boiler:
             self._boiler_n -= 1
-        if el.bold:
+        if bold:
             self._bold_n -= 1
-        if el.italic:
+        if italic:
             self._italic_n -= 1
-        if el.code:
+        if code:
             self._code_n -= 1
-        if el.pre:
+        if pre:
             self._pre_n -= 1
-        if el.href:
+        if href:
             self._href.pop()
 
-        tag = el.tag
         if tag == "title":
             self._in_title = False
         active = self._kill_n == 0 and self._boiler_n == 0
@@ -306,11 +318,16 @@ class BlockParser(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_TAGS:
             return
+        stack = self._stack
+        # fast path: well-formed markup closes the top of stack
+        if stack and stack[-1][0] == tag:
+            self._pop(stack.pop())
+            return
         # browser-style recovery: pop until the matching open tag (if any)
-        for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i].tag == tag:
-                while len(self._stack) > i:
-                    self._pop(self._stack.pop())
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i][0] == tag:
+                while len(stack) > i:
+                    self._pop(stack.pop())
                 return
         # stray end tag: ignore
 
@@ -332,8 +349,9 @@ class BlockParser(HTMLParser):
             return
         if not data:
             return
-        b, i, c, h = self._flags()
-        self._segments.append(Segment(data, b, i, c, h))
+        self._segments.append(Segment(
+            data, self._bold_n > 0, self._italic_n > 0, self._code_n > 0,
+            self._href[-1] if self._href else ""))
 
     def _handle_img(self, attrs):
         if self._kill_n or self._boiler_n or self._table_depth:

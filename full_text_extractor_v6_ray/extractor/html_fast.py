@@ -56,9 +56,7 @@ def _unescape(s: str) -> str:
     return _htmlmod.unescape(s) if _AMP in s else s
 
 
-def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
-    if not raw or raw.isspace():
-        return []
+def _parse_attrs_uncached(raw: str) -> tuple:
     out = []
     for m in _ATTR.finditer(raw):
         name = m.group(1).lower()
@@ -69,7 +67,32 @@ def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
         if val[:1] in "\"'" and val[:1] == val[-1:] and len(val) >= 2:
             val = val[1:-1]
         out.append((name, _unescape(val)))
-    return out
+    return tuple(out)
+
+
+# attr strings repeat heavily (class/id boilerplate on real pages, fixed
+# templates here) — memoize the parse; bounded so adversarial pages with
+# all-unique attrs can't grow it without limit
+_ATTR_CACHE: dict[str, tuple] = {}
+_ATTR_CACHE_MAX = 20_000
+
+
+def _parse_attrs(raw: str) -> tuple:
+    if not raw or raw.isspace():
+        return ()
+    cached = _ATTR_CACHE.get(raw)
+    if cached is None:
+        cached = _parse_attrs_uncached(raw)
+        if len(_ATTR_CACHE) >= _ATTR_CACHE_MAX:
+            _ATTR_CACHE.clear()
+        _ATTR_CACHE[raw] = cached
+    return cached
+
+
+_RAWTEXT_CLOSE = {
+    name: re.compile(rf"</{name}(?:\s[^>]*)?>", re.IGNORECASE)
+    for name in _RAWTEXT
+}
 
 
 def fast_feed(parser: BlockParser, html_text: str) -> None:
@@ -77,21 +100,25 @@ def fast_feed(parser: BlockParser, html_text: str) -> None:
     pos = 0
     n = len(html_text)
     handle_data = parser.handle_data
+    handle_starttag = parser.handle_starttag
+    handle_endtag = parser.handle_endtag
+    tag_match = _TAG.match
+    find = html_text.find
     while pos < n:
-        lt = html_text.find("<", pos)
+        lt = find("<", pos)
         if lt < 0:
             handle_data(_unescape(html_text[pos:]))
             break
         if lt > pos:
             handle_data(_unescape(html_text[pos:lt]))
-        m = _TAG.match(html_text, lt)
+        m = tag_match(html_text, lt)
         if m is None:
             nxt = html_text[lt + 1:lt + 2]
             if nxt == "/":
                 # '</' + non-name with a closing '>': bogus comment per
                 # stdlib/HTML5 — skipped. Without '>', stdlib flushes the
                 # rest as text at EOF — emit '<' and re-lex the remainder.
-                gt = html_text.find(">", lt + 2)
+                gt = find(">", lt + 2)
                 if gt >= 0:
                     pos = gt + 1
                     continue
@@ -103,29 +130,30 @@ def fast_feed(parser: BlockParser, html_text: str) -> None:
             pos = lt + 1
             continue
         pos = m.end()
-        name = m.group("name")
+        # one C call for all four groups instead of four lookups
+        close, name, rawattrs, selfclose = m.group(
+            "close", "name", "attrs", "selfclose")
         if name is None:
             continue  # comment / cdata / decl / pi — skipped
         name = name.lower()
-        if m.group("close"):
-            parser.handle_endtag(name)
+        if close:
+            handle_endtag(name)
             continue
-        attrs = _parse_attrs(m.group("attrs") or "")
-        if m.group("selfclose"):
+        attrs = _parse_attrs(rawattrs) if rawattrs else ()
+        if selfclose:
             parser.handle_startendtag(name, attrs)
             continue
-        parser.handle_starttag(name, attrs)
+        handle_starttag(name, attrs)
         if name in _RAWTEXT:
             # rawtext/RCDATA: consume to the matching close tag verbatim
-            close = re.compile(rf"</{name}(?:\s[^>]*)?>", re.IGNORECASE)
-            cm = close.search(html_text, pos)
+            cm = _RAWTEXT_CLOSE[name].search(html_text, pos)
             if cm is None:
                 # unterminated rawtext: stdlib DISCARDS the content at EOF
                 # and leaves the element open (popped by close())
                 pos = n
                 continue
             handle_data(html_text[pos:cm.start()])  # killed by filter anyway
-            parser.handle_endtag(name)
+            handle_endtag(name)
             pos = cm.end()
 
 

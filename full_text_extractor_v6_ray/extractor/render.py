@@ -36,7 +36,8 @@ class _Out:
     def emit(self, s: str):
         if s:
             self.parts.append(s)
-            self.nbytes += len(s.encode("utf-8"))
+            # ascii fast path: no encode allocation for byte counting
+            self.nbytes += len(s) if s.isascii() else len(s.encode("utf-8"))
 
     def text(self) -> str:
         return "".join(self.parts)
@@ -48,13 +49,19 @@ def _merge_segments(segments: list[Segment]) -> list[tuple[str, bool, bool, bool
     Returns tuples (core, bold, italic, code, href, lead_space, trail_space)
     with empty cores carrying only boundary-space information.
     """
-    merged: list[list] = []
-    for seg in segments:
-        key = (seg.bold, seg.italic, seg.code, seg.href)
-        if merged and (merged[-1][1], merged[-1][2], merged[-1][3], merged[-1][4]) == key:
-            merged[-1][0] += seg.text
-        else:
-            merged.append([seg.text, seg.bold, seg.italic, seg.code, seg.href])
+    if len(segments) == 1:  # common case: one unformatted run
+        s = segments[0]
+        merged: list[list] = [[s.text, s.bold, s.italic, s.code, s.href]]
+    else:
+        merged = []
+        for seg in segments:
+            key = (seg.bold, seg.italic, seg.code, seg.href)
+            if merged and (merged[-1][1], merged[-1][2],
+                           merged[-1][3], merged[-1][4]) == key:
+                merged[-1][0] += seg.text
+            else:
+                merged.append([seg.text, seg.bold, seg.italic, seg.code,
+                               seg.href])
     out = []
     for raw, b, i, c, h in merged:
         lead = bool(raw) and raw[0].isspace()
