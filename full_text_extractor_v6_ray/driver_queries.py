@@ -623,6 +623,22 @@ def q_page_dates(sf_dir: str):
     return meta.map_batches(project, batch_format="pyarrow")
 
 
+def q_diagram_scores(sf_dir: str):
+    """A6/G3 ladder analog: 7-rule additive diagram-likelihood score +
+    probability ladder per page, rolled up by probability bucket
+    (diagram_analyzer.py:391-463,697-706; report threshold :80)."""
+    from ray.data.aggregate import Count, Mean
+
+    from .stages.diagram import DiagramScoreBatch
+
+    pages = pages_dataset_from_documents(sf_dir)
+    scored = pages.map_batches(DiagramScoreBatch, batch_format="pyarrow",
+                               batch_size=256, concurrency=(1, 4))
+    return scored.groupby("diagram_prob").aggregate(
+        Count(alias_name="n_pages"),
+        Mean("diagram_score", alias_name="avg_score"))
+
+
 def q_orders_customer_hashjoin(sf_dir: str):
     """Explicit partitioned hash join (both sides shuffled once by key)."""
     from .stages.joins import bucket_hash_join
@@ -798,6 +814,7 @@ QUERIES = {
     "data_islands": q_data_islands,
     "chart_series": q_chart_series,
     "page_dates": q_page_dates,
+    "diagram_scores": q_diagram_scores,
     "orders_customer_hashjoin": q_orders_customer_hashjoin,
     "events_orders_asof": q_events_orders_asof,
     "events_user_approx_distinct": q_events_user_approx_distinct,

@@ -92,6 +92,44 @@ def test_data_islands_parse_and_skip_invalid():
     assert out["n_items"].to_pylist() == [2, 3]
 
 
+def test_diagram_score_ladder():
+    """Reference diagram_analyzer 7-rule + ladder analog: a page built of
+    svg/images/short labels/flow words scores high; prose scores low."""
+    from full_text_extractor_v6_ray.stages.diagram import DiagramScoreBatch
+
+    diagrammy = (
+        "<h1>Process Flow Diagram</h1>"
+        "<svg><rect/></svg>"
+        "<img src='a.png' alt='Flowchart of the approval workflow steps'>"
+        "<figure><img src='b.png' alt='Pipeline architecture sequence'>"
+        "</figure><img src='c.png' alt='Create and send then receive'>"
+        "<p>Start here</p><p>Validate input</p><p>Approve or end</p>"
+        "<ul><li>Step one</li><li>Step two</li></ul>"
+    )
+    prose = "".join(
+        f"<p>{'word ' * 80}sentence number {i} of a long article.</p>"
+        for i in range(6))
+    out = DiagramScoreBatch()(_pages([diagrammy, prose]))
+    scores = out["diagram_score"].to_pylist()
+    probs = out["diagram_prob"].to_pylist()
+    assert scores[0] >= 60 and probs[0] == 0.95
+    assert scores[1] < 20 and probs[1] == 0.10
+    assert "svg" in out["reasons"].to_pylist()[0]
+
+
+def test_diagram_score_deterministic_and_never_raises():
+    from full_text_extractor_v6_ray.stages.diagram import DiagramScoreBatch
+
+    batch = pa.table({
+        "url": pa.array(["u0"], pa.string()),
+        "html": pa.array([b"\x00\xffnot html"], pa.binary()),
+    })
+    a = DiagramScoreBatch()(batch)
+    b = DiagramScoreBatch()(batch)
+    assert a["diagram_score"].to_pylist() == b["diagram_score"].to_pylist()
+    assert a["diagram_prob"].to_pylist()[0] in (0.10, 0.40, 0.75, 0.95)
+
+
 def test_generated_pages_carry_islands():
     import pyarrow.parquet as pq
 
