@@ -182,8 +182,12 @@ def run_scaling() -> dict:
         if min(pre, post) >= gate:
             break
 
+    # pick the attempt from the QUIETEST window, not the best efficiency —
+    # a noisy window can inflate efficiency past 1.0 (slow n_lo leg), and
+    # cherry-picking efficiency was round 1's reproducibility flaw
     best = max(attempts,
-               key=lambda a: (a["ceiling_window"] >= gate, a["efficiency"]))
+               key=lambda a: (a["ceiling_window"] >= gate,
+                              a["ceiling_window"]))
     return {
         "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
         "value": best["efficiency"],

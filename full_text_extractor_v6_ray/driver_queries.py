@@ -312,6 +312,16 @@ def q_docs_minhash_pairs(sf_dir: str):
     return minhash_dup_pairs(ds, threshold=0.7)
 
 
+def q_docs_dup_components(sf_dir: str):
+    """Connected components over the MinHash near-dup graph via the
+    distributed min-label-propagation loop (scale path of the driver-side
+    union-find; equality tested in tests/test_fuzzy_dedup.py)."""
+    from .stages.fuzzy_dedup import dup_components_ds, minhash_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_components_ds(minhash_dup_pairs(ds, threshold=0.7))
+
+
 def q_docs_simhash_pairs(sf_dir: str):
     """SimHash near-duplicate pairs (Hamming <= 3) over documents."""
     from .stages.fuzzy_dedup import simhash_dup_pairs
@@ -794,6 +804,7 @@ QUERIES = {
     "docs_fingerprint": q_docs_fingerprint,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash_pairs": q_docs_simhash_pairs,
+    "docs_dup_components": q_docs_dup_components,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
     "knn_cosine_ivf_top10": q_knn_cosine_ivf_top10,

@@ -118,3 +118,27 @@ def test_dup_components_union_find():
     by = dict(zip(comp["doc_id"], comp["component"]))
     assert by[1] == by[2] == by[3] == 1
     assert by[10] == by[11] == 10
+
+
+def test_dup_components_distributed_matches_union_find(ray_session):
+    """Min-label propagation (scale path) == union-find on a graph with a
+    long chain (exercises multi-round convergence) + separate clusters."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import dup_components_ds
+
+    # chain 0-1-2-...-9 (diameter 9), triangle {20,21,22}, pair {30,31}
+    a = list(range(9)) + [20, 20, 21, 30]
+    b = list(range(1, 10)) + [21, 22, 22, 31]
+    pairs_df = pd.DataFrame({"doc_a": a, "doc_b": b})
+    expect = dup_components(pairs_df)
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a, pa.int64()),
+        "doc_b": pa.array(b, pa.int64())}))
+    got = dup_components_ds(pairs, num_buckets=4).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = expect.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["component"].tolist() == exp["component"].tolist()
