@@ -119,15 +119,23 @@ def run_bench() -> dict:
 def _hw_ceiling(n_lo: int, n_hi: int) -> float:
     """Raw CPU scaling ceiling of this box: aggregate throughput of plain
     busy-loop processes at n_hi vs n_lo. On SMT/virtualized hosts this is
-    <1.0 — no software can beat it; reported for context."""
+    <1.0 — no software can beat it; reported for context.
+
+    A single short probe is itself noisy (observed readings > 1.0, which
+    is impossible); take the max of 3 interleaved rounds — the reading
+    closest to the window's true quiet capability — capped at 1.0.
+    """
     import multiprocessing as mp
 
     def agg(n: int) -> float:
         with mp.Pool(n) as p:
             return sum(p.map(_burn, [0.5] * n))
 
-    lo, hi = agg(n_lo), agg(n_hi)
-    return round((hi / lo) / (n_hi / n_lo), 3)
+    best = 0.0
+    for _ in range(3):
+        lo, hi = agg(n_lo), agg(n_hi)
+        best = max(best, (hi / lo) / (n_hi / n_lo))
+    return round(min(best, 1.0), 3)
 
 
 def _burn(seconds: float) -> int:

@@ -62,23 +62,12 @@ def q_extract_dedup(sf_dir: str):
 
 
 def q_links_flat(sf_dir: str):
-    """Hyperlink side-output: one row per extracted link (M21/M23 analog)."""
+    """Hyperlink side-output: one row per extracted link (M21/M23 analog).
+    Arrow-native explode (list_parent_indices + flatten, no Python loop)."""
+    from .stages.links import explode_links_column
+
     pages = pages_dataset_from_documents(sf_dir)
-    extracted = extract_pages(pages)
-
-    def explode(batch: pa.Table) -> pa.Table:
-        urls, texts, hrefs = [], [], []
-        for url, links in zip(batch["url"].to_pylist(),
-                              batch["links"].to_pylist()):
-            for lnk in links or []:
-                urls.append(url)
-                texts.append(lnk["text"])
-                hrefs.append(lnk["href"])
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "link_text": pa.array(texts, pa.string()),
-                         "link_url": pa.array(hrefs, pa.string())})
-
-    return extracted.map_batches(explode, batch_format="pyarrow")
+    return explode_links_column(extract_pages(pages))
 
 
 def q_extract_quality_by_lang(sf_dir: str):

@@ -8,7 +8,12 @@ no wall-clock, no randomness.
 from .links import fix_url
 from .normalize import normalize_text, normalize_ws
 from .sniff import sniff_payload
-from .document import extract_document, ExtractResult
+from .document import (
+    ExtractResult,
+    extract_document,
+    register_extractor,
+    unregister_extractor,
+)
 
 __all__ = [
     "fix_url",

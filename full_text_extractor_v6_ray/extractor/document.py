@@ -41,6 +41,31 @@ class ExtractResult:
     quality_score: float = 0.0   # kept-content share, 0..1
 
 
+# ---------------------------------------------------------------------------
+# Extension surface (SURVEY.md §2.9): pluggable payload-kind handlers.
+# The reference exposes component injection / pluggable enhancement
+# providers (powerpoint_processor.py:27-33, file_converter.py:14-36);
+# here a user registers a handler for a sniffed kind — including new
+# kinds their own sniffer variant emits, or overrides of the builtins —
+# without touching the router below.
+#
+# A handler is ``fn(payload: bytes, text_fallback: str, cfg) ->
+# ExtractResult``; it runs inside the same per-row try/except (the
+# degradation principle applies to plug-ins too).
+# ---------------------------------------------------------------------------
+
+EXTRACTOR_REGISTRY: dict = {}
+
+
+def register_extractor(kind: str, fn) -> None:
+    """Register (or override) the handler for a sniffed payload kind."""
+    EXTRACTOR_REGISTRY[kind] = fn
+
+
+def unregister_extractor(kind: str) -> None:
+    EXTRACTOR_REGISTRY.pop(kind, None)
+
+
 def _fallback_text(text: str) -> ExtractResult:
     """Plain-text fallback: normalize upstream naive text into paragraphs."""
     paragraphs = [normalize_text(p) for p in text.split("\n\n")]
@@ -64,6 +89,10 @@ def extract_document(
             return ExtractResult(method="error", error="payload_too_large")
 
         kind = sniff_payload(payload or b"")
+
+        handler = EXTRACTOR_REGISTRY.get(kind)
+        if handler is not None:
+            return handler(payload, text_fallback, cfg)
 
         if kind == "pdf":
             text, link_pairs, err = extract_pdf(payload)

@@ -44,19 +44,22 @@ def links_from_markdown(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def explode_links_column(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Preferred single-pass path: explode the extractor's links column."""
+    """Preferred single-pass path: explode the extractor's links column.
+
+    Arrow-native: ``list_parent_indices`` + ``flatten`` — no Python loop
+    over rows or links.
+    """
+    import pyarrow.compute as pc
 
     def explode(batch: pa.Table) -> pa.Table:
-        urls, texts, hrefs = [], [], []
-        for url, links in zip(batch["url"].to_pylist(),
-                              batch["links"].to_pylist()):
-            for lnk in links or []:
-                urls.append(url)
-                texts.append(lnk["text"])
-                hrefs.append(lnk["href"])
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "link_text": pa.array(texts, pa.string()),
-                         "link_url": pa.array(hrefs, pa.string())})
+        links = batch.column("links").combine_chunks()
+        parents = pc.list_parent_indices(links)
+        flat = links.flatten()
+        return pa.table({
+            "url": pc.take(batch.column("url"), parents),
+            "link_text": flat.field("text"),
+            "link_url": flat.field("href"),
+        })
 
     return extracted.map_batches(explode, batch_format="pyarrow",
                                  zero_copy_batch=True)

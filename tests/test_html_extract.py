@@ -124,3 +124,52 @@ def test_determinism_byte_identical():
     b = extract_document(html, "")
     assert a.extracted_text.encode() == b.extracted_text.encode()
     assert a.spans == b.spans
+
+
+def test_extractor_registry_plugin():
+    """§2.9 extension surface: a registered handler takes over a sniffed
+    kind and unregistering restores the builtin route."""
+    from full_text_extractor_v6_ray.extractor import (
+        ExtractResult,
+        register_extractor,
+        unregister_extractor,
+    )
+
+    def custom(payload, fallback, cfg):
+        return ExtractResult(extracted_text="CUSTOM:" + payload.decode(),
+                             method="custom", n_blocks_kept=1,
+                             quality_score=1.0)
+
+    payload = b"\x00binaryish payload"
+    base = extract_document(payload, "fallback text")
+    assert base.method != "custom"
+
+    register_extractor("unknown", custom)
+    try:
+        r = extract_document(payload, "fallback text")
+        assert r.method == "custom"
+        assert r.extracted_text.startswith("CUSTOM:")
+    finally:
+        unregister_extractor("unknown")
+    after = extract_document(payload, "fallback text")
+    assert after.method == base.method
+
+
+def test_extractor_registry_plugin_errors_are_captured():
+    """Degradation principle applies to plug-ins: a raising handler
+    yields an error row, never an exception."""
+    from full_text_extractor_v6_ray.extractor import (
+        register_extractor,
+        unregister_extractor,
+    )
+
+    def bad(payload, fallback, cfg):
+        raise ValueError("plugin boom")
+
+    register_extractor("unknown", bad)
+    try:
+        r = extract_document(b"\x00odd bytes", "")
+        assert r.method == "error"
+        assert r.error.startswith("extract_error:")
+    finally:
+        unregister_extractor("unknown")
