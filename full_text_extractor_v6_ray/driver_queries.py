@@ -770,6 +770,59 @@ def q_media_decode_stats(sf_dir: str):
                                         Mean("height", alias_name="avg_height"))
 
 
+def q_video_frame_stats(sf_dir: str):
+    """Multimodal frame-sample plumbing: synthetic videos -> every-2nd
+    frame exploded to rows -> decode -> per-video rollup. Oracled: the
+    generator's frame counts/dims are arithmetic in doc_id."""
+    from ray.data.aggregate import Count, Max
+
+    from .stages.multimodal import (
+        DecodeImageBatch,
+        FrameSampleBatch,
+        video_dataset_from_documents,
+    )
+
+    vids = video_dataset_from_documents(sf_dir)
+    frames = vids.map_batches(FrameSampleBatch, batch_format="pyarrow",
+                              batch_size=32, concurrency=(1, 2))
+    decoded = frames.map_batches(DecodeImageBatch, batch_format="pyarrow",
+                                 batch_size=64, concurrency=(1, 2))
+
+    def project(batch: pa.Table) -> pa.Table:
+        metas = batch.column("media_meta").to_pylist()
+        return pa.table({
+            "doc_id": batch["id"],
+            "width": pa.array([m["width"] for m in metas], pa.int64()),
+            "height": pa.array([m["height"] for m in metas], pa.int64()),
+        })
+
+    flat = decoded.map_batches(project, batch_format="pyarrow")
+    return flat.groupby("doc_id").aggregate(
+        Count(alias_name="n_sampled"),
+        Max("width", alias_name="frame_w"),
+        Max("height", alias_name="frame_h"))
+
+
+def q_audio_durations(sf_dir: str):
+    """Multimodal audio feature plumbing: FAKEAUD -> duration/RMS/ZCR
+    features; durations oracled (arithmetic in doc_id), RMS/ZCR covered
+    by determinism tests."""
+    from .stages.multimodal import (
+        AudioFeatureBatch,
+        audio_dataset_from_documents,
+    )
+
+    aud = audio_dataset_from_documents(sf_dir)
+    feats = aud.map_batches(AudioFeatureBatch, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 2))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["id"],
+                         "duration_s": batch["duration_s"]})
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -799,6 +852,8 @@ QUERIES = {
     "knn_cosine_ivf_top10": q_knn_cosine_ivf_top10,
     "embeddings_norms": q_embeddings_norms,
     "media_decode_stats": q_media_decode_stats,
+    "video_frame_stats": q_video_frame_stats,
+    "audio_durations": q_audio_durations,
     # links / windows / set ops
     "links_reparsed": q_links_reparsed,
     "links_dedup_longest": q_links_dedup_longest,
@@ -997,6 +1052,25 @@ ORACLES = {
                                   '%Y-%m-%dT%H:%M:%S')
                     ELSE '' END AS modified
         FROM rep
+    """,
+    "video_frame_stats": """
+        -- mirrors stages/multimodal.py video synthesis: videos on
+        -- doc_id % 10 = 0 with 4 + doc_id % 5 frames of
+        -- (16 + doc_id % 16) x (16 + doc_id*3 % 16); stride-2 sampling
+        -- keeps ceil(n/2) frames
+        SELECT doc_id,
+               CAST(((4 + doc_id % 5) + 1) // 2 AS BIGINT) AS n_sampled,
+               16 + doc_id % 16 AS frame_w,
+               16 + (doc_id * 3) % 16 AS frame_h
+        FROM documents WHERE doc_id % 10 = 0
+    """,
+    "audio_durations": """
+        -- FAKEAUD on doc_id % 5 = 0: 4000 + (doc_id % 7) * 1000 samples
+        -- at 8000 Hz
+        SELECT doc_id,
+               round((4000 + (doc_id % 7) * 1000) / 8000.0, 6)
+                   AS duration_s
+        FROM documents WHERE doc_id % 5 = 0
     """,
     "orders_customer_hashjoin": """
         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

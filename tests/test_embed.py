@@ -123,6 +123,57 @@ def test_multimodal_decode_roundtrip(ray_session):
                for m in rdf["media_meta"])
 
 
+def test_multimodal_video_frame_sample_and_features():
+    """Frame-sample explodes stride-2 frames as decodable FAKEIMG rows;
+    image features are fixed-width and deterministic."""
+    import pyarrow as pa
+
+    from full_text_extractor_v6_ray.stages.multimodal import (
+        DecodeImageBatch,
+        FrameSampleBatch,
+        ImageFeatureBatch,
+        make_fake_video,
+    )
+
+    vid = make_fake_video(5, 20, 10, seed=7)
+    batch = pa.table({"id": pa.array([42], pa.int64()),
+                      "media": pa.array([vid], pa.binary()),
+                      "media_type": pa.array(["video/fake"], pa.string())})
+    frames = FrameSampleBatch(stride=2)(batch)
+    assert frames.num_rows == 3                      # ceil(5/2)
+    assert frames["frame_idx"].to_pylist() == [0, 2, 4]
+    decoded = DecodeImageBatch()(frames)
+    assert all(e == "" for e in decoded["decode_error"].to_pylist())
+    metas = decoded["media_meta"].to_pylist()
+    assert all(m["width"] == 20 and m["height"] == 10 for m in metas)
+
+    feats = ImageFeatureBatch()(frames)
+    vecs = feats["features"].to_pylist()
+    assert all(len(v) == 3 + 8 + 1 for v in vecs)    # means+hist+aspect
+    again = ImageFeatureBatch()(frames)["features"].to_pylist()
+    assert vecs == again
+
+
+def test_multimodal_audio_features():
+    import pyarrow as pa
+
+    from full_text_extractor_v6_ray.stages.multimodal import (
+        AudioFeatureBatch,
+        make_fake_audio,
+    )
+
+    batch = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "media": pa.array([make_fake_audio(8000, 16000, seed=3),
+                           b"not audio"], pa.binary()),
+        "media_type": pa.array(["audio/fake", "audio/fake"], pa.string())})
+    out = AudioFeatureBatch()(batch)
+    assert out["duration_s"].to_pylist()[0] == 2.0
+    assert out["rms"].to_pylist()[0] > 0
+    assert 0 < out["zcr"].to_pylist()[0] < 1
+    assert out["audio_error"].to_pylist()[1].startswith("audio_error:")
+
+
 def test_multimodal_garbage_payload_errors_cleanly():
     import pyarrow as pa
 
