@@ -7,7 +7,7 @@ no wall-clock, no randomness.
 
 from .links import fix_url
 from .normalize import normalize_text, normalize_ws
-from .sniff import sniff_payload
+from .sniff import register_sniffer, sniff_payload, unregister_sniffer
 from .document import (
     ExtractResult,
     extract_document,

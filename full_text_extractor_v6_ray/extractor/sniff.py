@@ -10,11 +10,35 @@ from __future__ import annotations
 
 PDF_MAGIC = b"%PDF-"
 
+# Extension surface (SURVEY.md §2.9, completing the extractor-handler
+# registry in document.py): custom sniffers run BEFORE the builtin
+# rules, in registration order; the first non-empty kind wins. A sniffer
+# is ``fn(payload: bytes) -> str`` returning '' to pass. Pair a custom
+# kind with ``register_extractor(kind, handler)`` to route new payload
+# families (e.g. WARC records, gzip members) end-to-end.
+_SNIFFERS: list = []
+
+
+def register_sniffer(fn) -> None:
+    _SNIFFERS.append(fn)
+
+
+def unregister_sniffer(fn) -> None:
+    if fn in _SNIFFERS:
+        _SNIFFERS.remove(fn)
+
 
 def sniff_payload(payload: bytes) -> str:
-    """Return 'pdf' | 'html' | 'empty' | 'unknown' for a raw payload."""
+    """Return 'pdf' | 'html' | 'empty' | 'unknown' (or a custom kind)."""
     if not payload:
         return "empty"
+    for fn in _SNIFFERS:
+        try:
+            kind = fn(payload)
+        except Exception:
+            kind = ""
+        if kind:
+            return kind
     head = payload[:1024]
     if head.startswith(PDF_MAGIC):
         return "pdf"

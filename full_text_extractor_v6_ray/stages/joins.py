@@ -25,7 +25,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .dedup import _stable_bucket
+from .dedup import _stable_bucket, default_num_buckets
 
 _SIDE = "__side"
 _BUCKET = "__jbucket"
@@ -120,12 +120,16 @@ def _coerce_merged(df: pd.DataFrame, types: dict, cols: list[str]) -> pd.DataFra
 
 def bucket_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                      left_key: str, right_key: str,
-                     num_buckets: int = 32,
+                     num_buckets: int | None = None,
                      how: str = "inner") -> "ray.data.Dataset":
     """Partitioned hash join on an equality key (non-key names must differ).
 
     Output = left columns + right columns minus the right key.
+    ``num_buckets=None`` scales with the cluster (4 x CPUs, min 32) —
+    bucket-grouped joins fix parallelism at the bucket count.
     """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
     ls, rs = left.schema().base_schema, right.schema().base_schema
     lcols, rcols = list(ls.names), list(rs.names)
     ltypes, rtypes = dict(_fields(ls)), dict(_fields(rs))
@@ -151,11 +155,13 @@ def bucket_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key_left: str, key_right: str,
               ts_left: str, ts_right: str,
-              num_buckets: int = 32) -> "ray.data.Dataset":
+              num_buckets: int | None = None) -> "ray.data.Dataset":
     """As-of join: latest right row with ts_right <= ts_left per key.
 
     Left rows with no earlier right row keep nulls in right columns.
     """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
     ls, rs = left.schema().base_schema, right.schema().base_schema
     lcols, rcols = list(ls.names), list(rs.names)
     ltypes, rtypes = dict(_fields(ls)), dict(_fields(rs))

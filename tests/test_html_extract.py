@@ -173,3 +173,37 @@ def test_extractor_registry_plugin_errors_are_captured():
         assert r.error.startswith("extract_error:")
     finally:
         unregister_extractor("unknown")
+
+
+def test_sniffer_registry_end_to_end():
+    """§2.9: a custom sniffer + matching handler route a new payload
+    family (magic-prefixed) end-to-end without touching the router."""
+    from full_text_extractor_v6_ray.extractor import (
+        ExtractResult,
+        register_extractor,
+        register_sniffer,
+        unregister_extractor,
+        unregister_sniffer,
+    )
+
+    def sniff_warcish(payload: bytes) -> str:
+        return "warcish" if payload.startswith(b"WARC/1.0") else ""
+
+    def handle_warcish(payload, fallback, cfg):
+        body = payload.split(b"\r\n\r\n", 1)[-1].decode("utf-8", "replace")
+        return ExtractResult(extracted_text=body.strip(), method="warcish",
+                             n_blocks_kept=1, quality_score=1.0)
+
+    register_sniffer(sniff_warcish)
+    register_extractor("warcish", handle_warcish)
+    try:
+        r = extract_document(b"WARC/1.0\r\nx: y\r\n\r\nrecord body", "")
+        assert r.method == "warcish"
+        assert r.extracted_text == "record body"
+        # builtin routes untouched
+        html = extract_document(b"<html><body><p>hi</p></body></html>", "")
+        assert html.method == "html"
+    finally:
+        unregister_sniffer(sniff_warcish)
+        unregister_extractor("warcish")
+    assert extract_document(b"WARC/1.0\r\n\r\nz", "z").method != "warcish"
