@@ -126,13 +126,31 @@ def _parse_objects(payload: bytes) -> dict[int, bytes]:
     return objs
 
 
+_LENGTH = re.compile(rb"/Length\s+(\d+)\b")
+_STREAM_START = re.compile(rb"stream\r?\n")
+
+
 def _stream_bytes(body: bytes) -> bytes | None:
-    """The (inflated) stream payload of one object body, or None."""
-    m = _STREAM.search(body)
-    if not m:
+    """The (inflated) stream payload of one object body, or None.
+
+    Uses the dict's /Length when present (spec-correct — binary stream
+    data may itself end in \\r/\\n bytes, which the delimiter regex would
+    otherwise eat, truncating e.g. Flate data); regex fallback for
+    streams without a literal Length.
+    """
+    sm = _STREAM_START.search(body)
+    if not sm:
         return None
-    data = m.group(1)
-    if _FLATE.search(body[:m.start()]):
+    header = body[:sm.start()]
+    lm = _LENGTH.search(header)
+    if lm:
+        data = body[sm.end():sm.end() + int(lm.group(1))]
+    else:
+        m = _STREAM.search(body)
+        if not m:
+            return None
+        data = m.group(1)
+    if _FLATE.search(header):
         try:
             data = zlib.decompress(data)
         except Exception:

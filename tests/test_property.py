@@ -134,3 +134,82 @@ def test_fast_parser_parity_on_soup(html):
     k1, _ = score_and_filter(b1)
     k2, _ = score_and_filter(b2)
     assert render_blocks(k1, t1) == render_blocks(k2, t2)
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+    min_size=1, max_size=60), min_size=1, max_size=7))
+@settings(max_examples=40, deadline=None)
+def test_pdf_roundtrip_property(paragraphs):
+    """Arbitrary latin-ish paragraphs survive the PDF container round
+    trip: text out == normalized text in, page-split at any per_page."""
+    from full_text_extractor_v6_ray.extractor.normalize import normalize_text
+    from full_text_extractor_v6_ray.extractor.pdf import extract_pdf
+    from full_text_extractor_v6_ray.sources.pages_gen import _mk_pdf
+
+    expected = [normalize_text(p) for p in paragraphs]
+    expected = [p for p in expected if p]
+    for per_page, compress, objstm in ((2, False, False), (1, True, True)):
+        payload = _mk_pdf(paragraphs, per_page=per_page,
+                          compress=compress, objstm=objstm)
+        text, _links, err = extract_pdf(payload)
+        got = [p for p in text.split("\n\n") if p] if text else []
+        assert err in ("", "pdf_unsupported")
+        if expected:
+            assert got == expected
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_clz64_matches_bit_length(values):
+    import numpy as np
+    from full_text_extractor_v6_ray.stages.sketches import _clz64
+
+    x = np.array([v | 1 for v in values], dtype=np.uint64)  # nonzero
+    got = _clz64(x)
+    expect = [64 - int(v).bit_length() for v in x.tolist()]
+    assert got.tolist() == expect
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_popcount64_matches_bin_count(values):
+    import numpy as np
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import _popcount64
+
+    x = np.array(values, dtype=np.uint64)
+    got = _popcount64(x)
+    assert got.tolist() == [bin(v).count("1") for v in values]
+
+
+@given(st.lists(st.text(alphabet="abcd ", min_size=0, max_size=40),
+                min_size=1, max_size=32))
+@settings(max_examples=25, deadline=None)
+def test_explode_bands_slim_and_consistent(texts):
+    """Vectorized band explode: bands x rows slim rows; equal signatures
+    produce equal band hashes (the LSH bucketing invariant)."""
+    import pyarrow as pa
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        MinHashBatch,
+        explode_bands,
+    )
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    sigs = MinHashBatch()(t)
+    out = explode_bands(sigs)
+    assert out.column_names == ["band_hash", "doc_id"]
+    assert out.num_rows == len(texts) * 16
+    # identical text -> identical signature -> identical 16 band hashes
+    by_doc = {}
+    for d, h in zip(out["doc_id"].to_pylist(), out["band_hash"].to_pylist()):
+        by_doc.setdefault(d, []).append(h)
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if a == b:
+                assert by_doc[i] == by_doc[j]
+    # empty batch guard (ADVICE item): width from num_perm, not row 0
+    empty = explode_bands(sigs.slice(0, 0))
+    assert empty.num_rows == 0
