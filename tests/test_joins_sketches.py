@@ -86,3 +86,74 @@ def test_hll_merge_order_invariant():
     ba = hll_estimate(hll_merge([b, a]))
     assert ab == ba
     assert abs(ab - 1500) / 1500 < 0.08
+
+
+def test_stable_bucket_cross_process_determinism():
+    """The bucketed join/dedup correctness contract: equal keys must land
+    in equal buckets in EVERY process (both join sides hash separately).
+    Verified against a fresh subprocess."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+
+    from full_text_extractor_v6_ray.stages.dedup import _stable_bucket
+
+    vals = ["https://a.example/x", "https://b.example/y", "k" * 500, ""]
+    here = _stable_bucket(pa.chunked_array([pa.array(vals)]), 1024).to_pylist()
+    code = (
+        "import pyarrow as pa\n"
+        "from full_text_extractor_v6_ray.stages.dedup import _stable_bucket\n"
+        f"vals = {vals!r}\n"
+        "print(_stable_bucket(pa.chunked_array([pa.array(vals)]), 1024)"
+        ".to_pylist())\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True, cwd="/root/repo").stdout
+    assert eval(out.strip()) == here
+
+
+def test_keyed_keep_one_matches_pandas_oracle(ray_session):
+    """Random keyed frame: keyed_keep_one == pandas sort+drop_duplicates,
+    at any bucket count and with/without the local combine."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from full_text_extractor_v6_ray.stages.dedup import keyed_keep_one
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.randint(0, 200, n).astype(str),
+        "ts": rng.randint(0, 1000, n),
+        "v": rng.standard_normal(n).round(6),
+    })
+    expect = (df.sort_values(["k", "ts", "v"], kind="mergesort")
+              .drop_duplicates("k").sort_values("k").reset_index(drop=True))
+
+    for buckets, combine in ((7, True), (64, False)):
+        got = keyed_keep_one(
+            ray.data.from_pandas(df), "k",
+            [("ts", "ascending"), ("v", "ascending")],
+            local_combine=combine, num_buckets=buckets,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, expect)
+
+
+def test_hash_bucketed_distinct_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from full_text_extractor_v6_ray.stages.dedup import hash_bucketed_distinct
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({"a": rng.randint(0, 40, 2000),
+                       "b": rng.randint(0, 40, 2000)})
+    got = (hash_bucketed_distinct(ray.data.from_pandas(df), ["a", "b"],
+                                  num_buckets=16)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    expect = (df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, expect)
