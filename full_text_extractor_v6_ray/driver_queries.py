@@ -311,6 +311,39 @@ def q_docs_dup_components(sf_dir: str):
     return dup_components_ds(minhash_dup_pairs(ds, threshold=0.7))
 
 
+def q_docs_neardup_dedup(sf_dir: str):
+    """End-to-end near-dup REMOVAL (the training-data capstone):
+    minhash pairs -> connected components -> keep the canonical (min-id)
+    doc per component, pass non-dup docs through.
+
+    Scale shape: the component map covers only near-dup NODES (tiny vs
+    the corpus), so it broadcasts via ray.put once and the removal is a
+    vectorized filter inside map_batches — no corpus-wide join."""
+    import ray
+
+    from .stages.fuzzy_dedup import dup_components_ds, minhash_dup_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    comp = dup_components_ds(minhash_dup_pairs(docs, threshold=0.7)).to_pandas()
+    drop = frozenset(int(d) for d, c in zip(comp["doc_id"], comp["component"])
+                     if int(d) != int(c))
+    ref = ray.put(drop)
+
+    class DropDups:
+        def __init__(self):
+            self.drop = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = np.fromiter((int(i) not in self.drop for i in ids),
+                               dtype=bool, count=len(ids))
+            return batch.filter(pa.array(keep))
+
+    kept = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return kept.map_batches(DropDups, batch_format="pyarrow",
+                            batch_size=1024, concurrency=(1, 2))
+
+
 def q_docs_simhash_pairs(sf_dir: str):
     """SimHash near-duplicate pairs (Hamming <= 3) over documents."""
     from .stages.fuzzy_dedup import simhash_dup_pairs
@@ -847,6 +880,7 @@ QUERIES = {
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_dup_components": q_docs_dup_components,
+    "docs_neardup_dedup": q_docs_neardup_dedup,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
     "knn_cosine_ivf_top10": q_knn_cosine_ivf_top10,

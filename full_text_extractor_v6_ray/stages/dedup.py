@@ -51,6 +51,24 @@ def default_num_buckets(minimum: int) -> int:
     return minimum
 
 
+def materialize_rebased(ds: "ray.data.Dataset",
+                        num_blocks: int = 32) -> "ray.data.Dataset":
+    """Materialize + HARD lineage cut at a pinned block count.
+
+    Needed when one lazy pipeline feeds SEVERAL consumers (join sides,
+    iterative loops, schema probes): without the cut, every consumer —
+    including each ``.schema()`` probe a join makes — re-executes the
+    full upstream lineage (re-spawning its actor pools), and iterative
+    unions double block counts per round. Rebuilding from the
+    materialized object-store refs (no driver copy) makes downstream
+    reads O(1). At 10^12-row scale, swap this for a parquet intermediate
+    (write + re-read — the checkpoint pattern) instead of pinning the
+    object store.
+    """
+    mat = ds.repartition(num_blocks).materialize()
+    return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+
 def _keep_first_of_runs(batch: pa.Table, key: str,
                         order: list[tuple[str, str]]) -> pa.Table:
     """Sort by (key, *order) and keep the first row of each key run."""

@@ -195,6 +195,7 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
     (16 B/pair), and two signature joins keyed on doc_id that each move
     the signature ONCE per doc — vs round 1's once per doc PER BAND.
     """
+    from .dedup import materialize_rebased
     from .joins import bucket_hash_join
 
     sigs = docs.map_batches(
@@ -202,25 +203,34 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
             "text_col": text_col, "num_perm": num_perm, "seed": seed},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
 
+    # The signature table feeds THREE consumers (band explode + both join
+    # sides) and the joins' schema probes — materialize it ONCE or every
+    # consumer re-runs the MinHash actor stage (measured: minutes vs
+    # seconds). ~(num_perm*8)B/doc, never the text; at 10^12 docs use a
+    # parquet intermediate instead (see materialize_rebased docstring).
+    sig_cols = materialize_rebased(
+        sigs.select_columns(["doc_id", "minhash"]), num_buckets)
+
     def band_rows(batch: pa.Table) -> pa.Table:
         t = explode_bands(batch, num_perm, bands)
         bh = t.column("band_hash").to_numpy(zero_copy_only=False)
         return t.append_column(
             "__bucket", pa.array((bh % np.uint64(num_buckets)).astype(np.int64)))
 
-    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+    banded = sig_cols.map_batches(band_rows, batch_format="pyarrow")
     cands = banded.groupby("__bucket").map_groups(
         lambda g: _candidate_pairs_in_bucket(g.drop_columns(["__bucket"])),
         batch_format="pyarrow")
-    pairs = _distinct_pairs(cands, num_buckets)
+    pairs = materialize_rebased(_distinct_pairs(cands, num_buckets),
+                                num_buckets)
 
-    sig_cols = sigs.select_columns(["doc_id", "minhash"])
     sa = sig_cols.map_batches(lambda b: b.rename_columns(["doc_id", "sig_a"]),
                               batch_format="pyarrow")
     sb = sig_cols.map_batches(lambda b: b.rename_columns(["doc_id", "sig_b"]),
                               batch_format="pyarrow")
-    j1 = bucket_hash_join(pairs, sa, "doc_a", "doc_id",
-                          num_buckets=num_buckets)
+    j1 = materialize_rebased(
+        bucket_hash_join(pairs, sa, "doc_a", "doc_id",
+                         num_buckets=num_buckets), num_buckets)
     j2 = bucket_hash_join(j1, sb, "doc_b", "doc_id", num_buckets=num_buckets)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -394,14 +404,13 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
             "dst": pa.array(np.concatenate([b, a]).astype(np.int64)),
         })
 
+    from .dedup import materialize_rebased
+
     def rebase(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-        """HARD lineage cut + block coalesce between rounds: rebuild the
-        dataset from its materialized object-store blocks (no driver
-        copy) at a PINNED block count. Without both, each round's
-        ``union`` + aggregate doubled the block count and re-executed
-        grown lineage — measured ~4x slower per round (exponential)."""
-        mat = ds.repartition(num_buckets).materialize()
-        return ray.data.from_arrow_refs(mat.to_arrow_refs())
+        # HARD lineage cut + pinned block count between rounds — without
+        # both, each round's union+aggregate doubled the block count and
+        # re-executed grown lineage (~4x slower per round, exponential)
+        return materialize_rebased(ds, num_buckets)
 
     edges = rebase(pairs.map_batches(to_edges, batch_format="pyarrow"))
 

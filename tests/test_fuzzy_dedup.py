@@ -142,3 +142,24 @@ def test_dup_components_distributed_matches_union_find(ray_session):
     exp = expect.sort_values("doc_id").reset_index(drop=True)
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["component"].tolist() == exp["component"].tolist()
+
+
+def test_neardup_dedup_removes_non_canonical(ray_session):
+    """Capstone consistency on sf0.001: survivors == all docs minus the
+    non-canonical members of each near-dup component."""
+    from full_text_extractor_v6_ray.driver_queries import (
+        q_docs_dup_components,
+        q_docs_neardup_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    comp = q_docs_dup_components(sf).to_pandas()
+    expected_drop = {int(d) for d, c in zip(comp["doc_id"], comp["component"])
+                     if int(d) != int(c)}
+    survivors = set(q_docs_neardup_dedup(sf).to_pandas()["doc_id"])
+
+    import pyarrow.parquet as pq
+    all_ids = set(pq.read_table(sf + "/documents.parquet",
+                                columns=["doc_id"])["doc_id"].to_pylist())
+    assert survivors == all_ids - expected_drop
+    assert expected_drop  # the synthetic corpus does contain near-dups
