@@ -102,6 +102,23 @@ def run_bench() -> dict:
     headline = queries["extract_dedup_write"]
     docs_per_sec = round(n_pages / queries["extract"], 1)
 
+    # minhash band-shuffle payload (VERDICT round-1 item 4): bytes per doc
+    # entering the candidate shuffle. Round 1 shipped the full signature
+    # per band (~16.6 KB/doc); slim rows are (band_hash u64 + doc_id i64
+    # + bucket i64) x 16 bands = 384 B/doc.
+    import pyarrow.parquet as pq
+
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        MinHashBatch,
+        explode_bands,
+    )
+
+    sample = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"]).slice(0, 256)
+    banded = explode_bands(MinHashBatch()(sample))
+    band_bytes_per_doc = round((banded.nbytes + 8 * banded.num_rows)
+                               / sample.num_rows, 1)  # + bucket column
+
     ray.shutdown()
     return {
         "metric": "extract_dedup_write_sec",
@@ -113,6 +130,7 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "replicate": REPLICATE,
         "extract_docs_per_sec": docs_per_sec,
+        "minhash_band_shuffle_bytes_per_doc": band_bytes_per_doc,
     }
 
 

@@ -129,7 +129,8 @@ def explode_bands(batch: pa.Table, num_perm: int = 128,
     doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     hashes = np.empty((bands, n), dtype=np.uint64)
     for bi in range(bands):
-        h = np.full(n, _FNV_BASIS ^ (np.uint64(bi) * _GOLDEN), dtype=np.uint64)
+        seed = int(_FNV_BASIS) ^ ((bi * int(_GOLDEN)) & 0xFFFFFFFFFFFFFFFF)
+        h = np.full(n, np.uint64(seed), dtype=np.uint64)
         seg = sig[:, bi * r:(bi + 1) * r]
         for j in range(r):
             h = (h ^ seg[:, j]) * _FNV_PRIME
