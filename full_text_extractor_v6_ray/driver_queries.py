@@ -711,6 +711,29 @@ def q_events_orders_asof(sf_dir: str):
     return joined.select_columns(["event_id", "user_id", "ts", "o_orderkey"])
 
 
+def q_lineitem_orders_range(sf_dir: str):
+    """Range (interval) join — the briefing's named custom operator:
+    each lineitem matched to its order when shipped within 60 days of
+    the order date (DuckDB inequality-join oracle)."""
+    from .stages.joins import range_join
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def add_end(batch: pa.Table) -> pa.Table:
+        end = pc.add(batch["o_orderdate"],
+                     pa.scalar(60 * 86400 * 1_000_000, pa.duration("us")))
+        return batch.append_column("o_end", end)
+
+    orders1 = orders.map_batches(add_end, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    joined = range_join(items, orders1, "l_orderkey", "o_orderkey",
+                        "l_shipdate", "o_orderdate", "o_end")
+    return joined.select_columns(["l_orderkey", "l_linenumber",
+                                  "l_shipdate", "o_orderdate"])
+
+
 def q_events_user_approx_distinct(sf_dir: str):
     """HLL(p=12) approximate distinct users (mergeable-sketch pattern)."""
     from .stages.sketches import approx_distinct
@@ -906,6 +929,7 @@ QUERIES = {
     "diagram_scores": q_diagram_scores,
     "orders_customer_hashjoin": q_orders_customer_hashjoin,
     "events_orders_asof": q_events_orders_asof,
+    "lineitem_orders_range": q_lineitem_orders_range,
     "events_user_approx_distinct": q_events_user_approx_distinct,
     "events_type_count_salted": q_events_type_count_salted,
     "docs_sample": q_docs_sample,
@@ -1110,6 +1134,13 @@ ORACLES = {
         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
                c.c_name, c.c_mktsegment
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "lineitem_orders_range": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+        FROM lineitem l JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
     """,
     "events_orders_asof": """
         WITH o1 AS (

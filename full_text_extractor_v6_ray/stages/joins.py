@@ -152,6 +152,50 @@ def bucket_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                                                     batch_format="pandas")
 
 
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               key_left: str, key_right: str,
+               ts_left: str, start_right: str, end_right: str,
+               num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Range (interval) join: each left row matched to every right row of
+    the same key whose interval contains it —
+    ``start_right <= ts_left < end_right``. Inner join (non-matching left
+    rows drop); one bucketed shuffle, per-bucket vectorized equi-merge on
+    the key followed by the interval filter.
+
+    Partitioning assumption (documented per the briefing): equal keys
+    co-locate via the shared stable hash; one bucket-group fits a task —
+    key fan-out (rows-per-key LEFT x rows-per-key RIGHT) bounds the
+    intermediate, so salt hot keys upstream if a single key's cartesian
+    block is large.
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    ls, rs = left.schema().base_schema, right.schema().base_schema
+    lcols, rcols = list(ls.names), list(rs.names)
+    ltypes, rtypes = dict(_fields(ls)), dict(_fields(rs))
+    out_fields = _fields(ls) + [(n, t) for n, t in _fields(rs)
+                                if n != key_right]
+    rvals = [n for n in rcols if n != key_right]
+    lt = _prep_side(left, key_left, 0, num_buckets, ls, rs)
+    rt = _prep_side(right, key_right, 1, num_buckets, rs, ls)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg, rg = _split_sides(g, lcols, rcols, ltypes, rtypes)
+        if lg.empty or rg.empty:
+            return _typed_empty(out_fields)
+        merged = lg.merge(rg, left_on=key_left, right_on=key_right,
+                          how="inner")
+        keep = ((merged[ts_left] >= merged[start_right])
+                & (merged[ts_left] < merged[end_right]))
+        merged = merged.loc[keep]
+        if key_right != key_left and key_right in merged.columns:
+            merged = merged.drop(columns=[key_right])
+        return _coerce_merged(merged, rtypes, rvals)
+
+    return lt.union(rt).groupby(_BUCKET).map_groups(join_bucket,
+                                                    batch_format="pandas")
+
+
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key_left: str, key_right: str,
               ts_left: str, ts_right: str,

@@ -157,3 +157,42 @@ def test_hash_bucketed_distinct_matches_pandas(ray_session):
     expect = (df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
               .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_range_join_matches_pandas(ray_session):
+    """Random intervals: range_join == pandas merge + interval filter."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from full_text_extractor_v6_ray.stages.joins import range_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 30, 500),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 10_000, 500), unit="m"),
+        "lv": np.arange(500),
+    })
+    right = pd.DataFrame({
+        "rk": rng.randint(0, 30, 100),
+        "start": pd.to_datetime("2024-01-01")
+                 + pd.to_timedelta(rng.randint(0, 9_000, 100), unit="m"),
+        "rv": np.arange(100),
+    })
+    right["end"] = right["start"] + pd.to_timedelta(
+        rng.randint(10, 2_000, 100), unit="m")
+
+    got = range_join(ray.data.from_pandas(left),
+                     ray.data.from_pandas(right),
+                     "k", "rk", "ts", "start", "end",
+                     num_buckets=8).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk")
+    exp = exp.loc[(exp["ts"] >= exp["start"]) & (exp["ts"] < exp["end"])]
+    exp = exp.drop(columns=["rk"])
+
+    key = ["lv", "rv"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) > 0
