@@ -121,8 +121,15 @@ def q_docs_exact_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest()
-                  for t in batch["text"].to_pylist()]
+        # md5 is pinned by the oracle (DuckDB md5(text)); hash the utf-8
+        # bytes straight off the Arrow buffers via memoryview slices —
+        # no per-row str materialization/encode (hashlib itself is C).
+        col = batch["text"].combine_chunks().cast(pa.large_binary())
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                             count=len(col) + 1, offset=col.offset * 8)
+        data = memoryview(col.buffers()[2])
+        hashes = [hashlib.md5(data[offs[i]:offs[i + 1]]).hexdigest()
+                  for i in range(len(col))]
         return pa.table({"doc_id": batch["doc_id"],
                          "text_hash": pa.array(hashes, pa.string())})
 
@@ -325,8 +332,9 @@ def q_docs_neardup_dedup(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     comp = dup_components_ds(minhash_dup_pairs(docs, threshold=0.7)).to_pandas()
-    drop = frozenset(int(d) for d, c in zip(comp["doc_id"], comp["component"])
-                     if int(d) != int(c))
+    d = comp["doc_id"].to_numpy(dtype=np.int64)
+    c = comp["component"].to_numpy(dtype=np.int64)
+    drop = np.sort(d[d != c])      # non-canonical ids, sorted for searchsorted
     ref = ray.put(drop)
 
     class DropDups:
@@ -334,9 +342,9 @@ def q_docs_neardup_dedup(sf_dir: str):
             self.drop = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            keep = np.fromiter((int(i) not in self.drop for i in ids),
-                               dtype=bool, count=len(ids))
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            keep = ~np.isin(ids, self.drop)   # vectorized membership
             return batch.filter(pa.array(keep))
 
     kept = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])

@@ -17,9 +17,10 @@ dedup/shuffle"). Designed for 10^12 rows:
     naive ``groupby(url).map_groups`` pays a Python call per url and does
     not scale (measured: it halved pipeline throughput at 45k urls).
 
-Determinism: pandas ``hash_array`` (fixed siphash key) -> same bucket for
-the same url in every process; ties fully ordered, so output bytes are
-identical at any parallelism / bucket count.
+Determinism: the pinned pure-numpy hash in ``stages/hashing.py`` -> same
+bucket for the same url in every process AND every library version (the
+bucket contract must never depend on the worker environment); ties fully
+ordered, so output bytes are identical at any parallelism / bucket count.
 """
 
 from __future__ import annotations
@@ -83,25 +84,17 @@ def _keep_first_of_runs(batch: pa.Table, key: str,
     return t.filter(first)
 
 
-try:
-    import polars as _pl
-except ImportError:  # pragma: no cover - polars is baked into the env
-    _pl = None
-
-
 def _stable_bucket(values: pa.ChunkedArray, num_buckets: int) -> pa.Array:
     """Deterministic cross-process hash bucket for a string/int column.
 
-    Fast path: polars ``Series.hash`` — vectorized (Rust) xxhash straight
-    off the Arrow buffers, no pandas object-array round-trip (that path
-    pays a Python-level siphash per row, two copies per batch). Fixed
-    seed -> same bucket for the same key in every process.
+    Pinned to the pure-numpy vectorized hash in ``stages/hashing.py`` —
+    never a library hash (polars ``Series.hash`` / pandas ``hash_array``
+    are unstable across versions, and a cluster mixing hash functions
+    corrupts every keyed reduce silently; advisor finding, round 2).
     """
-    if _pl is not None:
-        h = _pl.from_arrow(values).hash(seed=0)
-        return (h % num_buckets).cast(_pl.Int64).to_arrow()
-    np_vals = values.to_pandas().to_numpy()
-    h = pd.util.hash_array(np_vals)  # fixed default hash key -> stable
+    from .hashing import hash64
+
+    h = hash64(values)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 
 

@@ -150,8 +150,12 @@ def knn_cosine_lsh(embeddings: "ray.data.Dataset", query_ids: list[int],
     ref = ray.put({"by_bucket": by_bucket, "qmat": _normalize(qv),
                    "ids": list(query_ids)})
 
-    def per_bucket(g: pa.Table) -> pa.Table:
-        q = ray.get(ref)
+    def per_bucket(g: pa.Table, _cache: dict = {}) -> pa.Table:
+        # one plasma get per TASK (the deserialized fn persists across the
+        # groups a task processes), not one per group invocation
+        q = _cache.get("q")
+        if q is None:
+            q = _cache["q"] = ray.get(ref)
         key = (int(g.column("lsh_table")[0].as_py()),
                int(g.column("lsh_bucket")[0].as_py()))
         qidx = q["by_bucket"].get(key, [])
@@ -326,8 +330,10 @@ def knn_cosine_ivf(embeddings: "ray.data.Dataset", query_ids: list[int],
             probes.setdefault(int(li), []).append(qi)
     ref = ray.put({"probes": probes, "qmat": qv, "ids": list(query_ids)})
 
-    def per_list(g: pa.Table) -> pa.Table:
-        q = ray.get(ref)
+    def per_list(g: pa.Table, _cache: dict = {}) -> pa.Table:
+        q = _cache.get("q")
+        if q is None:
+            q = _cache["q"] = ray.get(ref)   # once per task, not per group
         li = int(g.column("ivf_list")[0].as_py())
         qidx = q["probes"].get(li, [])
         if not qidx:

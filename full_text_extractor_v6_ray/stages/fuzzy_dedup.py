@@ -387,11 +387,13 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
     driver-side union-find below).
 
     Each round every node adopts the minimum label among itself and its
-    neighbors — one bucketed join + one groupby-min per round, O(graph
-    diameter) rounds. Convergence is detected by the label SUM, which is
-    strictly decreasing until the fixpoint (labels only ever shrink), so
-    no old-vs-new diff join is needed. Labels/edges are materialized once
-    per round (both are small: only near-dup nodes, not the corpus).
+    neighbors — one bucketed join + one bucketed groupby-min per round,
+    O(graph diameter) rounds. Convergence is a COUNT of changed labels
+    (new < old, computed vectorized inside the same bucketed reduce) —
+    never a Sum over the labels themselves, which wraps int64 silently at
+    large id/count scale and could alias two distinct states (advisor
+    finding, round 2). Labels/edges are materialized once per round
+    (both are small: only near-dup nodes, not the corpus).
     """
     from ray.data.aggregate import Min, Sum
 
@@ -405,7 +407,7 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
             "dst": pa.array(np.concatenate([b, a]).astype(np.int64)),
         })
 
-    from .dedup import materialize_rebased
+    from .dedup import _stable_bucket, materialize_rebased
 
     def rebase(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         # HARD lineage cut + pinned block count between rounds — without
@@ -422,7 +424,32 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
     labels = rebase(edges.map_batches(init_labels, batch_format="pyarrow")
                     .groupby("node")
                     .aggregate(Min("label", alias_name="label")))
-    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def tag(is_old: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = pa.table({"node": batch.column("node"),
+                          "label": batch.column("label")})
+            return t.append_column(
+                "__old", pa.array(np.full(t.num_rows, is_old, dtype=np.int8)))
+        return fn
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _stable_bucket(batch.column("node"), num_buckets))
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket vectorized: new label = min over old+candidates;
+        # changed flag = new < old (every node carries exactly one old
+        # row; a node with none — can't happen here — counts as changed)
+        new = g.groupby("node", sort=False)["label"].min()
+        old = g.loc[g["__old"] == 1].set_index("node")["label"]
+        sentinel = np.iinfo(np.int64).max
+        changed = new.lt(old.reindex(new.index, fill_value=sentinel))
+        return pd.DataFrame({
+            "node": new.index.to_numpy(dtype=np.int64),
+            "label": new.to_numpy(dtype=np.int64),
+            "changed": changed.to_numpy().astype(np.int8),
+        })
 
     for _ in range(max_iters):
         neighbor = bucket_hash_join(edges, labels, "src", "node",
@@ -433,12 +460,16 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
                              "label": batch.column("label")})
 
         cand = neighbor.map_batches(as_candidate, batch_format="pyarrow")
-        labels = rebase(labels.union(cand).groupby("node")
-                        .aggregate(Min("label", alias_name="label")))
-        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
-        if cur_sum == prev_sum:
+        merged = rebase(
+            labels.map_batches(tag(1), batch_format="pyarrow")
+            .union(cand.map_batches(tag(0), batch_format="pyarrow"))
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(bucket_min,
+                                            batch_format="pandas"))
+        n_changed = merged.aggregate(Sum("changed", alias_name="c"))["c"]
+        labels = merged.select_columns(["node", "label"])
+        if not n_changed:
             break
-        prev_sum = cur_sum
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("node"),

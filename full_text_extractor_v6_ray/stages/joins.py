@@ -14,8 +14,14 @@ Patterns per the Ray guide ("Joins and lookups"):
     right row with ``right_ts <= left_ts`` for the same key.
 
 Partitioning assumption (documented per the briefing): equal keys land in
-equal buckets — guaranteed by the shared stable hash (pandas hash_array,
-fixed key) on both sides.
+equal buckets — guaranteed by the shared version-independent hash
+(stages/hashing.py) on both sides.
+
+Caveat: the per-bucket pandas merge round-trips null-padded integer
+columns through float64, so uint64 VALUES above 2^53 survive the join
+only approximately (and never crash — unsigned dtypes are restored, not
+force-cast to int64). Store 64-bit hashes as int64 bit-views (the
+repo-wide convention for bucket/band ids) when they must join exactly.
 """
 
 from __future__ import annotations
@@ -77,12 +83,37 @@ def _pd_dtype(t: pa.DataType) -> str:
         return "boolean"
     if pa.types.is_timestamp(t):
         return "datetime64[ns]"
+    if (pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t)):
+        # bytes stay object-dtype: an empty bucket emitting a pandas
+        # 'string' column would carry arrow type string while populated
+        # buckets carry binary — schema unification breakage (advisor
+        # finding, round 2). An empty object column converts to arrow
+        # null, which promotes cleanly against binary.
+        return "object"
     return "string"
 
 
-def _typed_empty(fields: list[tuple[str, pa.DataType]]) -> pd.DataFrame:
-    return pd.DataFrame({n: pd.Series([], dtype=_pd_dtype(t))
-                         for n, t in fields})
+def _typed_empty(fields: list[tuple[str, pa.DataType]]) -> pa.Table:
+    """Empty bucket output as an ARROW table whose types match what the
+    pandas->arrow conversion yields for populated buckets (bytes columns
+    especially: a pandas 'string' empty would carry arrow type string
+    where populated buckets carry binary — schema unification breakage;
+    advisor finding, round 2)."""
+    def arrow_t(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_integer(t):
+            return pa.int64()
+        if pa.types.is_floating(t):
+            return pa.float64()
+        if pa.types.is_boolean(t):
+            return pa.bool_()
+        if pa.types.is_timestamp(t):
+            return pa.timestamp("ns")
+        if (pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                or pa.types.is_fixed_size_binary(t)):
+            return pa.binary()
+        return pa.string()
+    return pa.table({n: pa.array([], arrow_t(t)) for n, t in fields})
 
 
 def _split_sides(g: pd.DataFrame, lcols: list[str], rcols: list[str],
@@ -99,7 +130,12 @@ def _split_sides(g: pd.DataFrame, lcols: list[str], rcols: list[str],
             t = types.get(c)
             if t is None:
                 continue
-            if pa.types.is_integer(t) and df[c].dtype != "int64":
+            if pa.types.is_unsigned_integer(t):
+                # uint64 values >= 2^63 overflow an int64 cast (advisor
+                # finding, round 2) — keep the unsigned dtype
+                if df[c].dtype != "uint64":
+                    df[c] = df[c].astype("uint64")
+            elif pa.types.is_integer(t) and df[c].dtype != "int64":
                 df[c] = df[c].astype("int64")  # own side: never null
             elif pa.types.is_boolean(t) and df[c].dtype == object:
                 df[c] = df[c].astype(bool)

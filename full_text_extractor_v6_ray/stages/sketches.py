@@ -5,13 +5,15 @@ The guide's sketch pattern: emit ONE serialized sketch per batch from
 at the end — sketches are designed to be mergeable, so the merge order
 never matters and the result is deterministic for a given input set.
 
-HLL with p=12 (4096 registers, ~1.6% standard error), md5-based hashing
-(stable across processes — never Python's salted hash()).
+HLL with p=12 (4096 registers, ~1.6% standard error). Hashing is pinned
+to the pure-numpy implementation in ``stages/hashing.py`` — register
+merges require every worker to hash identically, so the hash must not
+depend on a library version (advisor finding, round 2; and never
+Python's salted ``hash()``).
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
@@ -19,30 +21,11 @@ import pyarrow as pa
 
 import ray.data
 
-try:
-    import polars as _pl
-except ImportError:  # pragma: no cover - polars is baked into the env
-    _pl = None
+from .hashing import hash64 as _hash64
 
 P = 12
 M = 1 << P
 _ALPHA = 0.7213 / (1 + 1.079 / M)
-
-
-def _hash64(values) -> np.ndarray:
-    """Vectorized stable 64-bit hash (polars xxhash off the Arrow buffers,
-    fixed seed -> identical across processes); md5 loop as fallback."""
-    if _pl is not None:
-        if isinstance(values, (pa.Array, pa.ChunkedArray)):
-            s = _pl.from_arrow(values)
-        else:
-            s = _pl.Series(values)
-        return s.hash(seed=0).to_numpy().astype(np.uint64)
-    return np.array(
-        [int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
-         for v in values],
-        dtype=np.uint64,
-    )
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:

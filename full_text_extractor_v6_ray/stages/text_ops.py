@@ -186,11 +186,19 @@ class FingerprintBatch:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        md5s, fps = [], []
+        # md5 over utf-8 bytes straight off the Arrow buffers (memoryview
+        # slices, no per-row encode); the shingle fingerprint still needs
+        # the Python str for tokenization.
+        col = batch.column(self.text_col).combine_chunks().cast(
+            pa.large_binary())
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                             count=len(col) + 1, offset=col.offset * 8)
+        data = memoryview(col.buffers()[2])
+        md5s = [hashlib.md5(data[offs[i]:offs[i + 1]]).hexdigest()
+                for i in range(len(col))]
+        fps = []
         for t in batch.column(self.text_col).to_pylist():
-            t = t or ""
-            md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
-            sh = shingle_hashes(t, self.k)
+            sh = shingle_hashes(t or "", self.k)
             fps.append(int(sh.min()) if len(sh) else 0)
         batch = batch.append_column("content_md5", pa.array(md5s, pa.string()))
         batch = batch.append_column("fp64", pa.array(fps, pa.uint64()))
