@@ -809,6 +809,58 @@ def q_part_type_stats(sf_dir: str):
         Max("p_size", alias_name="max_size"))
 
 
+def q_containers_extract(sf_dir: str):
+    """S7/S8 container breadth end-to-end: each document deterministically
+    wrapped (by doc_id % 3) as a gzip member, a WARC response record, or
+    a docx zip, then routed through sniff->unwrap->extract. Oracled: the
+    per-method success counts are pure doc_id arithmetic."""
+    import gzip as _gzip
+    import html as _html_mod
+    import io
+    import zipfile
+
+    from ray.data.aggregate import Count
+
+    from .extractor.document import extract_document
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class WrapAndExtract:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            methods = []
+            for doc_id, text in zip(ids, texts):
+                body = ("<html><body><h1>Doc</h1><p>"
+                        + _html_mod.escape(text or "placeholder")
+                        + "</p></body></html>").encode()
+                k = doc_id % 3
+                if k == 0:
+                    payload = _gzip.compress(body, 6)
+                elif k == 1:
+                    block = (b"HTTP/1.1 200 OK\r\n\r\n" + body)
+                    payload = (
+                        b"WARC/1.0\r\nWARC-Type: response\r\n"
+                        b"Content-Type: application/http; msgtype=response"
+                        b"\r\nContent-Length: "
+                        + str(len(block)).encode() + b"\r\n\r\n" + block)
+                else:
+                    buf = io.BytesIO()
+                    with zipfile.ZipFile(buf, "w") as zf:
+                        zf.writestr("word/document.xml",
+                                    "<w:document><w:body><w:p><w:r><w:t>"
+                                    + _html_mod.escape(text or "placeholder")
+                                    + "</w:t></w:r></w:p>"
+                                    "</w:body></w:document>")
+                    payload = buf.getvalue()
+                methods.append(extract_document(payload).method)
+            return pa.table({"method": pa.array(methods, pa.string())})
+
+    wrapped = ds.map_batches(WrapAndExtract, batch_format="pyarrow",
+                             batch_size=256, concurrency=(1, 4))
+    return wrapped.groupby("method").aggregate(Count(alias_name="n_docs"))
+
+
 def q_media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synth media -> decode actor pool -> dim stats."""
     from ray.data.aggregate import Count, Mean
@@ -916,6 +968,7 @@ QUERIES = {
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
     "knn_cosine_ivf_top10": q_knn_cosine_ivf_top10,
     "embeddings_norms": q_embeddings_norms,
+    "containers_extract": q_containers_extract,
     "media_decode_stats": q_media_decode_stats,
     "video_frame_stats": q_video_frame_stats,
     "audio_durations": q_audio_durations,
@@ -1137,6 +1190,15 @@ ORACLES = {
                round((4000 + (doc_id % 7) * 1000) / 8000.0, 6)
                    AS duration_s
         FROM documents WHERE doc_id % 5 = 0
+    """,
+    "containers_extract": """
+        -- mirrors q_containers_extract's deterministic wrapping: every
+        -- document extracts successfully through its container route
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'gzip>html'
+                               WHEN 1 THEN 'warc>html'
+                               ELSE 'docx' END AS method,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
     """,
     "orders_customer_hashjoin": """
         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

@@ -78,10 +78,14 @@ def _fallback_text(text: str) -> ExtractResult:
     )
 
 
+_MAX_CONTAINER_DEPTH = 3
+
+
 def extract_document(
     payload: bytes,
     text_fallback: str = "",
     cfg: ExtractConfig = DEFAULT_CONFIG,
+    _depth: int = 0,
 ) -> ExtractResult:
     """Extract main content from one page payload. Pure; never raises."""
     try:
@@ -93,6 +97,47 @@ def extract_document(
         handler = EXTRACTOR_REGISTRY.get(kind)
         if handler is not None:
             return handler(payload, text_fallback, cfg)
+
+        if kind in ("gzip", "warc"):
+            # container unwrap (S7 breadth): gzip members and WARC
+            # records re-enter the router at bounded depth
+            from .containers import gzip_inner, warc_inner
+
+            if _depth >= _MAX_CONTAINER_DEPTH:
+                return ExtractResult(method="error", error="container_depth")
+            if kind == "gzip":
+                try:
+                    inner = gzip_inner(payload, cfg.max_html_bytes)
+                except ValueError:
+                    return ExtractResult(method="error",
+                                         error="payload_too_large")
+            else:
+                inner = warc_inner(payload)
+            if inner is None:
+                if text_fallback:
+                    return _fallback_text(text_fallback)
+                return ExtractResult(method="error", error=f"{kind}_empty")
+            res = extract_document(inner, text_fallback, cfg, _depth + 1)
+            res.method = f"{kind}>{res.method}"   # container lineage
+            return res
+
+        if kind == "zip":
+            # OOXML fallback family (S8 breadth): docx / xlsx / pptx
+            from .ooxml import extract_zip
+
+            text, link_pairs, method, err = extract_zip(payload)
+            if err and not text and not link_pairs:
+                if text_fallback:
+                    return _fallback_text(text_fallback)
+                return ExtractResult(method="error", error=err)
+            return ExtractResult(
+                extracted_text=text,
+                links=list(link_pairs),
+                method=method,
+                n_blocks_kept=text.count("\n\n") + 1 if text else 0,
+                quality_score=1.0 if text else 0.0,
+                error=err,
+            )
 
         if kind == "pdf":
             text, link_pairs, err = extract_pdf(payload)

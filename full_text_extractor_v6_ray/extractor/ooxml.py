@@ -1,0 +1,227 @@
+"""OOXML (docx / xlsx / pptx) fallback extraction — S8 breadth.
+
+The reference hands every non-PPTX document to MarkItDown
+(/root/reference/src/converters/file_converter.py:143-222) and runs its
+own deep path for PPTX; this engine's fallback converter covers the same
+document families in-process with stdlib ``zipfile`` + regex over the
+OOXML part XML — no temp files, no subprocess, deterministic:
+
+  - docx:  ``word/document.xml`` paragraphs (``w:p``/``w:t`` runs),
+           tables (``w:tbl``/``w:tr``/``w:tc``) rendered as pipe rows
+           (the reference's table shape, markdown_converter.py:280), and
+           hyperlinks via ``w:hyperlink r:id`` resolved through
+           ``word/_rels/document.xml.rels`` (External targets);
+  - xlsx:  ``xl/sharedStrings.xml`` + each ``xl/worksheets/sheet*.xml``,
+           rows as pipe lines, shared-string and inline values resolved;
+  - pptx:  ``ppt/slides/slideN.xml`` in slide-number order, one paragraph
+           per ``a:p`` (runs joined), hyperlinks via each slide's rels
+           (the reference's own core domain, hyperlink_extractor.py:38-170).
+
+All guarded: bad zip / oversized members degrade to an error string, the
+caller's never-raise contract holds.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import io
+import re
+import zipfile
+
+from .normalize import normalize_text
+
+_MAX_MEMBER_BYTES = 50 * 1024 * 1024   # decompression-bomb guard
+
+_WT = re.compile(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.DOTALL)
+_WP_SPLIT = re.compile(r"</w:p>")
+_WTBL = re.compile(r"<w:tbl(?:\s[^>]*)?>(.*?)</w:tbl>", re.DOTALL)
+_WTR = re.compile(r"<w:tr(?:\s[^>]*)?>(.*?)</w:tr>", re.DOTALL)
+_WTC = re.compile(r"<w:tc(?:\s[^>]*)?>(.*?)</w:tc>", re.DOTALL)
+_WHYPER = re.compile(
+    r"<w:hyperlink(?:\s[^>]*?)?r:id=\"([^\"]+)\"[^>]*>(.*?)</w:hyperlink>",
+    re.DOTALL)
+_REL = re.compile(
+    r"<Relationship\b[^>]*?Id=\"([^\"]+)\"[^>]*?Target=\"([^\"]+)\"[^>]*?/?>")
+_REL_EXTERNAL = re.compile(r"TargetMode=\"External\"")
+
+_AT = re.compile(r"<a:t(?:\s[^>]*)?>(.*?)</a:t>", re.DOTALL)
+_AP_SPLIT = re.compile(r"</a:p>")
+_HLINK = re.compile(r"<a:hlinkClick\b[^>]*?r:id=\"([^\"]+)\"")
+_SLIDE_NAME = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+
+_SI = re.compile(r"<si>(.*?)</si>", re.DOTALL)
+_T_XL = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.DOTALL)
+_ROW = re.compile(r"<row(?:\s[^>]*)?>(.*?)</row>", re.DOTALL)
+_CELL = re.compile(r"<c(\s[^>]*)?>(.*?)</c>", re.DOTALL)
+_V = re.compile(r"<v>(.*?)</v>", re.DOTALL)
+_IS = re.compile(r"<is>(.*?)</is>", re.DOTALL)
+_SHEET_NAME = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+_TAG = re.compile(r"<[^>]+>")
+
+
+def _unescape(s: str) -> str:
+    return _html.unescape(s)
+
+
+def _read_member(zf: zipfile.ZipFile, name: str) -> str | None:
+    try:
+        info = zf.getinfo(name)
+    except KeyError:
+        return None
+    if info.file_size > _MAX_MEMBER_BYTES:
+        raise ValueError("zip_member_too_large")
+    return zf.read(name).decode("utf-8", errors="replace")
+
+
+def _rels_targets(zf: zipfile.ZipFile, rels_name: str) -> dict[str, str]:
+    """Relationship Id -> Target url, External targets only."""
+    xml = _read_member(zf, rels_name)
+    if xml is None:
+        return {}
+    out: dict[str, str] = {}
+    for m in _REL.finditer(xml):
+        if _REL_EXTERNAL.search(m.group(0)):
+            out[m.group(1)] = _unescape(m.group(2))
+    return out
+
+
+def _runs_text(fragment: str, run_re: re.Pattern) -> str:
+    return normalize_text(_unescape("".join(run_re.findall(fragment))))
+
+
+def _pipe_row(cells: list[str]) -> str:
+    """One markdown pipe row, cells pipe-escaped (reference
+    markdown_converter.py:280)."""
+    return "| " + " | ".join(c.replace("|", "\\|") for c in cells) + " |"
+
+
+# ---------------------------------------------------------------------------
+# docx
+# ---------------------------------------------------------------------------
+
+def _extract_docx(zf: zipfile.ZipFile) -> tuple[str, list[tuple[str, str]]]:
+    body = _read_member(zf, "word/document.xml") or ""
+    rels = _rels_targets(zf, "word/_rels/document.xml.rels")
+
+    links: list[tuple[str, str]] = []
+    for m in _WHYPER.finditer(body):
+        url = rels.get(m.group(1), "")
+        text = _runs_text(m.group(2), _WT)
+        if url:
+            links.append((text or url, url))
+
+    paragraphs: list[str] = []
+    # tables first (their w:p runs must not double as body paragraphs)
+    pos = 0
+    for tm in _WTBL.finditer(body):
+        for chunk in _WP_SPLIT.split(body[pos:tm.start()]):
+            p = _runs_text(chunk, _WT)
+            if p:
+                paragraphs.append(p)
+        for row in _WTR.finditer(tm.group(1)):
+            cells = [_runs_text(c.group(1), _WT)
+                     for c in _WTC.finditer(row.group(1))]
+            if any(cells):
+                paragraphs.append(_pipe_row(cells))
+        pos = tm.end()
+    for chunk in _WP_SPLIT.split(body[pos:]):
+        p = _runs_text(chunk, _WT)
+        if p:
+            paragraphs.append(p)
+    return "\n\n".join(paragraphs), links
+
+
+# ---------------------------------------------------------------------------
+# xlsx
+# ---------------------------------------------------------------------------
+
+def _extract_xlsx(zf: zipfile.ZipFile) -> tuple[str, list[tuple[str, str]]]:
+    shared: list[str] = []
+    ss = _read_member(zf, "xl/sharedStrings.xml")
+    if ss:
+        shared = [normalize_text(_unescape("".join(_T_XL.findall(si))))
+                  for si in _SI.findall(ss)]
+
+    sheets = sorted(
+        (int(m.group(1)), n) for n in zf.namelist()
+        if (m := _SHEET_NAME.match(n)))
+    lines: list[str] = []
+    for _, name in sheets:
+        xml = _read_member(zf, name) or ""
+        for row in _ROW.finditer(xml):
+            cells: list[str] = []
+            for cm in _CELL.finditer(row.group(0)):
+                attrs, inner = cm.group(1) or "", cm.group(2)
+                im = _IS.search(inner)
+                if im:                              # inline string
+                    cells.append(normalize_text(_unescape(
+                        "".join(_T_XL.findall(im.group(1))))))
+                    continue
+                vm = _V.search(inner)
+                if vm is None:
+                    cells.append("")
+                    continue
+                v = _unescape(vm.group(1))
+                if re.search(r"t=\"s\"", attrs):    # shared-string index
+                    try:
+                        cells.append(shared[int(v)])
+                    except (ValueError, IndexError):
+                        cells.append(v)
+                else:
+                    cells.append(normalize_text(v))
+            if any(cells):
+                lines.append(_pipe_row(cells))
+    return "\n\n".join(lines), []
+
+
+# ---------------------------------------------------------------------------
+# pptx
+# ---------------------------------------------------------------------------
+
+def _extract_pptx(zf: zipfile.ZipFile) -> tuple[str, list[tuple[str, str]]]:
+    slides = sorted(
+        (int(m.group(1)), n) for n in zf.namelist()
+        if (m := _SLIDE_NAME.match(n)))
+    paragraphs: list[str] = []
+    links: list[tuple[str, str]] = []
+    for num, name in slides:
+        xml = _read_member(zf, name) or ""
+        rels = _rels_targets(
+            zf, f"ppt/slides/_rels/slide{num}.xml.rels")
+        for chunk in _AP_SPLIT.split(xml):
+            p = _runs_text(chunk, _AT)
+            if p:
+                paragraphs.append(p)
+        for hm in _HLINK.finditer(xml):
+            url = rels.get(hm.group(1), "")
+            if url:
+                # hlinkClick lives in the run properties BEFORE the run's
+                # text: the next a:t is the anchor (the reference merges
+                # per-paragraph per-URL, hyperlink_extractor.py:77-91)
+                nm = _AT.search(xml, hm.end())
+                anchor = normalize_text(_unescape(nm.group(1))) if nm else ""
+                links.append((anchor or f"Link on slide {num}", url))
+    return "\n\n".join(paragraphs), links
+
+
+def extract_zip(payload: bytes) -> tuple[str, list[tuple[str, str]], str, str]:
+    """ZIP payload -> (text, links, method, error). Routes by OOXML part
+    names; unknown zips report ``zip_unsupported``."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except Exception:
+        return "", [], "zip", "zip_error"
+    try:
+        names = set(zf.namelist())
+        if "word/document.xml" in names:
+            text, links = _extract_docx(zf)
+            return text, links, "docx", "" if text or links else "docx_empty"
+        if "xl/workbook.xml" in names:
+            text, links = _extract_xlsx(zf)
+            return text, links, "xlsx", "" if text or links else "xlsx_empty"
+        if "ppt/presentation.xml" in names:
+            text, links = _extract_pptx(zf)
+            return text, links, "pptx", "" if text or links else "pptx_empty"
+        return "", [], "zip", "zip_unsupported"
+    except Exception as exc:
+        return "", [], "zip", f"zip_error:{type(exc).__name__}"

@@ -9,6 +9,9 @@ UDF and branch HTML vs PDF vs unknown.
 from __future__ import annotations
 
 PDF_MAGIC = b"%PDF-"
+GZIP_MAGIC = b"\x1f\x8b"
+ZIP_MAGIC = b"PK\x03\x04"
+WARC_MAGIC = b"WARC/"
 
 # Extension surface (SURVEY.md §2.9, completing the extractor-handler
 # registry in document.py): custom sniffers run BEFORE the builtin
@@ -42,6 +45,12 @@ def sniff_payload(payload: bytes) -> str:
     head = payload[:1024]
     if head.startswith(PDF_MAGIC):
         return "pdf"
+    if head.startswith(WARC_MAGIC):
+        return "warc"
+    if head.startswith(GZIP_MAGIC):
+        return "gzip"
+    if head.startswith(ZIP_MAGIC):
+        return "zip"
     lowered = head.lstrip()[:256].lower()
     if (
         lowered.startswith(b"<!doctype")

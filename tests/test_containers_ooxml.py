@@ -1,0 +1,161 @@
+"""Container unwrap (gzip / WARC) + OOXML fallback (docx/xlsx/pptx) —
+S7/S8 breadth vs the reference's MarkItDown fallback family
+(file_converter.py:143-222)."""
+
+import gzip
+import io
+import zipfile
+
+from full_text_extractor_v6_ray.extractor.document import extract_document
+from full_text_extractor_v6_ray.extractor.sniff import sniff_payload
+
+HTML = (b"<html><head><title>T</title></head><body>"
+        b"<h1>Container Title</h1><p>Inner page body text that is long "
+        b"enough to be kept by the scorer as real content.</p>"
+        b"</body></html>")
+
+
+def _warc_record(body: bytes, http: bool = True,
+                 wtype: bytes = b"response") -> bytes:
+    if http:
+        block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                 + body)
+        ctype = b"application/http; msgtype=response"
+    else:
+        block = body
+        ctype = b"text/html"
+    return (b"WARC/1.0\r\n"
+            b"WARC-Type: " + wtype + b"\r\n"
+            b"Content-Type: " + ctype + b"\r\n"
+            b"Content-Length: " + str(len(block)).encode() + b"\r\n"
+            b"\r\n" + block + b"\r\n\r\n")
+
+
+def test_sniff_containers():
+    assert sniff_payload(gzip.compress(HTML)) == "gzip"
+    assert sniff_payload(_warc_record(HTML)) == "warc"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.txt", "x")
+    assert sniff_payload(buf.getvalue()) == "zip"
+
+
+def test_gzip_member_unwraps_to_html():
+    res = extract_document(gzip.compress(HTML))
+    assert res.error == ""
+    assert res.method == "gzip>html"
+    assert "Container Title" in res.extracted_text
+
+
+def test_warc_response_record_unwraps_http_body():
+    res = extract_document(_warc_record(HTML))
+    assert res.error == ""
+    assert res.method == "warc>html"
+    assert "Inner page body text" in res.extracted_text
+
+
+def test_warc_resource_record_without_http():
+    res = extract_document(_warc_record(HTML, http=False,
+                                        wtype=b"resource"))
+    assert res.method == "warc>html"
+
+
+def test_gzipped_warc_record_nests():
+    res = extract_document(gzip.compress(_warc_record(HTML)))
+    assert res.method == "gzip>warc>html"
+    assert "Container Title" in res.extracted_text
+
+
+def test_warc_request_record_falls_back():
+    res = extract_document(_warc_record(b"GET / HTTP/1.1\r\n\r\n",
+                                        wtype=b"request"),
+                           text_fallback="naive text")
+    assert res.method == "fallback_text"
+    assert res.extracted_text == "naive text"
+
+
+def _zip_bytes(members: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, content in members.items():
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
+def test_docx_paragraphs_tables_links():
+    doc = """<?xml version="1.0"?>
+    <w:document><w:body>
+      <w:p><w:r><w:t>First paragraph</w:t></w:r></w:p>
+      <w:p><w:r><w:t>Visit </w:t></w:r>
+        <w:hyperlink r:id="rId7"><w:r><w:t>our site</w:t></w:r></w:hyperlink>
+      </w:p>
+      <w:tbl>
+        <w:tr><w:tc><w:p><w:r><w:t>A</w:t></w:r></w:p></w:tc>
+              <w:tc><w:p><w:r><w:t>B|C</w:t></w:r></w:p></w:tc></w:tr>
+      </w:tbl>
+      <w:p><w:r><w:t>After table</w:t></w:r></w:p>
+    </w:body></w:document>"""
+    rels = ('<Relationships><Relationship Id="rId7" Type="x" '
+            'Target="https://example.test/site" TargetMode="External"/>'
+            '</Relationships>')
+    payload = _zip_bytes({"word/document.xml": doc,
+                          "word/_rels/document.xml.rels": rels})
+    res = extract_document(payload)
+    assert res.method == "docx" and res.error == ""
+    assert "First paragraph" in res.extracted_text
+    assert "| A | B\\|C |" in res.extracted_text
+    assert "After table" in res.extracted_text
+    # table cell text must not double as a body paragraph
+    assert res.extracted_text.count("A") >= 1
+    assert ("our site", "https://example.test/site") in res.links
+
+
+def test_xlsx_shared_and_inline_strings():
+    shared = ('<sst><si><t>Alpha</t></si><si><t>Beta</t></si></sst>')
+    sheet = """<worksheet><sheetData>
+      <row r="1"><c r="A1" t="s"><v>0</v></c>
+                 <c r="B1"><v>42</v></c></row>
+      <row r="2"><c r="A2" t="s"><v>1</v></c>
+                 <c r="B2" t="inlineStr"><is><t>Inline</t></is></c></row>
+    </sheetData></worksheet>"""
+    payload = _zip_bytes({"xl/workbook.xml": "<workbook/>",
+                          "xl/sharedStrings.xml": shared,
+                          "xl/worksheets/sheet1.xml": sheet})
+    res = extract_document(payload)
+    assert res.method == "xlsx" and res.error == ""
+    assert "| Alpha | 42 |" in res.extracted_text
+    assert "| Beta | Inline |" in res.extracted_text
+
+
+def test_pptx_slides_in_order_with_links():
+    s1 = ('<p:sld><p:txBody><a:p><a:r><a:t>Slide one title</a:t></a:r>'
+          '</a:p></p:txBody></p:sld>')
+    s2 = ('<p:sld><p:txBody><a:p><a:r><a:rPr>'
+          '<a:hlinkClick r:id="rId2"/></a:rPr>'
+          '<a:t>Linked text</a:t></a:r></a:p></p:txBody></p:sld>')
+    rels2 = ('<Relationships><Relationship Id="rId2" Type="x" '
+             'Target="https://deck.test/ref" TargetMode="External"/>'
+             '</Relationships>')
+    payload = _zip_bytes({
+        "ppt/presentation.xml": "<p:presentation/>",
+        "ppt/slides/slide2.xml": s2,
+        "ppt/slides/slide1.xml": s1,
+        "ppt/slides/_rels/slide2.xml.rels": rels2,
+    })
+    res = extract_document(payload)
+    assert res.method == "pptx" and res.error == ""
+    assert res.extracted_text.index("Slide one title") < \
+        res.extracted_text.index("Linked text")
+    assert res.links and res.links[0][1] == "https://deck.test/ref"
+
+
+def test_unknown_zip_reports_unsupported():
+    payload = _zip_bytes({"random/file.bin": "zzz"})
+    res = extract_document(payload)
+    assert res.method == "error" and res.error == "zip_unsupported"
+
+
+def test_bad_zip_degrades():
+    payload = b"PK\x03\x04" + b"\x00" * 40
+    res = extract_document(payload, text_fallback="fallback body")
+    assert res.method == "fallback_text"
