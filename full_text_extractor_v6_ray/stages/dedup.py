@@ -53,19 +53,37 @@ def default_num_buckets(minimum: int) -> int:
 
 
 def materialize_rebased(ds: "ray.data.Dataset",
-                        num_blocks: int = 32) -> "ray.data.Dataset":
+                        num_blocks: int = 32,
+                        spill_dir: str | None = None) -> "ray.data.Dataset":
     """Materialize + HARD lineage cut at a pinned block count.
 
     Needed when one lazy pipeline feeds SEVERAL consumers (join sides,
     iterative loops, schema probes): without the cut, every consumer —
     including each ``.schema()`` probe a join makes — re-executes the
     full upstream lineage (re-spawning its actor pools), and iterative
-    unions double block counts per round. Rebuilding from the
-    materialized object-store refs (no driver copy) makes downstream
-    reads O(1). At 10^12-row scale, swap this for a parquet intermediate
-    (write + re-read — the checkpoint pattern) instead of pinning the
-    object store.
+    unions double block counts per round.
+
+    Two flavors:
+      - default: rebuild from the materialized object-store refs (no
+        driver copy) — O(1) downstream reads, intermediate pinned in the
+        object store;
+      - ``spill_dir``: write a parquet intermediate and re-read it (the
+        checkpoint pattern) — the 10^12-row flavor: nothing stays pinned
+        in the object store, the intermediate lives on (shared) storage
+        and a crashed consumer re-reads instead of re-executing.
     """
+    if spill_dir is not None:
+        import os
+        import uuid
+
+        path = os.path.join(spill_dir, f"rebase-{uuid.uuid4().hex}")
+        ds.write_parquet(path)
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if files:
+            return ray.data.read_parquet(path,
+                                         override_num_blocks=num_blocks)
+        # zero rows written -> nothing to read back; fall through to the
+        # object-store flavor (an empty materialize is cheap)
     mat = ds.repartition(num_blocks).materialize()
     return ray.data.from_arrow_refs(mat.to_arrow_refs())
 

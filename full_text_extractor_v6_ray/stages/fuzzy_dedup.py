@@ -188,7 +188,8 @@ def _distinct_pairs(pairs: "ray.data.Dataset",
 def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
                       threshold: float = 0.8, num_perm: int = 128,
                       bands: int = 16, seed: int = 42,
-                      num_buckets: int = 32) -> "ray.data.Dataset":
+                      num_buckets: int = 32,
+                      spill_dir: str | None = None) -> "ray.data.Dataset":
     """Full MinHash-LSH near-dup pipeline -> distinct
     (doc_a, doc_b, est_jaccard) pairs with est_jaccard >= threshold.
 
@@ -210,7 +211,8 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
     # seconds). ~(num_perm*8)B/doc, never the text; at 10^12 docs use a
     # parquet intermediate instead (see materialize_rebased docstring).
     sig_cols = materialize_rebased(
-        sigs.select_columns(["doc_id", "minhash"]), num_buckets)
+        sigs.select_columns(["doc_id", "minhash"]), num_buckets,
+        spill_dir=spill_dir)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         t = explode_bands(batch, num_perm, bands)
@@ -223,7 +225,7 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
         lambda g: _candidate_pairs_in_bucket(g.drop_columns(["__bucket"])),
         batch_format="pyarrow")
     pairs = materialize_rebased(_distinct_pairs(cands, num_buckets),
-                                num_buckets)
+                                num_buckets, spill_dir=spill_dir)
 
     sa = sig_cols.map_batches(lambda b: b.rename_columns(["doc_id", "sig_a"]),
                               batch_format="pyarrow")
@@ -231,7 +233,8 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
                               batch_format="pyarrow")
     j1 = materialize_rebased(
         bucket_hash_join(pairs, sa, "doc_a", "doc_id",
-                         num_buckets=num_buckets), num_buckets)
+                         num_buckets=num_buckets), num_buckets,
+        spill_dir=spill_dir)
     j2 = bucket_hash_join(j1, sb, "doc_b", "doc_id", num_buckets=num_buckets)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -381,7 +384,8 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
-                      max_iters: int = 50) -> "ray.data.Dataset":
+                      max_iters: int = 50,
+                      spill_dir: str | None = None) -> "ray.data.Dataset":
     """Distributed connected components over a near-dup pair list:
     iterative min-label propagation (the 10^12-scale replacement for the
     driver-side union-find below).
@@ -413,7 +417,8 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
         # HARD lineage cut + pinned block count between rounds — without
         # both, each round's union+aggregate doubled the block count and
         # re-executed grown lineage (~4x slower per round, exponential)
-        return materialize_rebased(ds, num_buckets)
+        return materialize_rebased(ds, num_buckets,
+                                   spill_dir=spill_dir)
 
     edges = rebase(pairs.map_batches(to_edges, batch_format="pyarrow"))
 

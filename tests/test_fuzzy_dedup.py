@@ -87,6 +87,45 @@ def test_minhash_pipeline_finds_planted_dups(ray_session):
     assert len(found) == 2  # no false positives on random docs
 
 
+def test_minhash_spill_dir_flavor_equal_output(ray_session, tmp_path):
+    """Parquet-intermediate rebase (object-store pinning OFF) must produce
+    the same pairs and components as the object-store flavor."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        dup_components_ds,
+        minhash_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(vocab[rng.randint(500)] for _ in range(80))
+             for _ in range(40)]
+    ids = list(range(40))
+    for src, nid in [(0, 100), (1, 101), (0, 102)]:
+        words = texts[src].split()
+        words[5] = f"CHANGED{nid}"
+        texts.append(" ".join(words))
+        ids.append(nid)
+
+    def mk():
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    base_pairs = minhash_dup_pairs(mk(), threshold=0.7).to_pandas()
+    spill_pairs = minhash_dup_pairs(
+        mk(), threshold=0.7, spill_dir=str(tmp_path)).to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["est_jaccard"]))
+    assert key(base_pairs) == key(spill_pairs)
+    assert any(tmp_path.iterdir())   # the parquet flavor really spilled
+
+    comp = dup_components_ds(
+        minhash_dup_pairs(mk(), threshold=0.7, spill_dir=str(tmp_path)),
+        num_buckets=4, spill_dir=str(tmp_path)).to_pandas()
+    by = dict(zip(comp["doc_id"], comp["component"]))
+    assert by[100] == by[102] == by[0]
+
+
 def test_simhash_pipeline_finds_planted_dups(ray_session):
     import ray.data
     from full_text_extractor_v6_ray.stages.fuzzy_dedup import simhash_dup_pairs
