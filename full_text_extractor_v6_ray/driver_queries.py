@@ -498,6 +498,34 @@ def q_events_sessions(sf_dir: str, num_buckets: int = 64):
             .map_groups(bucket_sessions, batch_format="pandas"))
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (1-hour window, 30-minute hop): each event
+    lands in exactly two windows — decomposed as two phase-shifted
+    tumbling windows inside one map_batches (no row explosion shuffle
+    cost beyond the single groupby)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def two_phases(batch: pa.Table) -> pa.Table:
+        h0 = pc.floor_temporal(batch["ts"], unit="hour")
+        shifted = pc.subtract(
+            batch["ts"], pa.scalar(1800 * 1_000_000, pa.duration("us")))
+        h1 = pc.add(pc.floor_temporal(shifted, unit="hour"),
+                    pa.scalar(1800 * 1_000_000, pa.duration("us")))
+        out0 = pa.table({"win_start": h0, "event_type": batch["event_type"],
+                         "value": batch["value"]})
+        out1 = pa.table({"win_start": h1, "event_type": batch["event_type"],
+                         "value": batch["value"]})
+        return pa.concat_tables([out0, out1])
+
+    return (ds.map_batches(two_phases, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "win_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value", alias_name="total_value")))
+
+
 def q_order_keys_union(sf_dir: str):
     """Set op: distinct union of order keys from orders and lineitem."""
     from ray.data.aggregate import Count
@@ -978,6 +1006,7 @@ QUERIES = {
     "extract_error_summary": q_extract_error_summary,
     "extract_top_by_chars": q_extract_top_by_chars,
     "events_sessions": q_events_sessions,
+    "events_sliding": q_events_sliding,
     "order_keys_union": q_order_keys_union,
     "embeddings_neardup": q_embeddings_neardup,
     "embeddings_neardup_lsh": q_embeddings_neardup_lsh,
@@ -1102,6 +1131,21 @@ ORACLES = {
                count(*) AS n_events, sum(value) AS total_value
         FROM s GROUP BY user_id, session_n
     """,
+    "events_sliding": """
+        -- sliding(1h, 30m) == two phase-shifted tumbling windows
+        WITH phased AS (
+            SELECT event_type, date_trunc('hour', ts) AS win_start, value
+            FROM events
+            UNION ALL
+            SELECT event_type,
+                   date_trunc('hour', ts - INTERVAL 30 MINUTE)
+                       + INTERVAL 30 MINUTE AS win_start, value
+            FROM events
+        )
+        SELECT event_type, win_start, count(*) AS n_events,
+               sum(value) AS total_value
+        FROM phased GROUP BY event_type, win_start
+    """,
     "order_keys_union": """
         SELECT o_orderkey AS okey FROM orders
         UNION
@@ -1190,6 +1234,22 @@ ORACLES = {
                round((4000 + (doc_id % 7) * 1000) / 8000.0, 6)
                    AS duration_s
         FROM documents WHERE doc_id % 5 = 0
+    """,
+    "extract_error_summary": """
+        -- the synthetic corpus routes by doc_id arithmetic (pages_gen):
+        -- %50=3 -> pdf, %100=7 -> garbage (plain-text fallback), else
+        -- html; re-crawl rows tripled on %17=0; every payload extracts
+        -- cleanly -> error ''
+        WITH rep AS (
+            SELECT doc_id FROM documents
+            CROSS JOIN (VALUES (0), (1), (2)) t(c)
+            WHERE c = 0 OR doc_id % 17 = 0
+        )
+        SELECT CASE WHEN doc_id % 50 = 3 THEN 'pdf'
+                    WHEN doc_id % 100 = 7 THEN 'fallback_text'
+                    ELSE 'html' END AS method,
+               '' AS error, count(*) AS n_pages
+        FROM rep GROUP BY 1, 2
     """,
     "containers_extract": """
         -- mirrors q_containers_extract's deterministic wrapping: every
