@@ -787,6 +787,64 @@ def q_events_type_count_salted(sf_dir: str):
     return salted_count_sum(ds, "event_type", sum_col="value", n_salts=8)
 
 
+def q_orders_top_per_customer(sf_dir: str):
+    """Grouped top-k: each customer's 2 highest-value orders (keyed
+    generalization of O1/O3 sort+limit; one bucketed shuffle)."""
+    from .stages.topk import grouped_top_k
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_top_k(ds, "o_custkey", "o_totalprice", k=2,
+                         descending=True, tie_col="o_orderkey")
+
+
+def q_orders_anti_join(sf_dir: str):
+    """Broadcast ANTI-join: orders whose customer is NOT in the BUILDING
+    market segment — the exclusion set ships once via ray.put, the
+    filter is one vectorized np.isin per batch (no shuffle)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    seg = np.asarray(cust["c_mktsegment"].to_pylist())
+    excl = np.sort(keys[seg == "BUILDING"])
+    ref = ray.put(excl)
+
+    class AntiJoin:
+        def __init__(self):
+            self.excl = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(~np.isin(ck, self.excl)))
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return ds.map_batches(AntiJoin, batch_format="pyarrow",
+                          batch_size=4096, concurrency=(1, 2))
+
+
+def q_lineitem_price_quantiles(sf_dir: str):
+    """Grouped exact quantiles per return flag (map_groups; the key
+    cardinality is tiny — 3 flags — so one group per task is the right
+    shape; high-cardinality keys would use a mergeable sketch instead)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+
+    def qtiles(g: pd.DataFrame) -> pd.DataFrame:
+        q = g["l_extendedprice"].quantile([0.25, 0.5, 0.75, 0.9])
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "q25": [round(q[0.25], 4)], "q50": [round(q[0.5], 4)],
+            "q75": [round(q[0.75], 4)], "q90": [round(q[0.9], 4)],
+        })
+
+    return ds.groupby("l_returnflag").map_groups(qtiles,
+                                                 batch_format="pandas")
+
+
 def q_docs_sample(sf_dir: str):
     """Seeded random sample (deterministic given seed; rows-only check
     asserts determinism through the test suite, not SQL)."""
@@ -1022,6 +1080,9 @@ QUERIES = {
     "lineitem_orders_range": q_lineitem_orders_range,
     "events_user_approx_distinct": q_events_user_approx_distinct,
     "events_type_count_salted": q_events_type_count_salted,
+    "orders_top_per_customer": q_orders_top_per_customer,
+    "orders_anti_join": q_orders_anti_join,
+    "lineitem_price_quantiles": q_lineitem_price_quantiles,
     "docs_sample": q_docs_sample,
     "supplier_region_stats": q_supplier_region_stats,
     "part_type_stats": q_part_type_stats,
@@ -1285,6 +1346,28 @@ ORACLES = {
     "events_type_count_salted": """
         SELECT event_type, count(*) AS n_rows, sum(value) AS total
         FROM events GROUP BY event_type
+    """,
+    "orders_top_per_customer": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn <= 2
+    """,
+    "orders_anti_join": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey NOT IN
+            (SELECT c_custkey FROM customer
+             WHERE c_mktsegment = 'BUILDING')
+    """,
+    "lineitem_price_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+               round(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+               round(quantile_cont(l_extendedprice, 0.90), 4) AS q90
+        FROM lineitem GROUP BY l_returnflag
     """,
     "supplier_region_stats": """
         SELECT coalesce(r.r_name, '') AS r_name,

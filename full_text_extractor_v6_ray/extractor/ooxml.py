@@ -52,7 +52,7 @@ _SLIDE_NAME = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
 _SI = re.compile(r"<si>(.*?)</si>", re.DOTALL)
 _T_XL = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.DOTALL)
 _ROW = re.compile(r"<row(?:\s[^>]*)?>(.*?)</row>", re.DOTALL)
-_CELL = re.compile(r"<c(\s[^>]*)?>(.*?)</c>", re.DOTALL)
+_CELL = re.compile(r"<c(\s[^>]*?)?(?:/>|>(.*?)</c>)", re.DOTALL)
 _V = re.compile(r"<v>(.*?)</v>", re.DOTALL)
 _IS = re.compile(r"<is>(.*?)</is>", re.DOTALL)
 _SHEET_NAME = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
@@ -152,6 +152,9 @@ def _extract_xlsx(zf: zipfile.ZipFile) -> tuple[str, list[tuple[str, str]]]:
             cells: list[str] = []
             for cm in _CELL.finditer(row.group(0)):
                 attrs, inner = cm.group(1) or "", cm.group(2)
+                if inner is None:        # self-closing <c/> = empty cell
+                    cells.append("")
+                    continue
                 im = _IS.search(inner)
                 if im:                              # inline string
                     cells.append(normalize_text(_unescape(
