@@ -233,6 +233,90 @@ def _mk_pdf(paragraphs: list[str], link: str = "", per_page: int = 2,
     return b"".join(parts)
 
 
+def _mk_pdf_cid_xref(paragraphs: list[str], link: str = "",
+                     per_page: int = 2) -> bytes:
+    """Third PDF shape: PDF 1.5 with a compressed XREF STREAM (W [1 4 2],
+    PNG predictor 12) and CID-style text — every string a 2-byte-code HEX
+    string decoded through a Type0 font's /ToUnicode bfrange CMap.
+
+    Text content is byte-identical to the literal-string shapes: the same
+    latin-1 errors='replace' transform is applied before encoding, so the
+    golden fixtures pin that the sophisticated parse path (xref offsets,
+    predictor, hex strings, CMap mapping) yields the same extraction."""
+    import zlib
+
+    def to_latin(s: str) -> str:
+        return s.encode("latin-1", errors="replace").decode("latin-1")
+
+    chunks = [paragraphs[i:i + per_page]
+              for i in range(0, len(paragraphs), per_page)] or [[]]
+    n_pages = len(chunks)
+    page_nums = [3 + 2 * i for i in range(n_pages)]
+    content_nums = [4 + 2 * i for i in range(n_pages)]
+    annot_num = 3 + 2 * n_pages
+    font_num, tou_num, xref_num = annot_num + 1, annot_num + 2, annot_num + 3
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offs: dict[int, int] = {}
+
+    def add(num: int, body: bytes) -> None:
+        offs[num] = len(out)
+        out.extend(f"{num} 0 obj ".encode("latin-1") + body + b" endobj\n")
+
+    add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    add(2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+        .encode("latin-1"))
+    esc_link = (link.replace("\\", r"\\").replace("(", r"\(")
+                .replace(")", r"\)"))
+    res = f"/Resources << /Font << /F9 {font_num} 0 R >> >> "
+    for i, (pnum, cnum, paras) in enumerate(
+            zip(page_nums, content_nums, chunks)):
+        annots = f"/Annots [{annot_num} 0 R] " if link and i == 0 else ""
+        add(pnum, (f"<< /Type /Page /Parent 2 0 R /Contents {cnum} 0 R "
+                   f"{res}{annots}>>").encode("latin-1"))
+        content = "\n".join(
+            "BT /F9 12 Tf 72 %d Td <%s> Tj ET"
+            % (720 - 40 * j,
+               "".join("%04X" % ord(c) for c in to_latin(p)))
+            for j, p in enumerate(paras)).encode("latin-1")
+        add(cnum, (b"<< /Length " + str(len(content)).encode()
+                   + b" >> stream\n" + content + b"\nendstream"))
+    if link:
+        add(annot_num, (f"<< /Type /Annot /Subtype /Link "
+                        f"/Rect [72 60 200 80] "
+                        f"/A << /S /URI /URI ({esc_link}) >> >>")
+            .encode("latin-1"))
+    add(font_num, (f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+                   f"/ToUnicode {tou_num} 0 R >>").encode("latin-1"))
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 beginbfrange\n<0000> <00FF> <0000>\nendbfrange\nend")
+    add(tou_num, b"<< /Length " + str(len(cmap)).encode()
+        + b" >> stream\n" + cmap + b"\nendstream")
+
+    # xref stream: type-1 rows for objects 1..xref_num, predictor 12
+    xoff = len(out)
+    offs[xref_num] = xoff
+    rows = [b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")]
+    for n in range(1, xref_num + 1):
+        rows.append(b"\x01" + offs[n].to_bytes(4, "big")
+                    + (0).to_bytes(2, "big"))
+    enc = bytearray()
+    prev = bytes(7)
+    for r in rows:
+        enc += b"\x02" + bytes((r[j] - prev[j]) & 0xFF for j in range(7))
+        prev = r
+    data = zlib.compress(bytes(enc), 6)
+    out.extend(f"{xref_num} 0 obj ".encode("latin-1")
+               + b"<< /Type /XRef /Size " + str(xref_num + 1).encode()
+               + b" /W [1 4 2] /Root 1 0 R /Filter /FlateDecode"
+               + b" /DecodeParms << /Predictor 12 /Columns 7 >> /Length "
+               + str(len(data)).encode() + b" >> stream\n" + data
+               + b"\nendstream endobj\n")
+    out.extend(b"startxref\n" + str(xoff).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
 def _naive_text(html_str: str) -> str:
     """Upstream 'wet'-style naive text: tag strip + entity decode + collapse."""
     return _WS.sub(" ", _html.unescape(_TAG_STRIP.sub(" ", html_str))).strip()
@@ -256,11 +340,17 @@ def build_page_row(doc_id: int, text: str, lang: str, source: str,
 
     if doc_id % 50 == 3:
         paras = [_sentence(ws, rng, 8, 12) for _ in range(3)]
-        # two PDF shapes: plain multi-page (…03) and FlateDecode content
-        # + ObjStm-packed annotation (…53, the PDF 1.5 layout)
-        fancy = doc_id % 100 == 53
-        payload = _mk_pdf(paras, link=f"https://{host}/ref/{doc_id}",
-                          per_page=2, compress=fancy, objstm=fancy)
+        # three PDF shapes: plain multi-page (…03), FlateDecode content +
+        # ObjStm-packed annotation (…53, PDF 1.5 layout), and xref-stream
+        # + CID/ToUnicode hex-string text (%150==103 — same extracted
+        # bytes by construction, pinning the sophisticated parse path)
+        if doc_id % 150 == 103:
+            payload = _mk_pdf_cid_xref(
+                paras, link=f"https://{host}/ref/{doc_id}", per_page=2)
+        else:
+            fancy = doc_id % 100 == 53
+            payload = _mk_pdf(paras, link=f"https://{host}/ref/{doc_id}",
+                              per_page=2, compress=fancy, objstm=fancy)
         naive = " ".join(paras)
     elif doc_id % 100 == 7:
         payload = b"\x00\x01\x02GARBAGE<<<not html" + bytes(str(doc_id), "ascii")

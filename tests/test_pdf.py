@@ -85,3 +85,23 @@ def test_pdf_same_url_distinct_pages_kept():
     _, links, err = extract_pdf(payload)
     assert err == ""
     assert [u for _, u in links] == ["https://dup.example.org/x"] * 3
+
+
+def test_corpus_cid_xref_shape_matches_plain_shape():
+    """The third corpus PDF shape (doc_id %150==103: xref stream with PNG
+    predictor 12 + Type0/ToUnicode hex-string text) extracts byte-identical
+    text/links/spans to the plain literal-string shape by construction —
+    golden fixtures therefore pin the sophisticated parse path end-to-end."""
+    from full_text_extractor_v6_ray.sources.pages_gen import _mk_pdf_cid_xref
+
+    paras = ["First cid paragraph.", "Second (with parens).",
+             "Third https://inline.example.org/p here."]
+    link = "https://anchor.example.org/ref"
+    plain = _mk_pdf(paras, link=link, per_page=2)
+    fancy = _mk_pdf_cid_xref(paras, link=link, per_page=2)
+    assert fancy.startswith(b"%PDF-1.5") and b"/Type /XRef" in fancy
+    assert b"(" + paras[0].encode()[:5] not in fancy  # no literal strings
+    t1, l1, e1 = extract_pdf(plain)
+    t2, l2, e2 = extract_pdf(fancy)
+    assert (t1, l1, e1) == (t2, l2, e2)
+    assert e1 == "" and t1.split("\n\n")[0] == paras[0]
