@@ -1,8 +1,9 @@
 """Container payloads: gzip members and WARC records (S7 router breadth).
 
 Common-Crawl-style corpora frequently carry pages still wrapped in their
-capture container: a gzip member (one record of a .warc.gz), or a raw
-WARC record whose block is an HTTP response. Both unwrap in-process and
+capture container: a gzip member (one record of a .warc.gz), or raw
+WARC records (warcinfo/request records skipped, first content record
+wins) whose block is an HTTP response. Both unwrap in-process and
 re-enter the sniff->route->extract pipeline (bounded depth), so a
 `documents` table mixing raw HTML, gzip members and WARC records
 extracts uniformly.
@@ -29,31 +30,50 @@ def gzip_inner(payload: bytes, max_bytes: int) -> bytes | None:
     return out or None
 
 
+_MAX_WARC_RECORDS = 64
+
+
 def warc_inner(payload: bytes) -> bytes | None:
-    """Content block of the FIRST WARC record; for
-    ``application/http; msgtype=response`` blocks, the HTTP entity body
-    (status line + headers stripped). None when the record is not a
-    response/resource/conversion or is malformed."""
-    head_end = payload.find(b"\r\n\r\n")
-    if head_end < 0:
-        return None
-    headers: dict[bytes, bytes] = {}
-    for line in payload[:head_end].split(b"\r\n")[1:]:
-        k, _, v = line.partition(b":")
-        headers[k.strip().lower()] = v.strip()
-    wtype = headers.get(b"warc-type", b"")
-    if wtype not in (b"response", b"resource", b"conversion"):
-        return None
-    body = payload[head_end + 4:]
-    try:
-        n = int(headers.get(b"content-length", b""))
-        body = body[:n]
-    except ValueError:
-        pass  # no/invalid length: take the rest (single-record payload)
-    ctype = headers.get(b"content-type", b"")
-    if ctype.split(b";")[0].strip() == b"application/http":
-        http_end = body.find(b"\r\n\r\n")
-        if http_end < 0:
+    """Content block of the first CONTENT record (``response`` /
+    ``resource`` / ``conversion``) — real .warc payloads lead with a
+    ``warcinfo`` record and interleave ``request``/``metadata`` records,
+    which are skipped by their ``Content-Length`` (record iteration is
+    bounded). For ``application/http; msgtype=response`` blocks, the HTTP
+    entity body (status line + headers stripped). None when no content
+    record is found or the payload is malformed."""
+    pos = 0
+    for _ in range(_MAX_WARC_RECORDS):
+        if not payload.startswith(b"WARC/", pos):
             return None
-        body = body[http_end + 4:]
-    return body or None
+        head_end = payload.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return None
+        headers: dict[bytes, bytes] = {}
+        for line in payload[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        wtype = headers.get(b"warc-type", b"")
+        body = payload[head_end + 4:]
+        try:
+            n = int(headers.get(b"content-length", b""))
+        except ValueError:
+            n = -1   # no/invalid length: rest of payload, last record
+        if n >= 0:
+            body = body[:n]
+        if wtype in (b"response", b"resource", b"conversion"):
+            ctype = headers.get(b"content-type", b"")
+            if ctype.split(b";")[0].strip() == b"application/http":
+                http_end = body.find(b"\r\n\r\n")
+                if http_end < 0:
+                    return None
+                body = body[http_end + 4:]
+            return body or None
+        if n < 0:
+            return None   # non-content record without a length: can't skip
+        # skip this record's block + the \r\n\r\n record separator
+        pos = head_end + 4 + n
+        if payload.startswith(b"\r\n\r\n", pos):
+            pos += 4
+        elif payload.startswith(b"\r\n", pos):
+            pos += 2
+    return None

@@ -31,6 +31,9 @@ first:
         annotation /Rect, else the ``Link on page N`` placeholder;
       * ``/GoTo`` actions (and direct /Dest): internal links emitted as
         ``#page=N`` with rect-anchored text, else ``Go to page N``;
+        NAMED destinations (``/D (name)`` / ``/Dest /name``) resolve
+        through the catalog's ``/Names`` -> ``/Dests`` name tree
+        (``/Kids`` recursion bounded) or the old-style ``/Dests`` dict;
       * regex URL scan of the page text with a +/-50-char context window
         (hyperlink_extractor.py:283-296), deduped per (url, page) (J2).
 
@@ -87,6 +90,26 @@ _RECT = re.compile(rb"/Rect\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)"
 _GOTO_D = re.compile(rb"/S\s*/GoTo\b.*?/D\s*\[\s*(\d+)\s+\d+\s+R",
                     re.DOTALL)
 _DEST_DIRECT = re.compile(rb"/Dest\s*\[\s*(\d+)\s+\d+\s+R")
+# named destinations: /D or /Dest carrying a string or name object instead
+# of an explicit [page ...] array; resolved through the catalog's
+# /Names -> /Dests name tree or the old-style /Dests dictionary
+_NAMED_VAL = (rb"(?:\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>"
+              rb"|/([^\s/<>()\[\]]+))")
+_GOTO_NAMED = re.compile(rb"/S\s*/GoTo\b.*?/D\s*" + _NAMED_VAL, re.DOTALL)
+_DEST_NAMED = re.compile(rb"/Dest\s*" + _NAMED_VAL)
+_DESTS_REF = re.compile(rb"/Dests\s+(\d+)\s+\d+\s+R")
+_NAMES_REF = re.compile(rb"/Names\s+(\d+)\s+\d+\s+R")
+_NAMES_ARR = re.compile(rb"/Names\s*\[(.*)\]", re.DOTALL)
+_TYPE_CATALOG = re.compile(rb"/Type\s*/Catalog\b")
+# one (name, dest) pair inside a name-tree /Names array: literal or hex
+# string name, then an inline dest array or an indirect reference
+_NAME_PAIR = re.compile(
+    rb"(?:\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>)\s*"
+    rb"(?:(\[[^\]]*\])|(\d+)\s+\d+\s+R)", re.DOTALL)
+# one /name -> dest entry of an old-style /Dests dictionary
+_DICT_DEST = re.compile(
+    rb"/([^\s/<>()\[\]]+)\s*(?:(\[[^\]]*\])|(\d+)\s+\d+\s+R)")
+_NAME_HEX_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
 _TOUNICODE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R\b")
 _TYPE0 = re.compile(rb"/Subtype\s*/Type0\b")
 _BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
@@ -738,12 +761,101 @@ def _scan_text_urls(page_no: int, paragraphs: list[str], seen: set,
                                           m.start() + len(url)), url))
 
 
+def _decode_name_obj(raw: bytes) -> str:
+    """PDF name object -> text (#xx hex escapes expanded)."""
+    return _NAME_HEX_ESC.sub(
+        lambda m: bytes([int(m.group(1), 16)]), raw
+    ).decode("utf-8", errors="replace")
+
+
+def _named_match_text(groups: tuple) -> str:
+    """Name text from a (_NAMED_VAL / _NAME_PAIR) match's string groups:
+    literal string, hex string (UTF-16BE when BOM'd, else latin-1), or
+    name object."""
+    lit, hx = groups[0], groups[1]
+    if lit is not None:
+        return _decode_pdf_string(lit)
+    if hx is not None:
+        data = _decode_hex_bytes(hx)
+        if data[:2] == b"\xfe\xff":
+            return data[2:].decode("utf-16-be", errors="replace")
+        return data.decode("latin-1")
+    return _decode_name_obj(groups[2]) if len(groups) > 2 else ""
+
+
+def _dest_first_page(objs: dict[int, bytes], arr: bytes | None,
+                     refnum: bytes | None) -> int | None:
+    """Destination value -> target PAGE object number: first reference of
+    an inline ``[page ...]`` array, or of the referenced object (a bare
+    dest array or a ``<< /D [...] >>`` wrapper)."""
+    src = arr
+    if src is None and refnum is not None:
+        body = objs.get(int(refnum), b"")
+        dm = re.search(rb"/D\s*\[([^\]]*)\]", body)
+        src = dm.group(1) if dm else body
+    if src is None:
+        return None
+    m = _REF.search(src)
+    return int(m.group(1)) if m else None
+
+
+def _collect_named_dests(objs: dict[int, bytes], num: int,
+                         out: dict[str, int], depth: int = 0) -> None:
+    """One /Dests node -> ``out``: name-tree leaves (``/Names`` pairs),
+    intermediate nodes (``/Kids`` recursion, bounded), or the old-style
+    ``/Dests`` dictionary (``/name [dest]`` entries)."""
+    body = objs.get(num)
+    if body is None or depth > 8:
+        return
+    nm = _NAMES_ARR.search(body)
+    km = _KIDS.search(body)
+    if nm:
+        for pm in _NAME_PAIR.finditer(nm.group(1)):
+            name = _named_match_text((pm.group(1), pm.group(2)))
+            page = _dest_first_page(objs, pm.group(3), pm.group(4))
+            if name and page is not None:
+                out.setdefault(name, page)
+    if km:
+        for r in _REF.finditer(km.group(1)):
+            _collect_named_dests(objs, int(r.group(1)), out, depth + 1)
+    if not nm and not km:
+        for dm in _DICT_DEST.finditer(body):
+            key = dm.group(1)
+            if key in (b"Type", b"Limits", b"Kids", b"Names", b"D"):
+                continue
+            page = _dest_first_page(objs, dm.group(2), dm.group(3))
+            if page is not None:
+                out.setdefault(_decode_name_obj(key), page)
+
+
+def _named_destinations(objs: dict[int, bytes]) -> dict[str, int]:
+    """name -> destination page object number, from the document catalog:
+    PDF 1.1 old-style ``/Dests`` dictionary and/or the PDF 1.2+
+    ``/Names`` -> ``/Dests`` name tree (both may coexist)."""
+    out: dict[str, int] = {}
+    for body in objs.values():
+        if not _TYPE_CATALOG.search(body):
+            continue
+        roots = {int(m.group(1)) for m in _DESTS_REF.finditer(body)}
+        im = _NAMES_REF.search(body)   # /Names as an indirect dict
+        if im:
+            roots.update(int(m.group(1)) for m in
+                         _DESTS_REF.finditer(objs.get(int(im.group(1)),
+                                                      b"")))
+        for root in roots:
+            _collect_named_dests(objs, root, out)
+        break
+    return out
+
+
 def _page_annots(objs: dict[int, bytes], page_body: bytes, pno: int,
                  page_index: dict[int, int],
                  pieces: list[tuple[float, float, str]],
-                 seen: set, links: list) -> None:
-    """Link annotations of one page: /URI actions + /GoTo internal links,
-    anchor text from the /Rect neighborhood when any text sits there
+                 seen: set, links: list,
+                 named: dict[str, int] | None = None) -> None:
+    """Link annotations of one page: /URI actions + /GoTo internal links
+    (explicit ``[page ...]`` dests and NAMED dests via ``named``), anchor
+    text from the /Rect neighborhood when any text sits there
     (reference hyperlink_extractor.py:224-271), else the placeholder."""
     am = _ANNOTS.search(page_body)
     if not am:
@@ -764,8 +876,13 @@ def _page_annots(objs: dict[int, bytes], page_body: bytes, pno: int,
                 seen.add((url, pno))
                 links.append((rect_text or f"Link on page {pno}", url))
         gm = _GOTO_D.search(ab) or _DEST_DIRECT.search(ab)
-        if gm:
-            dest = page_index.get(int(gm.group(1)))
+        pagenum: int | None = int(gm.group(1)) if gm else None
+        if pagenum is None and named:
+            nm = _GOTO_NAMED.search(ab) or _DEST_NAMED.search(ab)
+            if nm:
+                pagenum = named.get(_named_match_text(nm.groups()))
+        if pagenum is not None:
+            dest = page_index.get(pagenum)
             if dest is not None:
                 url = f"#page={dest}"
                 if (url, pno) not in seen:
@@ -791,13 +908,14 @@ def extract_pdf(payload: bytes) -> tuple[str, list[tuple[str, str]], str]:
         objs = _parse_objects(payload)
         pages = _page_order(objs)
         page_index = {pnum: i + 1 for i, pnum in enumerate(pages)}
+        named = _named_destinations(objs)
         if pages:
             for pno, pnum in enumerate(pages, start=1):
                 body = objs[pnum]
                 page_paras, pieces = _page_content(objs, body)
                 paragraphs.extend(page_paras)
                 _page_annots(objs, body, pno, page_index, pieces,
-                             seen, links)
+                             seen, links, named)
                 _scan_text_urls(pno, page_paras, seen, links)
         else:
             # no page tree (fragmentary payload): flat stream scan

@@ -159,3 +159,45 @@ def test_bad_zip_degrades():
     payload = b"PK\x03\x04" + b"\x00" * 40
     res = extract_document(payload, text_fallback="fallback body")
     assert res.method == "fallback_text"
+
+
+def _warcinfo_record() -> bytes:
+    block = b"software: synthetic-crawler/1.0\r\nformat: WARC file\r\n"
+    return (b"WARC/1.0\r\n"
+            b"WARC-Type: warcinfo\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: " + str(len(block)).encode() + b"\r\n"
+            b"\r\n" + block + b"\r\n\r\n")
+
+
+def test_warc_multi_record_skips_warcinfo_and_request():
+    """Real .warc files lead with a warcinfo record and interleave
+    request records; the router finds the first CONTENT record."""
+    payload = (_warcinfo_record()
+               + _warc_record(b"GET / HTTP/1.1\r\n\r\n", wtype=b"request")
+               + _warc_record(HTML))
+    res = extract_document(payload)
+    assert res.error == ""
+    assert res.method == "warc>html"
+    assert "Inner page body text" in res.extracted_text
+
+
+def test_warc_multi_record_honors_content_length_boundaries():
+    """The first response record's Content-Length bounds its block even
+    when more records follow — trailing records never bleed into the
+    extracted page."""
+    second = (b"<html><body><h1>Second Record</h1><p>Should never appear "
+              b"in the first record's extraction output at all.</p>"
+              b"</body></html>")
+    payload = _warc_record(HTML) + _warc_record(second)
+    res = extract_document(payload)
+    assert res.method == "warc>html"
+    assert "Inner page body text" in res.extracted_text
+    assert "Second Record" not in res.extracted_text
+
+
+def test_warc_only_noncontent_records_is_empty():
+    payload = _warcinfo_record() + _warc_record(
+        b"GET / HTTP/1.1\r\n\r\n", wtype=b"request")
+    res = extract_document(payload)
+    assert res.method == "error" and res.error == "warc_empty"

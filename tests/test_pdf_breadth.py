@@ -276,3 +276,82 @@ def test_goto_without_nearby_text_uses_placeholder():
     text, links, err = extract_pdf(_assemble(objs))
     assert err == ""
     assert ("Go to page 2", "#page=2") in links
+
+
+def test_named_dest_via_name_tree():
+    """/A /GoTo /D (string-name) resolves through the catalog's
+    /Names -> /Dests name tree (root /Kids -> leaf /Names pairs), with
+    both inline-array and indirect destinations."""
+    c1 = b"BT 100 700 Td (see appendix) Tj ET"
+    c2 = b"BT (appendix body) Tj ET"
+    c3 = b"BT (notes body) Tj ET"
+    objs = {
+        1: (b"<< /Type /Catalog /Pages 2 0 R"
+            b" /Names << /Dests 10 0 R >> >>"),
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R 6 0 R] /Count 3 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Annots [8 0 R 9 0 R] >>"),
+        4: (b"<< /Length " + str(len(c1)).encode() + b" >> stream\n" + c1
+            + b"\nendstream"),
+        5: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        6: b"<< /Type /Page /Parent 2 0 R /Contents 14 0 R >>",
+        7: (b"<< /Length " + str(len(c2)).encode() + b" >> stream\n" + c2
+            + b"\nendstream"),
+        8: (b"<< /Type /Annot /Subtype /Link /Rect [95 690 220 710]"
+            b" /A << /S /GoTo /D (appendix) >> >>"),
+        9: (b"<< /Type /Annot /Subtype /Link /Rect [10 10 40 20]"
+            b" /Dest (notes) >>"),
+        10: b"<< /Kids [11 0 R] >>",                       # tree root
+        11: (b"<< /Limits [(appendix) (notes)]"            # leaf node
+             b" /Names [(appendix) [5 0 R /Fit] (notes) 12 0 R] >>"),
+        12: b"[6 0 R /XYZ null null null]",                # indirect dest
+        14: (b"<< /Length " + str(len(c3)).encode() + b" >> stream\n" + c3
+             + b"\nendstream"),
+    }
+    text, links, err = extract_pdf(_assemble(objs))
+    assert err == ""
+    by_url = dict((u, t) for t, u in links)
+    assert by_url.get("#page=2") == "see appendix"   # rect-anchored
+    assert by_url.get("#page=3") == "Go to page 3"   # placeholder
+
+
+def test_named_dest_old_style_dict_and_hash_escape():
+    """Old-style PDF 1.1 catalog /Dests dictionary; the annot names the
+    dest as a name OBJECT with a #20 hex escape."""
+    c1 = b"BT (jump here) Tj ET"
+    c2 = b"BT (target two) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Dests 8 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Annots [7 0 R] >>"),
+        4: (b"<< /Length " + str(len(c1)).encode() + b" >> stream\n" + c1
+            + b"\nendstream"),
+        5: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        6: (b"<< /Length " + str(len(c2)).encode() + b" >> stream\n" + c2
+            + b"\nendstream"),
+        7: (b"<< /Type /Annot /Subtype /Link /Rect [10 10 40 20]"
+            b" /A << /S /GoTo /D /sec#20two >> >>"),
+        8: b"<< /sec#20two [5 0 R /Fit] >>",
+    }
+    text, links, err = extract_pdf(_assemble(objs))
+    assert err == ""
+    # c1 has no Td -> its text sits at the (0,0) origin, inside the
+    # expanded /Rect, so the anchor is the rect text
+    assert ("jump here", "#page=2") in links
+
+
+def test_named_dest_unknown_name_emits_nothing():
+    c1 = b"BT (solo) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Annots [5 0 R] >>"),
+        4: (b"<< /Length " + str(len(c1)).encode() + b" >> stream\n" + c1
+            + b"\nendstream"),
+        5: (b"<< /Type /Annot /Subtype /Link /Rect [10 10 40 20]"
+            b" /Dest (missing) >>"),
+    }
+    text, links, err = extract_pdf(_assemble(objs))
+    assert err == "" and links == [] and "solo" in text
