@@ -318,6 +318,16 @@ def q_docs_dup_components(sf_dir: str):
     return dup_components_ds(minhash_dup_pairs(ds, threshold=0.7))
 
 
+def q_docs_dup_components_star(sf_dir: str):
+    """Same component map via large-star/small-star contraction
+    (O(log n) rounds — the deep-chain-safe scale path; equality with
+    union-find tested in tests/test_fuzzy_dedup.py)."""
+    from .stages.fuzzy_dedup import dup_components_star_ds, minhash_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_components_star_ds(minhash_dup_pairs(ds, threshold=0.7))
+
+
 def q_docs_neardup_dedup(sf_dir: str):
     """End-to-end near-dup REMOVAL (the training-data capstone):
     minhash pairs -> connected components -> keep the canonical (min-id)
@@ -1049,6 +1059,7 @@ QUERIES = {
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_dup_components": q_docs_dup_components,
+    "docs_dup_components_star": q_docs_dup_components_star,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,

@@ -483,6 +483,144 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
     return labels.map_batches(project, batch_format="pyarrow")
 
 
+_EMPTY_COMPONENTS = pa.schema([("doc_id", pa.int64()),
+                               ("component", pa.int64())])
+
+
+def dup_components_star_ds(pairs: "ray.data.Dataset",
+                           num_buckets: int = 32,
+                           max_iters: int = 32,
+                           spill_dir: str | None = None
+                           ) -> "ray.data.Dataset":
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): O(log n) rounds vs min-label
+    propagation's O(diameter), the right choice when near-dup graphs
+    form long chains (A~B~C~... similarity cascades).
+
+    Each round is two bucketed shuffles over the *current* edge set
+    (which only shrinks toward stars — never grows beyond 2|E|):
+
+      large-star: per node u, hook every larger neighbor v>u onto
+                  m = min(N(u) ∪ {u});
+      small-star: per node u over smaller neighbors v<=u, hook them
+                  (and u) onto their minimum.
+
+    Convergence = edge-set fixpoint, detected by (row count, uint64
+    hash-sum) of the canonical edge set. The checksum SUM deliberately
+    wraps mod 2^64 — safe here, unlike summing raw labels (the round-2
+    advisor finding), because aliasing needs a golden-ratio hash-sum
+    collision (~2^-64), not adjacent integer labels cancelling.
+
+    Same contract as dup_components_ds: pairs(doc_a, doc_b) ->
+    (doc_id, component=min doc_id of the component), every input node
+    labeled.
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from .dedup import materialize_rebased
+
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def rebase(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        return materialize_rebased(ds, num_buckets, spill_dir=spill_dir)
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"doc_a": pa.array(lo[keep]), "doc_b": pa.array(hi[keep])})
+
+    def checksum(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).view(np.uint64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).view(np.uint64)
+        h = (a * golden) ^ ((b + golden) * golden)
+        s = int(np.sum(h, dtype=np.uint64))  # wraps mod 2^64: checksum, see above
+        return pa.table({"partial": pa.array([s - (1 << 63)], pa.int64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    def fingerprint(edges: "ray.data.Dataset") -> tuple[int, int]:
+        agg = (edges.map_batches(checksum, batch_format="pyarrow")
+               .aggregate(Sum("partial", alias_name="s"),
+                          Sum("n", alias_name="n")))
+        return int(agg["n"] or 0), int(agg["s"] or 0)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    from .dedup import _stable_bucket, hash_bucketed_distinct
+
+    def add_u_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _stable_bucket(batch.column("u"), num_buckets))
+
+    def large_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # m(u) = min over N(u) ∪ {u}; emit (v, m(u)) for v > u
+        m = g.groupby("u", sort=False)["v"].min()
+        m = np.minimum(m, m.index.to_numpy())
+        mu = g["u"].map(pd.Series(m, index=m.index)).to_numpy(dtype=np.int64)
+        u = g["u"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        keep = v > u
+        return pd.DataFrame({"doc_a": v[keep], "doc_b": mu[keep]})
+
+    def small_star_rows(batch: pa.Table) -> pa.Table:
+        # direct each canonical edge high->low so grouping by u sees only
+        # neighbors v <= u (the small-star neighborhood)
+        return pa.table({"u": batch.column("doc_b"), "v": batch.column("doc_a")})
+
+    def small_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("u", sort=False)["v"].min()  # all v < u, so min(N∪{u})=min(v)
+        mu = g["u"].map(pd.Series(m, index=m.index)).to_numpy(dtype=np.int64)
+        u = g["u"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        # hook every small neighbor and u itself onto m (dups fall to distinct)
+        return pd.DataFrame({"doc_a": np.concatenate([v, u]),
+                             "doc_b": np.concatenate([mu, mu])})
+
+    def star_round(edges, rows_fn, bucket_fn):
+        emitted = (edges.map_batches(rows_fn, batch_format="pyarrow")
+                   .map_batches(add_u_bucket, batch_format="pyarrow")
+                   .groupby("__bucket")
+                   .map_groups(bucket_fn, batch_format="pandas")
+                   .map_batches(canonical, batch_format="pyarrow"))
+        return rebase(hash_bucketed_distinct(
+            emitted, ["doc_a", "doc_b"], num_buckets))
+
+    edges = rebase(hash_bucketed_distinct(
+        pairs.select_columns(["doc_a", "doc_b"])
+        .map_batches(canonical, batch_format="pyarrow"),
+        ["doc_a", "doc_b"], num_buckets))
+    prev = fingerprint(edges)
+    if prev[0] == 0:
+        return ray.data.from_arrow(_EMPTY_COMPONENTS.empty_table())
+    for _ in range(max_iters):
+        edges = star_round(edges, symmetrize, large_star_bucket)
+        edges = star_round(edges, small_star_rows, small_star_bucket)
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged edge set is a union of stars rooted at component minima:
+    # label(node) = min over its (symmetric) neighborhood ∪ itself
+    labels = (edges.map_batches(symmetrize, batch_format="pyarrow")
+              .groupby("u").aggregate(Min("v", alias_name="nbr_min")))
+
+    def project(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        nm = batch.column("nbr_min").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(u.astype(np.int64)),
+                         "component": pa.array(np.minimum(u, nm).astype(np.int64))})
+
+    return labels.map_batches(project, batch_format="pyarrow")
+
+
 def dup_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
     """Union-find over a (small, already-filtered) pair list ->
     (doc_id, component) — driver-side; at scale replace with iterative

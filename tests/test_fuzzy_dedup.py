@@ -202,3 +202,80 @@ def test_neardup_dedup_removes_non_canonical(ray_session):
                                 columns=["doc_id"])["doc_id"].to_pylist())
     assert survivors == all_ids - expected_drop
     assert expected_drop  # the synthetic corpus does contain near-dups
+
+
+def test_star_components_match_union_find(ray_session):
+    """Large-star/small-star contraction == union-find on mixed topology:
+    long path (deep chain — the case min-label propagation is slow on),
+    star, triangle-with-tail, pair, and random noise edges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        dup_components_star_ds,
+    )
+
+    rng = np.random.RandomState(7)
+    a = list(range(100, 140))            # path of 41 nodes, diameter 40
+    b = list(range(101, 141))
+    a += [200] * 6                        # star center 200
+    b += [201 + i for i in range(6)]
+    a += [300, 301, 302, 302]             # triangle + tail
+    b += [301, 302, 300, 303]
+    a += [400]                            # pair
+    b += [401]
+    ra = rng.randint(500, 560, size=30).tolist()   # random clutter
+    rb = rng.randint(500, 560, size=30).tolist()
+    keep = [(x, y) for x, y in zip(ra, rb) if x != y]
+    a += [x for x, _ in keep]
+    b += [y for _, y in keep]
+
+    pairs_df = pd.DataFrame({"doc_a": a, "doc_b": b})
+    expect = dup_components(pairs_df).sort_values("doc_id").reset_index(drop=True)
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a, pa.int64()),
+        "doc_b": pa.array(b, pa.int64())}))
+    got = (dup_components_star_ds(pairs, num_buckets=4, max_iters=12)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    assert got["component"].tolist() == expect["component"].tolist()
+
+
+def test_star_components_empty_and_duplicate_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        dup_components_star_ds,
+    )
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    assert dup_components_star_ds(empty, num_buckets=2).count() == 0
+
+    # duplicate / reversed / self-loop edges collapse to one component
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([5, 6, 5, 7, 7], pa.int64()),
+        "doc_b": pa.array([6, 5, 6, 7, 5], pa.int64())}))
+    got = dup_components_star_ds(pairs, num_buckets=2).to_pandas()
+    by = dict(zip(got["doc_id"], got["component"]))
+    assert by == {5: 5, 6: 5, 7: 5}
+
+
+def test_star_query_matches_propagation_query(ray_session):
+    """Both registered component queries produce the identical map on
+    sf0.001 (same pair pipeline, two contraction algorithms)."""
+    from full_text_extractor_v6_ray.driver_queries import (
+        q_docs_dup_components,
+        q_docs_dup_components_star,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (q_docs_dup_components(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (q_docs_dup_components_star(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["component"].tolist() == b["component"].tolist()
