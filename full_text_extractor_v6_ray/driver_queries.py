@@ -318,6 +318,16 @@ def q_docs_dup_components(sf_dir: str):
     return dup_components_ds(minhash_dup_pairs(ds, threshold=0.7))
 
 
+def q_docs_jaccard_pairs(sf_dir: str):
+    """Exact k-shingle Jaccard near-dup pairs (LSH candidates -> exact
+    verify) — the candidate/verify split of production dedup: MinHash
+    estimates propose, true set intersection decides."""
+    from .stages.fuzzy_dedup import jaccard_verified_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_verified_pairs(ds, threshold=0.8, candidate_threshold=0.5)
+
+
 def q_docs_dup_components_star(sf_dir: str):
     """Same component map via large-star/small-star contraction
     (O(log n) rounds — the deep-chain-safe scale path; equality with
@@ -1060,6 +1070,7 @@ QUERIES = {
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_dup_components": q_docs_dup_components,
     "docs_dup_components_star": q_docs_dup_components_star,
+    "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,

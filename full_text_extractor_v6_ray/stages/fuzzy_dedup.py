@@ -373,6 +373,103 @@ def simhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
 # exact n-gram Jaccard (verification kernel; also usable standalone)
 # ---------------------------------------------------------------------------
 
+class ShingleSetBatch:
+    """documents batch -> (doc_id, shingles) where ``shingles`` is the
+    sorted-unique uint64 k-shingle hash set packed as one binary cell
+    (np.frombuffer restores it zero-copy on the verify side).
+
+    Packing as bytes keeps the pandas join path cheap (one object per
+    row, no list-of-int materialization) and the payload is ~8 B per
+    unique shingle — for web text, the same order as the text itself,
+    shipped ONCE per doc per join side, never per candidate pair.
+    """
+
+    def __init__(self, text_col: str = "text", k: int = 3):
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sets = [shingle_hashes(t or "", self.k).tobytes()
+                for t in batch.column(self.text_col).to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "shingles": pa.array(sets, pa.binary())})
+
+
+def jaccard_verified_pairs(docs: "ray.data.Dataset",
+                           text_col: str = "text",
+                           threshold: float = 0.8,
+                           candidate_threshold: float = 0.5,
+                           k: int = 3, num_perm: int = 128,
+                           bands: int = 16, seed: int = 42,
+                           num_buckets: int = 32,
+                           spill_dir: str | None = None) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard near-dup pairs, LSH-candidated (the
+    candidate->verify shape of production dedup pipelines): MinHash+LSH
+    proposes pairs at a permissive estimate threshold, then the true
+    Jaccard over 64-bit-hashed k-shingle sets is computed per pair and
+    filtered at ``threshold``. Exactness is up to uint64 shingle-hash
+    collisions (~2^-64 per shingle pair — negligible, and deterministic
+    across runs/cluster sizes).
+
+    Scale shape: all-pairs never happens — candidates come from the
+    banded LSH shuffle; shingle sets attach to the (few) candidate pairs
+    via two bucketed hash joins; the per-pair intersect runs on sorted
+    unique arrays (np.intersect1d assume_unique, C-speed).
+    """
+    from .dedup import materialize_rebased
+    from .joins import bucket_hash_join
+
+    cands = minhash_dup_pairs(docs, text_col=text_col,
+                              threshold=candidate_threshold,
+                              num_perm=num_perm, bands=bands, seed=seed,
+                              num_buckets=num_buckets, spill_dir=spill_dir)
+    pairs = materialize_rebased(cands.select_columns(["doc_a", "doc_b"]),
+                                num_buckets, spill_dir=spill_dir)
+
+    sh = materialize_rebased(
+        docs.map_batches(ShingleSetBatch(text_col, k),
+                         batch_format="pyarrow", batch_size=256),
+        num_buckets, spill_dir=spill_dir)
+    sa = sh.map_batches(lambda b: b.rename_columns(["doc_id", "sh_a"]),
+                        batch_format="pyarrow")
+    sb = sh.map_batches(lambda b: b.rename_columns(["doc_id", "sh_b"]),
+                        batch_format="pyarrow")
+    j1 = materialize_rebased(
+        bucket_hash_join(pairs, sa, "doc_a", "doc_id",
+                         num_buckets=num_buckets), num_buckets,
+        spill_dir=spill_dir)
+    j2 = bucket_hash_join(j1, sb, "doc_b", "doc_id", num_buckets=num_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        a_sets = batch.column("sh_a").to_pylist()
+        b_sets = batch.column("sh_b").to_pylist()
+        jac = np.empty(n, dtype=np.float64)
+        for i, (ab, bb) in enumerate(zip(a_sets, b_sets)):
+            A = np.frombuffer(ab or b"", dtype=np.uint64)
+            B = np.frombuffer(bb or b"", dtype=np.uint64)
+            if len(A) == 0 and len(B) == 0:
+                jac[i] = 1.0
+                continue
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            union = len(A) + len(B) - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= threshold
+        return pa.table({
+            "doc_a": pa.array(batch.column("doc_a").to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "doc_b": pa.array(batch.column("doc_b").to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "jaccard": pa.array(np.round(jac[keep], 6)),
+        })
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     """Exact k-word-shingle Jaccard similarity."""
     sa, sb = set(shingle_hashes(a, k).tolist()), set(shingle_hashes(b, k).tolist())

@@ -279,3 +279,46 @@ def test_star_query_matches_propagation_query(ray_session):
          .sort_values("doc_id").reset_index(drop=True))
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["component"].tolist() == b["component"].tolist()
+
+
+def test_jaccard_verified_pairs_exact_values(ray_session):
+    """LSH-candidated exact Jaccard: planted near-dups survive with the
+    TRUE set Jaccard (checked against a direct shingle_hashes compute),
+    and unrelated docs are absent."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        jaccard_verified_pairs,
+    )
+    from full_text_extractor_v6_ray.stages.text_ops import shingle_hashes
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(600)]
+    texts = [" ".join(vocab[rng.randint(600)] for _ in range(90))
+             for _ in range(30)]
+    ids = list(range(30))
+    for src, nid, edits in [(0, 100, 1), (1, 101, 2), (2, 102, 40)]:
+        words = texts[src].split()
+        for e in range(edits):
+            words[3 + 2 * e] = f"EDIT{nid}_{e}"
+        texts.append(" ".join(words))
+        ids.append(nid)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = jaccard_verified_pairs(ds, threshold=0.6,
+                                 candidate_threshold=0.4,
+                                 num_buckets=4).to_pandas()
+    by = {(a, b): j for a, b, j in
+          zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+
+    def true_jac(i, j):
+        A = shingle_hashes(texts[ids.index(i)])
+        B = shingle_hashes(texts[ids.index(j)])
+        inter = len(np.intersect1d(A, B, assume_unique=True))
+        return round(inter / (len(A) + len(B) - inter), 6)
+
+    assert by[(0, 100)] == true_jac(0, 100)
+    assert by[(1, 101)] == true_jac(1, 101)
+    assert (2, 102) not in by          # 40 edits: true jaccard < 0.6
+    assert all(j >= 0.6 for j in got["jaccard"])
