@@ -318,6 +318,16 @@ def q_docs_dup_components(sf_dir: str):
     return dup_components_ds(minhash_dup_pairs(ds, threshold=0.7))
 
 
+def q_docs_vocab_stats(sf_dir: str):
+    """Corpus vocabulary table (token, tf, df) — map-side combiner, then
+    one small groupby; the shuffle carries per-batch partials, never
+    per-occurrence rows."""
+    from .stages.text_ops import vocab_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return vocab_stats(ds)
+
+
 def q_docs_jaccard_pairs(sf_dir: str):
     """Exact k-shingle Jaccard near-dup pairs (LSH candidates -> exact
     verify) — the candidate/verify split of production dedup: MinHash
@@ -1071,6 +1081,7 @@ QUERIES = {
     "docs_dup_components": q_docs_dup_components,
     "docs_dup_components_star": q_docs_dup_components_star,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
+    "docs_vocab_stats": q_docs_vocab_stats,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
@@ -1112,6 +1123,16 @@ QUERIES = {
 
 
 ORACLES = {
+    "docs_vocab_stats": """
+        SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY tok
+    """,
     "docs_token_stats": """
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0

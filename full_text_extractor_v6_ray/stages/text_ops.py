@@ -203,3 +203,43 @@ class FingerprintBatch:
         batch = batch.append_column("content_md5", pa.array(md5s, pa.string()))
         batch = batch.append_column("fp64", pa.array(fps, pa.uint64()))
         return batch
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics (tf / df) — the combiner pattern
+# ---------------------------------------------------------------------------
+
+def vocab_stats(docs: "ray.data.Dataset",
+                text_col: str = "text") -> "ray.data.Dataset":
+    """Corpus-wide (token, tf, df): term frequency + document frequency.
+
+    The shuffle moves PRE-AGGREGATED (token, partial_tf, partial_df) rows
+    — one row per distinct token per batch, not per occurrence — so the
+    all-to-all exchange is bounded by |vocab| x n_batches regardless of
+    corpus token count (the map-side combiner rule for wide groupbys).
+    Tokenization is whitespace-run split, identical to the DuckDB oracle's
+    regexp_split_to_array(text, '\\s+').
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        for s in batch.column(text_col).to_pylist():
+            toks = (s or "").split()
+            tf.update(toks)
+            df.update(set(toks))
+        keys = list(tf.keys())
+        return pa.table({
+            "token": pa.array(keys, pa.string()),
+            "tf": pa.array([tf[k] for k in keys], pa.int64()),
+            "df": pa.array([df[k] for k in keys], pa.int64()),
+        })
+
+    out = (docs.map_batches(partial, batch_format="pyarrow", batch_size=512)
+           .groupby("token")
+           .aggregate(Sum("tf", alias_name="tf"),
+                      Sum("df", alias_name="df")))
+    return out

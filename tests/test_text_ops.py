@@ -70,3 +70,17 @@ def test_shingle_hashes_deterministic_and_set_semantics():
     assert len(a) == 3  # 5 tokens, k=3 -> 3 shingles
     short = shingle_hashes("one", 3)
     assert len(short) >= 1
+
+
+def test_vocab_stats_tf_df(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import vocab_stats
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b a", "b  c", "", "   "], pa.string()),
+    }))
+    got = {r["token"]: (r["tf"], r["df"])
+           for r in vocab_stats(docs).take_all()}
+    assert got == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
