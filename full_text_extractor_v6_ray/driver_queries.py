@@ -751,6 +751,80 @@ def q_orders_customer_hashjoin(sf_dir: str):
                                   "c_name", "c_mktsegment"])
 
 
+def q_returned_revenue_topk(sf_dir: str):
+    """TPC-H Q10-style composite: filtered lineitem ⋈ orders (partitioned
+    hash join) -> per-customer revenue -> broadcast customer/nation
+    decorate -> global top-20.
+
+    The full multi-stage composition in one query: predicate pushdown at
+    the read, map-side partial aggregation BEFORE the join (the shuffle
+    carries (orderkey, rev) partials, not lineitem rows), one bucketed
+    shuffle join, a small groupby, a broadcast lookup, and a
+    sort-on-the-already-small result.
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import bucket_hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
+        df = t.to_pandas().groupby("l_orderkey", sort=False)["rev"].sum()
+        return pa.table({"l_orderkey": pa.array(df.index.to_numpy(), pa.int64()),
+                         "rev": pa.array(df.to_numpy(), pa.float64())})
+
+    li_partial = li.map_batches(partial_rev, batch_format="pyarrow",
+                                batch_size=4096)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = bucket_hash_join(li_partial, orders, "l_orderkey", "o_orderkey",
+                              num_buckets=16)
+    by_cust = (joined.select_columns(["o_custkey", "rev"])
+               .groupby("o_custkey")
+               .aggregate(Sum("rev", alias_name="revenue")))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nid2name = dict(zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()))
+    lookup = {k: (nm, nid2name.get(nk, ""))
+              for k, nm, nk in zip(cust["c_custkey"].to_pylist(),
+                                   cust["c_name"].to_pylist(),
+                                   cust["c_nationkey"].to_pylist())}
+    ref = ray.put(lookup)
+
+    class Decorate:
+        def __init__(self, ref):
+            self.lk = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_pylist()
+            names = [self.lk.get(k, ("", ""))[0] for k in ck]
+            nats = [self.lk.get(k, ("", ""))[1] for k in ck]
+            rev = pc.round(batch.column("revenue"), ndigits=2)
+            return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                             "c_name": pa.array(names, pa.string()),
+                             "n_name": pa.array(nats, pa.string()),
+                             "revenue": rev})
+
+    out = by_cust.map_batches(Decorate, fn_constructor_kwargs={"ref": ref},
+                              batch_format="pyarrow", concurrency=2)
+    return out.sort(["revenue", "c_custkey"],
+                    descending=[True, False]).limit(20)
+
+
 def q_events_orders_asof(sf_dir: str):
     """As-of join: each event matched to the user's latest order at or
     before the event time (right side pre-reduced to one order per
@@ -1109,6 +1183,7 @@ QUERIES = {
     "page_dates": q_page_dates,
     "diagram_scores": q_diagram_scores,
     "orders_customer_hashjoin": q_orders_customer_hashjoin,
+    "returned_revenue_topk": q_returned_revenue_topk,
     "events_orders_asof": q_events_orders_asof,
     "lineitem_orders_range": q_lineitem_orders_range,
     "events_user_approx_distinct": q_events_user_approx_distinct,
@@ -1123,6 +1198,19 @@ QUERIES = {
 
 
 ORACLES = {
+    "returned_revenue_topk": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
     "docs_vocab_stats": """
         SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         FROM (
