@@ -318,6 +318,19 @@ def q_docs_dup_components(sf_dir: str):
     return dup_components_ds(minhash_dup_pairs(ds, threshold=0.7))
 
 
+def q_docs_pii_scrub(sf_dir: str):
+    """PII redaction (emails/phones/IPv4 -> placeholders) + match counts.
+    Cross-engine exactness proven on planted PII in tests; the driver
+    corpus exercises the no-op path + schema."""
+    from .stages.text_ops import PiiScrubBatch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(PiiScrubBatch, batch_format="pyarrow",
+                         batch_size=512, concurrency=(1, 4))
+    return out.select_columns(["doc_id", "text_scrubbed",
+                               "n_email", "n_phone", "n_ip"])
+
+
 def q_docs_vocab_stats(sf_dir: str):
     """Corpus vocabulary table (token, tf, df) — map-side combiner, then
     one small groupby; the shuffle carries per-batch partials, never
@@ -1156,6 +1169,7 @@ QUERIES = {
     "docs_dup_components_star": q_docs_dup_components_star,
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "docs_vocab_stats": q_docs_vocab_stats,
+    "docs_pii_scrub": q_docs_pii_scrub,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
@@ -1210,6 +1224,28 @@ ORACLES = {
         GROUP BY c.c_custkey, c.c_name, n.n_name
         ORDER BY revenue DESC, c.c_custkey
         LIMIT 20
+    """,
+    "docs_pii_scrub": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                   '\\+?\\d[\\d\\- ]{7,14}\\d', '[PHONE]', 'g'),
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g')
+                   AS text_scrubbed,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS n_email,
+               len(regexp_extract_all(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                   '\\+?\\d[\\d\\- ]{7,14}\\d')) AS n_phone,
+               len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                   '\\+?\\d[\\d\\- ]{7,14}\\d', '[PHONE]', 'g'),
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip
+        FROM documents
     """,
     "docs_vocab_stats": """
         SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df

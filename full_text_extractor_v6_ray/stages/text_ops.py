@@ -243,3 +243,46 @@ def vocab_stats(docs: "ray.data.Dataset",
            .aggregate(Sum("tf", alias_name="tf"),
                       Sum("df", alias_name="df")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: email / phone / IPv4 redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with IDENTICAL semantics under Python re
+# and RE2/DuckDB (no backrefs, no lookaround) so the DuckDB oracle is an
+# exact cross-engine check — parity verified on planted PII in
+# tests/test_text_ops.py, not just on the (PII-free) driver corpus.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d[\d\- ]{7,14}\d"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+class PiiScrubBatch:
+    """Redacts emails/phones/IPv4s -> [EMAIL]/[PHONE]/[IP] and counts
+    matches per doc. Regexes compiled once per actor; order matters
+    (emails first: their digits must not be half-eaten as phones)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.email = re.compile(PII_EMAIL)
+        self.phone = re.compile(PII_PHONE)
+        self.ip = re.compile(PII_IPV4)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scrubbed, ne, np_, ni = [], [], [], []
+        for s in batch.column(self.text_col).to_pylist():
+            s = s or ""
+            s1, n1 = self.email.subn("[EMAIL]", s)
+            s2, n2 = self.phone.subn("[PHONE]", s1)
+            s3, n3 = self.ip.subn("[IP]", s2)
+            scrubbed.append(s3)
+            ne.append(n1)
+            np_.append(n2)
+            ni.append(n3)
+        batch = batch.append_column("text_scrubbed",
+                                    pa.array(scrubbed, pa.string()))
+        batch = batch.append_column("n_email", pa.array(ne, pa.int64()))
+        batch = batch.append_column("n_phone", pa.array(np_, pa.int64()))
+        batch = batch.append_column("n_ip", pa.array(ni, pa.int64()))
+        return batch

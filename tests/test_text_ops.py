@@ -84,3 +84,38 @@ def test_vocab_stats_tf_df(ray_session):
     got = {r["token"]: (r["tf"], r["df"])
            for r in vocab_stats(docs).take_all()}
     assert got == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
+
+
+def test_pii_scrub_planted_cross_engine(ray_session):
+    """Planted PII: Ray scrub output == DuckDB regexp_replace chain,
+    byte-for-byte, including sequential-count semantics."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import PiiScrubBatch
+
+    texts = [
+        "contact me at jane.doe+x@mail-host.co.uk or on +44 1234 567890.",
+        "server 10.0.255.7 and 192.168.1.1; fallback bob@x.io",
+        "no pii here at all",
+        "",
+        "edge 999.999.999.999 and 1-800-555-0199 end",
+        "a@b.co c@d.org overlapping 12345678901 done",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = (ray.data.from_arrow(tbl)
+           .map_batches(PiiScrubBatch(), batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    from full_text_extractor_v6_ray.driver_queries import ORACLES
+    exp = con.execute(ORACLES["docs_pii_scrub"]).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["text_scrubbed"].tolist() == exp["text_scrubbed"].tolist()
+    for c in ("n_email", "n_phone", "n_ip"):
+        assert got[c].tolist() == exp[c].astype(int).tolist(), c
+    assert got.loc[0, "n_email"] == 1 and got.loc[0, "n_phone"] == 1
+    assert got.loc[1, "n_ip"] == 2
+    assert "[EMAIL]" in got.loc[0, "text_scrubbed"]
