@@ -318,6 +318,15 @@ def q_docs_dup_components(sf_dir: str):
     return dup_components_ds(minhash_dup_pairs(ds, threshold=0.7))
 
 
+def q_embeddings_centroids(sf_dir: str):
+    """Per-label centroid vectors in long (label, dim, mean_val) format —
+    map-side combiner over the vector column, one small label shuffle."""
+    from .stages.embed import label_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    return label_centroids(ds)
+
+
 def q_docs_pii_scrub(sf_dir: str):
     """PII redaction (emails/phones/IPv4 -> placeholders) + match counts.
     Cross-engine exactness proven on planted PII in tests; the driver
@@ -1170,6 +1179,7 @@ QUERIES = {
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "docs_vocab_stats": q_docs_vocab_stats,
     "docs_pii_scrub": q_docs_pii_scrub,
+    "embeddings_centroids": q_embeddings_centroids,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
@@ -1224,6 +1234,13 @@ ORACLES = {
         GROUP BY c.c_custkey, c.c_name, n.n_name
         ORDER BY revenue DESC, c.c_custkey
         LIMIT 20
+    """,
+    "embeddings_centroids": """
+        SELECT label, i - 1 AS dim, ROUND(avg(embedding[i]), 6) AS mean_val
+        FROM embeddings CROSS JOIN (
+            SELECT unnest(generate_series(1,
+                (SELECT max(len(embedding)) FROM embeddings))) AS i) g
+        GROUP BY label, i
     """,
     "docs_pii_scrub": """
         SELECT doc_id,

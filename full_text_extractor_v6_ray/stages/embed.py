@@ -368,3 +368,54 @@ def knn_cosine_ivf(embeddings: "ray.data.Dataset", query_ids: list[int],
         kind="mergesort")
     out = partials.groupby("query_id", sort=True).head(k)
     return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids: the combiner pattern over vector columns
+# ---------------------------------------------------------------------------
+
+def label_centroids(embeddings: "ray.data.Dataset",
+                    emb_col: str = "embedding",
+                    label_col: str = "label") -> "ray.data.Dataset":
+    """(label, dim, mean_val): per-label centroid in long format.
+
+    Map-side combiner: each batch reduces to ONE (sum_vec, n) partial per
+    label present in the batch (float64 accumulate, vectorized matmul-free
+    masked sums), so the label shuffle moves |labels| x n_batches rows of
+    dim x 8 bytes — never the raw vectors. The reduce merges partials and
+    explodes to long rows; mean rounded to 6 dp to pin the oracle hash.
+    """
+    import pandas as pd
+
+    label_type = None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        M = _to_matrix(batch.column(emb_col)).astype(np.float64)
+        uniq = np.unique(labels)
+        sums = np.empty((len(uniq), M.shape[1]), dtype=np.float64)
+        ns = np.empty(len(uniq), dtype=np.int64)
+        for j, lab in enumerate(uniq):
+            mask = labels == lab
+            sums[j] = M[mask].sum(axis=0)
+            ns[j] = int(mask.sum())
+        return pa.table({
+            "label": pa.array(uniq).cast(batch.schema.field(label_col).type),
+            "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.stack([np.frombuffer(b, dtype=np.float64)
+                       for b in g["vsum"]]).sum(axis=0)
+        mean = np.round(vs / int(g["n"].sum()), 6)
+        return pd.DataFrame({
+            "label": np.repeat(g["label"].iloc[0], len(mean)),
+            "dim": np.arange(len(mean), dtype=np.int64),
+            "mean_val": mean,
+        })
+
+    return (embeddings.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=512)
+            .groupby("label")
+            .map_groups(reduce_group, batch_format="pandas"))

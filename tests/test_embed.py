@@ -217,3 +217,29 @@ def test_kmeans_deterministic():
     a = kmeans_fit(x, 8, seed=42)
     b = kmeans_fit(x, 8, seed=42)
     assert np.array_equal(a, b)
+
+
+def test_label_centroids_combiner(ray_session):
+    """Centroids across multiple batches == direct numpy mean per label
+    (the partial-merge path is exercised by tiny batch_size)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from full_text_extractor_v6_ray.stages.embed import label_centroids
+
+    rng = np.random.RandomState(5)
+    n, d = 300, 8
+    M = rng.randn(n, d).astype(np.float32)
+    labels = rng.randint(0, 3, size=n).astype(np.int32)
+    tbl = pa.table({
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    out = (label_centroids(ray.data.from_arrow(tbl).repartition(7))
+           .to_pandas())
+    for lab in (0, 1, 2):
+        exp = np.round(M[labels == lab].astype(np.float64).mean(axis=0), 6)
+        got = (out[out["label"] == lab].sort_values("dim")["mean_val"]
+               .to_numpy())
+        assert np.allclose(got, exp, atol=1e-9), lab
