@@ -327,6 +327,15 @@ def q_embeddings_centroids(sf_dir: str):
     return label_centroids(ds)
 
 
+def q_embeddings_quantized(sf_dir: str):
+    """Symmetric per-vector int8 quantization (long format) — the vector
+    storage/compression scale path; rounding pinned cross-engine."""
+    from .stages.embed import quantize_int8
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return quantize_int8(ds)
+
+
 def q_docs_pii_scrub(sf_dir: str):
     """PII redaction (emails/phones/IPv4 -> placeholders) + match counts.
     Cross-engine exactness proven on planted PII in tests; the driver
@@ -1180,6 +1189,7 @@ QUERIES = {
     "docs_vocab_stats": q_docs_vocab_stats,
     "docs_pii_scrub": q_docs_pii_scrub,
     "embeddings_centroids": q_embeddings_centroids,
+    "embeddings_quantized": q_embeddings_quantized,
     "docs_neardup_dedup": q_docs_neardup_dedup,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_cosine_lsh_top10": q_knn_cosine_lsh_top10,
@@ -1234,6 +1244,23 @@ ORACLES = {
         GROUP BY c.c_custkey, c.c_name, n.n_name
         ORDER BY revenue DESC, c.c_custkey
         LIMIT 20
+    """,
+    "embeddings_quantized": """
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x))) / 127.0
+                       AS scale
+            FROM embeddings)
+        SELECT vec_id, scale, i - 1 AS dim,
+               CASE WHEN scale = 0 THEN 0
+                    ELSE least(127, greatest(-127,
+                        CAST(floor(abs(embedding[i] / scale) + 0.5)
+                             AS BIGINT)
+                        * CAST(sign(embedding[i]) AS BIGINT)))
+               END AS qval
+        FROM s CROSS JOIN (
+            SELECT unnest(generate_series(1,
+                (SELECT max(len(embedding)) FROM embeddings))) AS i) g
     """,
     "embeddings_centroids": """
         SELECT label, i - 1 AS dim, ROUND(avg(embedding[i]), 6) AS mean_val

@@ -419,3 +419,40 @@ def label_centroids(embeddings: "ray.data.Dataset",
                                    batch_size=512)
             .groupby("label")
             .map_groups(reduce_group, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# int8 vector quantization (storage scale path)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(embeddings: "ray.data.Dataset",
+                  emb_col: str = "embedding",
+                  id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Symmetric per-vector int8 quantization in long format
+    (vec_id, scale, dim, qval): scale = max|x|/127, qval =
+    clip(round_half_away(x/scale), -127, 127).
+
+    Rounding is pinned to floor(|x/s| + 0.5) * sign(x) — identical
+    semantics in numpy and SQL (numpy's np.round would round half to
+    even; DuckDB's round() rounds half away — neither matches the other,
+    floor(+0.5) matches both engines exactly). Fully vectorized per
+    batch; embarrassingly parallel, no shuffle at all.
+    """
+    def q(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        M = _to_matrix(batch.column(emb_col))
+        n, d = M.shape
+        scale = (np.abs(M).max(axis=1).astype(np.float64) / 127.0)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        X = M.astype(np.float64) / safe[:, None]
+        Q = np.floor(np.abs(X) + 0.5) * np.sign(X)
+        Q = np.clip(Q, -127, 127).astype(np.int64)
+        Q[scale == 0.0, :] = 0
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d).astype(np.int64)),
+            "scale": pa.array(np.repeat(scale, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "qval": pa.array(Q.reshape(-1)),
+        })
+
+    return embeddings.map_batches(q, batch_format="pyarrow", batch_size=1024)

@@ -243,3 +243,35 @@ def test_label_centroids_combiner(ray_session):
         got = (out[out["label"] == lab].sort_values("dim")["mean_val"]
                .to_numpy())
         assert np.allclose(got, exp, atol=1e-9), lab
+
+
+def test_quantize_int8_roundtrip_error(ray_session):
+    """Quantization invariants: |q| <= 127, max-|x| element hits ±127,
+    dequantized reconstruction error bounded by scale/2 per element,
+    zero vectors quantize to zeros with scale 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from full_text_extractor_v6_ray.stages.embed import quantize_int8
+
+    rng = np.random.RandomState(9)
+    M = rng.randn(50, 16).astype(np.float32)
+    M[7] = 0.0
+    tbl = pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32())),
+    })
+    out = quantize_int8(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(out) == 50 * 16
+    assert out["qval"].abs().max() <= 127
+    for vid in (0, 3, 7):
+        sub = out[out["vec_id"] == vid].sort_values("dim")
+        q = sub["qval"].to_numpy()
+        s = sub["scale"].iloc[0]
+        if vid == 7:
+            assert s == 0.0 and (q == 0).all()
+            continue
+        assert np.abs(q).max() == 127
+        recon = q * s
+        assert np.abs(recon - M[vid].astype(np.float64)).max() <= s / 2 + 1e-12
