@@ -856,6 +856,19 @@ def q_returned_revenue_topk(sf_dir: str):
                     descending=[True, False]).limit(20)
 
 
+def q_events_customer_skewjoin(sf_dir: str):
+    """Skew-aware hybrid join: sampled-hot keys broadcast, cold keys
+    bucketed — join output identical either path (oracle = plain SQL
+    JOIN)."""
+    from .stages.joins import skew_hash_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_mktsegment"])
+    return skew_hash_join(events, cust, "user_id", "c_custkey",
+                          num_buckets=16)
+
+
 def q_events_orders_asof(sf_dir: str):
     """As-of join: each event matched to the user's latest order at or
     before the event time (right side pre-reduced to one order per
@@ -1218,6 +1231,7 @@ QUERIES = {
     "diagram_scores": q_diagram_scores,
     "orders_customer_hashjoin": q_orders_customer_hashjoin,
     "returned_revenue_topk": q_returned_revenue_topk,
+    "events_customer_skewjoin": q_events_customer_skewjoin,
     "events_orders_asof": q_events_orders_asof,
     "lineitem_orders_range": q_lineitem_orders_range,
     "events_user_approx_distinct": q_events_user_approx_distinct,
@@ -1232,6 +1246,10 @@ QUERIES = {
 
 
 ORACLES = {
+    "events_customer_skewjoin": """
+        SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
     "returned_revenue_topk": """
         SELECT c.c_custkey, c.c_name, n.n_name,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)

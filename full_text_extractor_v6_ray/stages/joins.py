@@ -26,6 +26,7 @@ repo-wide convention for bucket/band ids) when they must join exactly.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -275,3 +276,88 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return lt.union(rt).groupby(_BUCKET).map_groups(join_bucket,
                                                     batch_format="pandas")
+
+
+def skew_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                   left_key: str, right_key: str,
+                   num_buckets: int | None = None,
+                   sample_frac: float = 0.05,
+                   hot_min_samples: int = 8,
+                   max_hot_keys: int = 64,
+                   seed: int = 42) -> "ray.data.Dataset":
+    """Skew-aware inner hash join: hot keys bypass the shuffle.
+
+    A single hot key sends ALL its rows through one bucket of a
+    partitioned hash join — the straggler that kills wall-clock at
+    scale. Mitigation (the standard hybrid):
+
+      1. a seeded sample of the left key column estimates hot keys
+         (sampled count >= ``hot_min_samples``, capped at
+         ``max_hot_keys``) — the estimate only routes rows; join
+         OUTPUT is identical whichever path a key takes;
+      2. the right-side rows of hot keys (assumed few per key — a dim
+         table; documented partitioning assumption) broadcast once via
+         ``ray.put`` and hot left rows merge against them inside
+         ``map_batches`` — no shuffle, no straggler;
+      3. everything else takes the normal bucketed hash join;
+      4. union of the two streams (identical column order/dtypes).
+
+    Same output contract as ``bucket_hash_join(how='inner')``:
+    left columns + right columns minus the right key.
+    """
+    import ray
+
+    from ray.data.aggregate import Count
+
+    rs_schema = right.schema().base_schema
+    ls_schema = left.schema().base_schema
+    lcols = list(ls_schema.names)
+    rvals = [n for n in rs_schema.names if n != right_key]
+    out_order = lcols + rvals
+
+    sample = (left.select_columns([left_key])
+              .random_sample(sample_frac, seed=seed))
+    top = (sample.groupby(left_key).aggregate(Count(alias_name="__c"))
+           .sort("__c", descending=True).limit(max_hot_keys).take_all())
+    hot = np.array(sorted(r[left_key] for r in top
+                          if r["__c"] >= hot_min_samples), dtype=np.int64)
+
+    if hot.size == 0:
+        return bucket_hash_join(left, right, left_key, right_key,
+                                num_buckets=num_buckets, how="inner")
+
+    def keep(batch: pa.Table, key: str, invert: bool) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(k, hot)
+        return batch.filter(pa.array(~m if invert else m))
+
+    # small by the dim-table assumption: |hot keys| x rows-per-key
+    right_hot = (right.map_batches(lambda b: keep(b, right_key, False),
+                                   batch_format="pyarrow").to_pandas())
+    ref = ray.put(right_hot)
+
+    class HotMerge:
+        def __init__(self, ref):
+            self.rdf = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            merged = batch.merge(self.rdf, left_on=left_key,
+                                 right_on=right_key, how="inner")
+            if right_key != left_key and right_key in merged.columns:
+                merged = merged.drop(columns=[right_key])
+            return merged.reindex(columns=out_order)
+
+    left_hot = left.map_batches(lambda b: keep(b, left_key, False),
+                                batch_format="pyarrow")
+    hot_joined = left_hot.map_batches(
+        HotMerge, fn_constructor_kwargs={"ref": ref},
+        batch_format="pandas", concurrency=(1, 4))
+
+    left_cold = left.map_batches(lambda b: keep(b, left_key, True),
+                                 batch_format="pyarrow")
+    right_cold = right.map_batches(lambda b: keep(b, right_key, True),
+                                   batch_format="pyarrow")
+    cold_joined = bucket_hash_join(left_cold, right_cold,
+                                   left_key, right_key,
+                                   num_buckets=num_buckets, how="inner")
+    return hot_joined.union(cold_joined)

@@ -196,3 +196,41 @@ def test_range_join_matches_pandas(ray_session):
     exp = exp.sort_values(key).reset_index(drop=True)[got.columns]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert len(got) > 0
+
+
+def test_skew_hash_join_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import skew_hash_join
+
+    rng = np.random.RandomState(11)
+    # one pathologically hot key (0) plus a cold tail
+    hot = np.zeros(2_000, dtype=np.int64)
+    cold = rng.randint(1, 200, 1_000)
+    keys = np.concatenate([hot, cold])
+    rng.shuffle(keys)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(keys.size)})
+    right = pd.DataFrame({"rk": np.arange(200), "rv": np.arange(200) * 7})
+
+    got = skew_hash_join(ray.data.from_pandas(left),
+                         ray.data.from_pandas(right),
+                         "k", "rk", num_buckets=8,
+                         sample_frac=0.2, hot_min_samples=8).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
+    key = ["k", "lv", "rv"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    exp = exp[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_skew_hash_join_no_hot_keys_falls_back(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import skew_hash_join
+
+    left = pd.DataFrame({"k": np.arange(100), "lv": np.arange(100)})
+    right = pd.DataFrame({"rk": np.arange(100), "rv": np.arange(100) * 2})
+    got = skew_hash_join(ray.data.from_pandas(left),
+                         ray.data.from_pandas(right),
+                         "k", "rk", num_buckets=4,
+                         sample_frac=0.3, hot_min_samples=5).to_pandas()
+    assert len(got) == 100
+    assert sorted(got.columns) == ["k", "lv", "rv"]
