@@ -974,6 +974,56 @@ def q_orders_anti_join(sf_dir: str):
                           batch_size=4096, concurrency=(1, 2))
 
 
+def q_orders_latest3_rn(sf_dir: str):
+    """Windowed rank: each customer's 3 most recent orders with their
+    1-based sequence number (ROW_NUMBER over a bucketed shuffle; one
+    vectorized cumcount per bucket)."""
+    from .stages.window import grouped_row_number
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return grouped_row_number(ds, "o_custkey",
+                              ["o_orderdate", "o_orderkey"],
+                              ascending=[False, True],
+                              out_col="rn", limit=3)
+
+
+def q_events_running_value(sf_dir: str):
+    """Per-user running SUM(value) in (ts, event_id) order — the ROWS
+    UNBOUNDED PRECEDING window frame; sequential adds within a key are
+    order-pinned so both engines produce bit-identical doubles."""
+    from .stages.window import grouped_cumsum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return grouped_cumsum(ds, "user_id", ["ts", "event_id"], "value",
+                          out_col="running_sum")
+
+
+def q_orders_price_zscore(sf_dir: str):
+    """Per-status z-score of order price (two-pass stable moments,
+    broadcast decorate — partition-normalization, the per-group scaling
+    every feature pipeline needs)."""
+    from .stages.window import grouped_zscore
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    return grouped_zscore(ds, "o_orderstatus", "o_totalprice",
+                          out_col="zscore")
+
+
+def q_orders_status_pivot(sf_dir: str):
+    """Wide pivot: per order priority, one count column per order
+    status (map-side crosstab partials -> tiny groupby sum; the
+    SUM(CASE WHEN ...) shape)."""
+    from .stages.window import pivot_counts
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus"])
+    return pivot_counts(ds, "o_orderpriority", "o_orderstatus",
+                        ["F", "O", "P"])
+
+
 def q_lineitem_price_quantiles(sf_dir: str):
     """Grouped exact quantiles per return flag (map_groups; the key
     cardinality is tiny — 3 flags — so one group per task is the right
@@ -1232,6 +1282,10 @@ QUERIES = {
     "orders_customer_hashjoin": q_orders_customer_hashjoin,
     "returned_revenue_topk": q_returned_revenue_topk,
     "events_customer_skewjoin": q_events_customer_skewjoin,
+    "orders_latest3_rn": q_orders_latest3_rn,
+    "events_running_value": q_events_running_value,
+    "orders_price_zscore": q_orders_price_zscore,
+    "orders_status_pivot": q_orders_status_pivot,
     "events_orders_asof": q_events_orders_asof,
     "lineitem_orders_range": q_lineitem_orders_range,
     "events_user_approx_distinct": q_events_user_approx_distinct,
@@ -1249,6 +1303,35 @@ ORACLES = {
     "events_customer_skewjoin": """
         SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "orders_latest3_rn": """
+        SELECT o_orderkey, o_custkey, o_orderdate, rn FROM (
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
+            FROM orders) WHERE rn <= 3
+    """,
+    "events_running_value": """
+        SELECT event_id, ts, user_id, value,
+               SUM(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS running_sum
+        FROM events
+    """,
+    "orders_price_zscore": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               ROUND(CASE WHEN STDDEV_SAMP(o_totalprice) OVER w > 0
+                     THEN (o_totalprice - AVG(o_totalprice) OVER w)
+                          / STDDEV_SAMP(o_totalprice) OVER w
+                     ELSE 0 END, 6) AS zscore
+        FROM orders WINDOW w AS (PARTITION BY o_orderstatus)
+    """,
+    "orders_status_pivot": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+        FROM orders GROUP BY o_orderpriority
     """,
     "returned_revenue_topk": """
         SELECT c.c_custkey, c.c_name, n.n_name,

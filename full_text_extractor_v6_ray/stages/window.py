@@ -1,0 +1,197 @@
+"""Keyed window analytics: row_number, running sums, per-group z-score.
+
+The reference has only whole-document in-memory ordering (slide order,
+`sorted(pages)` — hyperlink_extractor.py:378); a corpus-scale engine
+needs the keyed generalizations every training-data pipeline leans on:
+"rank each user's crawls by recency", "running bytes ingested per
+host", "normalize a metric within its partition".
+
+Scale shapes (the partitioning assumptions, per the briefing):
+
+- ``grouped_row_number`` / ``grouped_cumsum``: ONE bucketed shuffle on
+  the pinned version-independent hash (stages/hashing.py) co-locates
+  equal keys; inside each bucket a single vectorized pandas pass
+  (stable mergesort + cython ``groupby.cumcount``/``cumsum``) — Python
+  cost O(num_buckets), never O(keys) or O(rows).
+- ``grouped_zscore``: two-phase. Phase 1 is a map-side combiner
+  (per-batch ``(key, sum, sumsq, count)`` partials) so the shuffle
+  moves one tiny row per key per block; phase 2 broadcasts the per-key
+  moment table via ``ray.put`` once and decorates each batch
+  vectorized. Broadcast is sound for dimension-cardinality keys
+  (status codes, languages, hosts-bucketed); for billion-key
+  partitions use a bucketed join (stages/joins.py) instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import _stable_bucket, default_num_buckets
+
+_BUCKET = "__wbucket"
+
+
+def _bucketed(ds: "ray.data.Dataset", key: str,
+              num_buckets: int) -> "ray.data.Dataset":
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _BUCKET, _stable_bucket(batch.column(key), num_buckets))
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def grouped_row_number(ds: "ray.data.Dataset", key: str,
+                       order_cols: list[str],
+                       ascending: list[bool] | None = None,
+                       out_col: str = "rn",
+                       limit: int | None = None,
+                       num_buckets: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Per-``key`` ROW_NUMBER() ordered by ``order_cols`` (1-based).
+
+    Deterministic output requires ``order_cols`` to be unique within a
+    key (append a unique tiebreak column, the window-function
+    contract). ``limit`` keeps only rows with ``rn <= limit`` (top-N
+    per key with explicit sequence numbers).
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    if ascending is None:
+        ascending = [True] * len(order_cols)
+
+    def number_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols,
+                          ascending=[True] + list(ascending),
+                          kind="mergesort")
+        g[out_col] = g.groupby(key, sort=False).cumcount() + 1
+        if limit is not None:
+            g = g[g[out_col] <= limit]
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(number_bucket,
+                                         batch_format="pandas"))
+
+
+def grouped_cumsum(ds: "ray.data.Dataset", key: str,
+                   order_cols: list[str], value_col: str,
+                   out_col: str = "running_sum",
+                   num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-``key`` running SUM(``value_col``) in ``order_cols`` order
+    (ROWS UNBOUNDED PRECEDING frame; sequential within a key, so both
+    engines add in the same order)."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def cumsum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols, kind="mergesort")
+        g[out_col] = g.groupby(key, sort=False)[value_col].cumsum()
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(cumsum_bucket,
+                                         batch_format="pandas"))
+
+
+def grouped_zscore(ds: "ray.data.Dataset", key: str, value_col: str,
+                   out_col: str = "zscore",
+                   ndigits: int = 6) -> "ray.data.Dataset":
+    """Per-``key`` z-score of ``value_col`` (sample std, ddof=1 — the
+    STDDEV_SAMP window-function contract), rounded to ``ndigits`` for
+    the cross-engine float contract.
+
+    Two passes, each a map-side combiner + tiny per-key aggregate
+    (mean first, then sum of squared deviations) — the single-pass
+    raw-moment formula loses ~7 digits to cancellation, enough to flip
+    the 6th rounded decimal against the oracle's stable accumulation;
+    the two-pass form keeps full double precision. The per-key moment
+    table broadcasts once via ``ray.put``; decoration is vectorized.
+    Keys must be dimension-like (see module docstring).
+    """
+    from ray.data.aggregate import Sum
+
+    slim = ds.select_columns([key, value_col])
+
+    def sums(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: batch.column(key).to_pandas(),
+                           "v": batch.column(value_col).to_pandas()})
+        g = df.groupby(key)["v"]
+        out = pd.DataFrame({"__s": g.sum(), "__n": g.count()})
+        return pa.Table.from_pandas(out.reset_index(),
+                                    preserve_index=False)
+
+    m = (slim.map_batches(sums, batch_format="pyarrow").groupby(key)
+         .aggregate(Sum("__s", alias_name="s"), Sum("__n", alias_name="n"))
+         .to_pandas())
+    n = m["n"].to_numpy().astype(np.float64)
+    means = {k: s / cnt for k, s, cnt in zip(m[key], m["s"], n)}
+    mref = ray.put(means)
+
+    def sqdev(batch: pa.Table) -> pa.Table:
+        mu = ray.get(mref)
+        keys = batch.column(key).to_pandas()
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        d = v - np.array([mu[k] for k in keys], dtype=np.float64)
+        df = pd.DataFrame({key: keys, "__d2": d * d})
+        out = df.groupby(key)["__d2"].sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ssd = (slim.map_batches(sqdev, batch_format="pyarrow").groupby(key)
+           .aggregate(Sum("__d2", alias_name="ssd")).to_pandas())
+    nmap = dict(zip(m[key], n))
+    sdmap = {k: float(np.sqrt(s / (nmap[k] - 1))) if nmap[k] > 1 else 0.0
+             for k, s in zip(ssd[key], ssd["ssd"])}
+    lut = {k: (means[k], sdmap[k]) for k in means}
+    ref = ray.put(lut)
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        keys = batch.column(key).to_pandas()
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        ms = np.array([table[k][0] for k in keys], dtype=np.float64)
+        sd = np.array([table[k][1] for k in keys], dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (v - ms) / sd, 0.0)
+        return batch.append_column(out_col,
+                                   pa.array(np.round(z, ndigits)))
+
+    return ds.map_batches(decorate, batch_format="pyarrow")
+
+
+def pivot_counts(ds: "ray.data.Dataset", group_key: str, pivot_key: str,
+                 pivot_values: list[str],
+                 prefix: str = "n_") -> "ray.data.Dataset":
+    """Wide pivot: one row per ``group_key``, one count column per
+    ``pivot_values`` entry (the SUM(CASE WHEN ...) shape).
+
+    Map-side combiner: each batch collapses to at most
+    |groups-in-batch| partial rows (vectorized crosstab), so the
+    shuffle moves partials, never raw rows. ``pivot_values`` is the
+    explicit closed column set — same contract as SQL PIVOT IN (...);
+    unlisted values are ignored.
+    """
+    cols = [prefix + str(v) for v in pivot_values]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch.column(group_key).to_pandas(),
+            "p": batch.column(pivot_key).to_pandas(),
+        })
+        ct = pd.crosstab(df["g"], df["p"])
+        out = pd.DataFrame(index=ct.index)
+        for v, c in zip(pivot_values, cols):
+            out[c] = ct[v].astype("int64") if v in ct.columns else 0
+        out.index.name = group_key
+        return pa.Table.from_pandas(out.reset_index(),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    aggs = [Sum(c, alias_name=c) for c in cols]
+    return (ds.select_columns([group_key, pivot_key])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(group_key).aggregate(*aggs))

@@ -1,0 +1,93 @@
+"""Keyed window analytics: row_number, cumsum, z-score, pivot."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_grouped_row_number_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_row_number
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"k": rng.randint(0, 20, 300),
+                       "o": rng.permutation(300),
+                       "v": np.arange(300)})
+    got = grouped_row_number(ray.data.from_pandas(df), "k", ["o"],
+                             out_col="rn", num_buckets=8).to_pandas()
+    exp = df.sort_values(["k", "o"], kind="mergesort").copy()
+    exp["rn"] = exp.groupby("k", sort=False).cumcount() + 1
+    key = ["k", "o"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert list(got["rn"]) == list(exp["rn"])
+
+
+def test_grouped_row_number_limit(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_row_number
+
+    df = pd.DataFrame({"k": [1] * 10 + [2] * 2, "o": list(range(10)) + [0, 1]})
+    got = grouped_row_number(ray.data.from_pandas(df), "k", ["o"],
+                             limit=3, num_buckets=4).to_pandas()
+    assert len(got) == 5
+    assert got["rn"].max() == 3
+
+
+def test_grouped_cumsum_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_cumsum
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({"k": rng.randint(0, 15, 400),
+                       "o": np.arange(400),
+                       "v": rng.rand(400)})
+    got = grouped_cumsum(ray.data.from_pandas(df), "k", ["o"], "v",
+                         out_col="rs", num_buckets=8).to_pandas()
+    exp = df.sort_values(["k", "o"], kind="mergesort").copy()
+    exp["rs"] = exp.groupby("k", sort=False)["v"].cumsum()
+    got = got.sort_values(["k", "o"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "o"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["rs"], exp["rs"], rtol=0, atol=0)
+
+
+def test_grouped_zscore_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_zscore
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 500),
+                       "id": np.arange(500),
+                       "v": rng.rand(500) * 1000 + 5000})
+    got = grouped_zscore(ray.data.from_pandas(df), "k", "v").to_pandas()
+    stats = df.groupby("k")["v"].agg(["mean", "std"])
+    exp_z = ((df["v"] - df["k"].map(stats["mean"]))
+             / df["k"].map(stats["std"])).round(6)
+    got = got.sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(got["zscore"], exp_z, atol=1e-6)
+
+
+def test_grouped_zscore_constant_group_is_zero(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_zscore
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"], "id": range(6),
+                       "v": [7.0] * 5 + [3.0]})
+    got = grouped_zscore(ray.data.from_pandas(df), "k", "v").to_pandas()
+    assert (got["zscore"] == 0).all()
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import pivot_counts
+
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame({"g": rng.choice(["x", "y", "z"], 600),
+                       "p": rng.choice(["A", "B", "C", "D"], 600)})
+    got = (pivot_counts(ray.data.from_pandas(df), "g", "p",
+                        ["A", "B", "C"]).to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    ct = pd.crosstab(df["g"], df["p"])
+    for v in ["A", "B", "C"]:
+        assert list(got["n_" + v]) == list(ct[v])
+    assert "n_D" not in got.columns
