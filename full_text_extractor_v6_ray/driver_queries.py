@@ -1024,6 +1024,36 @@ def q_orders_status_pivot(sf_dir: str):
                         ["F", "O", "P"])
 
 
+def q_lineitem_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus): per-pair, per-flag and grand
+    totals from ONE finest-granularity shuffle (coarser levels derived
+    from the tiny finest table, never a second raw-row pass)."""
+    from .stages.cube import rollup_agg
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_agg(ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+                      sum_alias="sum_qty", count_alias="n")
+
+
+def q_orders_price_histogram(sf_dir: str):
+    """Fixed-width price histogram (bin = floor(price/25000)): per-batch
+    vectorized partials, tiny groupby-sum over bin ids."""
+    from .stages.cube import fixed_width_histogram
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    out = fixed_width_histogram(ds, "o_totalprice", 25_000.0,
+                                sum_alias="sum_price", count_alias="n")
+
+    def pin(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_price")
+        v = np.round(batch.column("sum_price").to_numpy(
+            zero_copy_only=False), 2)
+        return batch.set_column(i, "sum_price", pa.array(v))
+
+    return out.map_batches(pin, batch_format="pyarrow")
+
+
 def q_lineitem_price_quantiles(sf_dir: str):
     """Grouped exact quantiles per return flag (map_groups; the key
     cardinality is tiny — 3 flags — so one group per task is the right
@@ -1286,6 +1316,8 @@ QUERIES = {
     "events_running_value": q_events_running_value,
     "orders_price_zscore": q_orders_price_zscore,
     "orders_status_pivot": q_orders_status_pivot,
+    "lineitem_rollup": q_lineitem_rollup,
+    "orders_price_histogram": q_orders_price_histogram,
     "events_orders_asof": q_events_orders_asof,
     "lineitem_orders_range": q_lineitem_orders_range,
     "events_user_approx_distinct": q_events_user_approx_distinct,
@@ -1332,6 +1364,17 @@ ORACLES = {
                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
                COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
         FROM orders GROUP BY o_orderpriority
+    """,
+    "lineitem_rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "orders_price_histogram": """
+        SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+               ROUND(SUM(o_totalprice), 2) AS sum_price, COUNT(*) AS n
+        FROM orders GROUP BY 1
     """,
     "returned_revenue_topk": """
         SELECT c.c_custkey, c.c_name, n.n_name,
