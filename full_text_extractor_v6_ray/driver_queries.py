@@ -290,6 +290,19 @@ def q_docs_quality(sf_dir: str):
                                "max_repeat_ratio", "quality"])
 
 
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition signals (duplicate-token / top-token
+    fraction; SQL-pinned split(' ') tokenization). The bigram signal
+    is unit-tested (not SQL-oracle-able cleanly)."""
+    from .stages.text_ops import RepetitionBatch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(RepetitionBatch, batch_format="pyarrow",
+                         batch_size=512, concurrency=(1, 4))
+    return out.select_columns(["doc_id", "n_tok", "dup_tok_frac",
+                               "top_tok_frac"])
+
+
 def q_docs_fingerprint(sf_dir: str):
     """Content fingerprints: md5 (exact-dup key, SQL-oracled) per doc."""
     from .stages.text_ops import FingerprintBatch
@@ -1318,6 +1331,7 @@ QUERIES = {
     "orders_status_pivot": q_orders_status_pivot,
     "lineitem_rollup": q_lineitem_rollup,
     "orders_price_histogram": q_orders_price_histogram,
+    "docs_repetition": q_docs_repetition,
     "events_orders_asof": q_events_orders_asof,
     "lineitem_orders_range": q_lineitem_orders_range,
     "events_user_approx_distinct": q_events_user_approx_distinct,
@@ -1364,6 +1378,20 @@ ORACLES = {
                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
                COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
         FROM orders GROUP BY o_orderpriority
+    """,
+    "docs_repetition": """
+        WITH flat AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM flat GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tok,
+               1.0 - (COUNT(*)::DOUBLE / SUM(c)::DOUBLE) AS dup_tok_frac,
+               MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_tok_frac
+        FROM counts GROUP BY doc_id
     """,
     "lineitem_rollup": """
         SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

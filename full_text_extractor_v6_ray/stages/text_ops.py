@@ -286,3 +286,46 @@ class PiiScrubBatch:
         batch = batch.append_column("n_phone", pa.array(np_, pa.int64()))
         batch = batch.append_column("n_ip", pa.array(ni, pa.int64()))
         return batch
+
+
+class RepetitionBatch:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction, most-frequent-token fraction, most-frequent-bigram
+    fraction (arXiv:2112.11446 §A.1.1 repetition filters, re-derived
+    from the public paper).
+
+    Tokenization is the oracle-pinned ``split(' ')`` (DuckDB
+    ``string_split(text, ' ')`` — keeps empties on double spaces), so
+    the token-level signals are SQL-verifiable; the bigram signal is
+    covered by unit tests. Counter loops run per document (C-speed
+    dict ops); the stage is map-only — no shuffle.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n_tok, dup_f, top_f, big_f = [], [], [], []
+        for s in batch.column(self.text_col).to_pylist():
+            toks = (s or "").split(" ")
+            t = len(toks)
+            c = Counter(toks)
+            n_tok.append(t)
+            # IEEE order pinned to the oracle: 1.0 - (distinct / total)
+            dup_f.append(1.0 - len(c) / t if t else 0.0)
+            top_f.append(max(c.values()) / t if t else 0.0)
+            if t >= 2:
+                bc = Counter(zip(toks, toks[1:]))
+                big_f.append(max(bc.values()) / (t - 1))
+            else:
+                big_f.append(0.0)
+        batch = batch.append_column("n_tok", pa.array(n_tok, pa.int64()))
+        batch = batch.append_column("dup_tok_frac",
+                                    pa.array(dup_f, pa.float64()))
+        batch = batch.append_column("top_tok_frac",
+                                    pa.array(top_f, pa.float64()))
+        batch = batch.append_column("top_bigram_frac",
+                                    pa.array(big_f, pa.float64()))
+        return batch

@@ -119,3 +119,26 @@ def test_pii_scrub_planted_cross_engine(ray_session):
     assert got.loc[0, "n_email"] == 1 and got.loc[0, "n_phone"] == 1
     assert got.loc[1, "n_ip"] == 2
     assert "[EMAIL]" in got.loc[0, "text_scrubbed"]
+
+
+def test_repetition_signals(ray_session):
+    import ray.data
+    import pandas as pd
+    from full_text_extractor_v6_ray.stages.text_ops import RepetitionBatch
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d",                 # all distinct
+                 "x x x x",                 # one token repeated
+                 "p q p q p q"],            # dominant bigram chain
+    })
+    out = (ray.data.from_pandas(docs)
+           .map_batches(RepetitionBatch, batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_tok"]) == [4, 4, 6]
+    assert out.loc[0, "dup_tok_frac"] == 0.0
+    assert out.loc[1, "dup_tok_frac"] == 0.75
+    assert out.loc[1, "top_tok_frac"] == 1.0
+    # "p q" appears 3 times of 5 bigrams
+    assert abs(out.loc[2, "top_bigram_frac"] - 3 / 5) < 1e-12
+    assert abs(out.loc[0, "top_bigram_frac"] - 1 / 3) < 1e-12
