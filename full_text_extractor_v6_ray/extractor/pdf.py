@@ -82,6 +82,7 @@ _NAME_TOK = re.compile(rb"/(\w+)")
 _DECODE_PARMS = re.compile(rb"/DecodeParms\s*<<(.*?)>>", re.DOTALL)
 _STARTXREF = re.compile(rb"startxref\s+(\d+)")
 _PREV = re.compile(rb"/Prev\s+(\d+)\b")
+_XREFSTM = re.compile(rb"/XRefStm\s+(\d+)\b")
 _W_ARR = re.compile(rb"/W\s*\[([\d\s]+)\]")
 _SIZE = re.compile(rb"/Size\s+(\d+)\b")
 _INDEX = re.compile(rb"/Index\s*\[([\d\s]+)\]")
@@ -393,13 +394,21 @@ def _object_at(payload: bytes, off: int) -> tuple[int, bytes] | None:
     return int(m.group(1)), payload[start:end if end is not None else None]
 
 
-def _parse_xref_table(payload: bytes, off: int,
-                      offsets: dict[int, int]) -> int:
-    """Classic ``xref`` table at ``off`` -> offsets; returns /Prev or -1."""
+def _parse_xref_table(payload: bytes, off: int, offsets: dict[int, int],
+                      dead: set[int]) -> list[int]:
+    """Classic ``xref`` table at ``off`` -> offsets; returns the offsets
+    to visit next, newest-first: the trailer's hybrid-reference
+    ``/XRefStm`` stream (same revision, takes precedence over older
+    sections — PDF 1.5 §7.5.8.4) before its ``/Prev``.
+
+    Free (``f``) entries shadow: an object deleted in a newer revision
+    must not resurrect from an older section's stale ``n`` offset.
+    """
     m = re.compile(rb"xref\s*").match(payload, off)
     pos = m.end()
     sub = re.compile(rb"(\d+)\s+(\d+)\s*")
     ent = re.compile(rb"(\d{10})\s(\d{5})\s([nf])\s?\s?")
+    nxt: list[int] = []
     while True:
         sm = sub.match(payload, pos)
         if not sm:
@@ -409,19 +418,27 @@ def _parse_xref_table(payload: bytes, off: int,
         for i in range(count):
             em = ent.match(payload, pos)
             if not em:
-                return -1
+                return nxt
+            num = start + i
             if em.group(3) == b"n":
-                offsets.setdefault(start + i, int(em.group(1)))
+                if num not in dead:
+                    offsets.setdefault(num, int(em.group(1)))
+            elif num not in offsets:
+                dead.add(num)
             pos = em.end()
     tm = re.compile(rb"trailer\s*").match(payload, pos)
     if tm:
+        xm = _XREFSTM.search(payload, tm.end(), tm.end() + 512)
+        if xm:
+            nxt.append(int(xm.group(1)))
         pm = _PREV.search(payload, tm.end(), tm.end() + 512)
         if pm:
-            return int(pm.group(1))
-    return -1
+            nxt.append(int(pm.group(1)))
+    return nxt
 
 
-def _parse_xref_stream(body: bytes, offsets: dict[int, int]) -> None:
+def _parse_xref_stream(body: bytes, offsets: dict[int, int],
+                       dead: set[int]) -> None:
     """PDF 1.5 xref stream: /W field widths, /Index ranges, type-1 rows
     give object byte offsets (type-2 ObjStm members are unpacked by the
     ObjStm expansion pass)."""
@@ -457,34 +474,47 @@ def _parse_xref_stream(body: bytes, offsets: dict[int, int]) -> None:
                 f.append(int.from_bytes(row[j:j + width], "big")
                          if width else 1)  # width 0 -> default type 1
                 j += width
+            num = start + i
             if f[0] == 1:
-                offsets.setdefault(start + i, f[1])
+                if num not in dead:
+                    offsets.setdefault(num, f[1])
+            elif f[0] == 0 and num not in offsets:
+                dead.add(num)
 
 
 def _xref_object_offsets(payload: bytes) -> dict[int, int]:
-    """objnum -> byte offset from the startxref chain (tables + streams)."""
+    """objnum -> byte offset from the startxref chain: classic tables,
+    1.5 xref streams, and hybrid-reference files whose table trailers
+    point at a companion stream via /XRefStm — visited newest-first so
+    ``setdefault``/free-shadowing give each object its latest state."""
     ms = list(_STARTXREF.finditer(payload))
     if not ms:
         return {}
     offsets: dict[int, int] = {}
-    off = int(ms[-1].group(1))
+    dead: set[int] = set()
+    work = [int(ms[-1].group(1))]
     seen: set[int] = set()
-    for _ in range(16):  # bounded /Prev chain
-        if off < 0 or off >= len(payload) or off in seen:
+    for _ in range(16):  # bounded chain (tables + streams + hybrids)
+        if not work:
             break
+        off = work.pop(0)
+        if off < 0 or off >= len(payload) or off in seen:
+            continue
         seen.add(off)
         try:
             if payload.startswith(b"xref", off):
-                off = _parse_xref_table(payload, off, offsets)
+                work = _parse_xref_table(payload, off, offsets,
+                                         dead) + work
                 continue
             at = _object_at(payload, off)
             if at is None or not _TYPE_XREF.search(at[1]):
-                break
-            _parse_xref_stream(at[1], offsets)
+                continue
+            _parse_xref_stream(at[1], offsets, dead)
             pm = _PREV.search(at[1])
-            off = int(pm.group(1)) if pm else -1
+            if pm:
+                work.append(int(pm.group(1)))
         except Exception:
-            break
+            continue
     return offsets
 
 

@@ -355,3 +355,82 @@ def test_named_dest_unknown_name_emits_nothing():
     }
     text, links, err = extract_pdf(_assemble(objs))
     assert err == "" and links == [] and "solo" in text
+
+
+def _xref_stream_obj(xnum: int, rows: list[bytes], root: bytes = b"",
+                     index: bytes = b"") -> bytes:
+    """Bare /Type /XRef object (W [1 4 2], no predictor) for hybrids."""
+    data = zlib.compress(b"".join(rows), 6)
+    return _obj(xnum, b"<< /Type /XRef /Size " + str(xnum + 1).encode()
+                + b" /W [1 4 2] " + index + root
+                + b" /Filter /FlateDecode /Length "
+                + str(len(data)).encode() + b" >> stream\n" + data
+                + b"\nendstream")
+
+
+def _row(kind: int, a: int, b: int) -> bytes:
+    return bytes([kind]) + a.to_bytes(4, "big") + b.to_bytes(2, "big")
+
+
+def test_hybrid_xrefstm_rescues_scan_missed_object():
+    """PDF 1.5 hybrid-reference file: classic table for objects 1-3,
+    trailer /XRefStm pointing at a companion stream that alone knows
+    object 4 (which the forward scan misses via a broken header)."""
+    content = b"BT (Hybrid rescued) Tj ET"
+    objs = _basic_objects(content)
+    broken = {4: b"90 0 obj << /Broken true >>\n"}
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(objs):
+        if num in broken:
+            out += broken[num]
+        offsets[num] = len(out)
+        out += _obj(num, objs[num])
+    # companion xref stream carrying ONLY object 4
+    xnum = 5
+    stm_off = len(out)
+    out += _xref_stream_obj(
+        xnum, [_row(1, offsets[4], 0)], index=b"/Index [4 1] ")
+    # classic table covering 0-3 (object 4 absent on purpose)
+    tbl_off = len(out)
+    out += b"xref\n0 4\n0000000000 65535 f \n"
+    for n in (1, 2, 3):
+        out += b"%010d 00000 n \n" % offsets[n]
+    out += (b"trailer << /Size 6 /Root 1 0 R /XRefStm "
+            + str(stm_off).encode() + b" >>\nstartxref\n"
+            + str(tbl_off).encode() + b"\n%%EOF\n")
+    payload = bytes(out)
+
+    offs = _xref_object_offsets(payload)
+    assert offs.get(4) == offsets[4]
+    assert payload[offs[1]:offs[1] + 7] == b"1 0 obj"
+    text, _, err = extract_pdf(payload)
+    assert err == "" and "Hybrid rescued" in text
+
+
+def test_free_entry_shadows_stale_offset():
+    """An object freed in the NEWEST section must not resurrect from an
+    older table's stale ``n`` entry."""
+    content = b"BT (Shadow) Tj ET"
+    objs = _basic_objects(content)
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += _obj(num, objs[num])
+    # OLD table: all four objects live
+    old_off = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for n in (1, 2, 3, 4):
+        out += b"%010d 00000 n \n" % offsets[n]
+    out += b"trailer << /Size 5 /Root 1 0 R >>\n"
+    # NEW table: object 4 freed, /Prev to the old table
+    new_off = len(out)
+    out += (b"xref\n4 1\n0000000000 00001 f \n"
+            b"trailer << /Size 5 /Root 1 0 R /Prev "
+            + str(old_off).encode() + b" >>\nstartxref\n"
+            + str(new_off).encode() + b"\n%%EOF\n")
+    offs = _xref_object_offsets(bytes(out))
+    assert 4 not in offs
+    assert offs.get(1) == offsets[1] and offs.get(3) == offsets[3]
