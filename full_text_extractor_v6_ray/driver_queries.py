@@ -1037,6 +1037,63 @@ def q_orders_status_pivot(sf_dir: str):
                         ["F", "O", "P"])
 
 
+def q_orders_price_pctrank(sf_dir: str):
+    """PERCENT_RANK of order price within each status (bucketed shuffle,
+    vectorized rank/size per bucket; unique (price, orderkey) ordering
+    pins rank == row_number)."""
+    from .stages.window import grouped_percent_rank
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    return grouped_percent_rank(ds, "o_orderstatus",
+                                ["o_totalprice", "o_orderkey"],
+                                out_col="pr")
+
+
+def q_orders_semi_join(sf_dir: str):
+    """Broadcast SEMI-join: orders whose customer IS in the BUILDING
+    segment (inclusion set ships once via ray.put; one vectorized
+    np.isin per batch, no shuffle — the dual of q_orders_anti_join)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    seg = np.asarray(cust["c_mktsegment"].to_pylist())
+    incl = np.sort(keys[seg == "BUILDING"])
+    ref = ray.put(incl)
+
+    class SemiJoin:
+        def __init__(self):
+            self.incl = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(np.isin(ck, self.incl)))
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return ds.map_batches(SemiJoin, batch_format="pyarrow",
+                          batch_size=4096, concurrency=(1, 2))
+
+
+def q_docs_hash_sample(sf_dir: str):
+    """Deterministic systematic sample: keep docs whose md5(doc_id) hex
+    digest sorts below '28' (~15.6%) — key-hash sampling every engine
+    can reproduce exactly (oracle: DuckDB md5(doc_id::VARCHAR))."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        m = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest() < "28" for i in ids),
+            dtype=bool, count=len(ids))
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def q_lineitem_rollup(sf_dir: str):
     """ROLLUP(l_returnflag, l_linestatus): per-pair, per-flag and grand
     totals from ONE finest-granularity shuffle (coarser levels derived
@@ -1332,6 +1389,9 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "orders_price_histogram": q_orders_price_histogram,
     "docs_repetition": q_docs_repetition,
+    "orders_price_pctrank": q_orders_price_pctrank,
+    "orders_semi_join": q_orders_semi_join,
+    "docs_hash_sample": q_docs_hash_sample,
     "events_orders_asof": q_events_orders_asof,
     "lineitem_orders_range": q_lineitem_orders_range,
     "events_user_approx_distinct": q_events_user_approx_distinct,
@@ -1378,6 +1438,21 @@ ORACLES = {
                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
                COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
         FROM orders GROUP BY o_orderpriority
+    """,
+    "orders_price_pctrank": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey) AS pr
+        FROM orders
+    """,
+    "orders_semi_join": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+    """,
+    "docs_hash_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
     """,
     "docs_repetition": """
         WITH flat AS (

@@ -635,14 +635,21 @@ def dup_components_star_ds(pairs: "ray.data.Dataset",
         b = batch.column("doc_b").to_numpy(zero_copy_only=False).view(np.uint64)
         h = (a * golden) ^ ((b + golden) * golden)
         s = int(np.sum(h, dtype=np.uint64))  # wraps mod 2^64: checksum, see above
-        return pa.table({"partial": pa.array([s - (1 << 63)], pa.int64()),
+        # split into 32-bit halves so the cross-batch Sum stays within
+        # int64 for < 2^31 batches (a raw uint64 partial overflows the
+        # reduce into Python objects -> Arrow pickle fallback)
+        return pa.table({"s_lo": pa.array([s & 0xFFFFFFFF], pa.int64()),
+                         "s_hi": pa.array([s >> 32], pa.int64()),
                          "n": pa.array([batch.num_rows], pa.int64())})
 
     def fingerprint(edges: "ray.data.Dataset") -> tuple[int, int]:
         agg = (edges.map_batches(checksum, batch_format="pyarrow")
-               .aggregate(Sum("partial", alias_name="s"),
+               .aggregate(Sum("s_lo", alias_name="lo"),
+                          Sum("s_hi", alias_name="hi"),
                           Sum("n", alias_name="n")))
-        return int(agg["n"] or 0), int(agg["s"] or 0)
+        folded = (int(agg["lo"] or 0) + (int(agg["hi"] or 0) << 32)) \
+            & 0xFFFFFFFFFFFFFFFF
+        return int(agg["n"] or 0), folded
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)

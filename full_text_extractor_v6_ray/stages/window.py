@@ -78,6 +78,36 @@ def grouped_row_number(ds: "ray.data.Dataset", key: str,
                                          batch_format="pandas"))
 
 
+def grouped_percent_rank(ds: "ray.data.Dataset", key: str,
+                         order_cols: list[str],
+                         ascending: list[bool] | None = None,
+                         out_col: str = "pr",
+                         num_buckets: int | None = None
+                         ) -> "ray.data.Dataset":
+    """Per-``key`` PERCENT_RANK() = (rank-1)/(n-1) (0.0 for singleton
+    groups). ``order_cols`` must be unique within a key, making rank ==
+    row_number and the output deterministic; the division is two exact
+    small ints, so it is bit-identical across engines."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    if ascending is None:
+        ascending = [True] * len(order_cols)
+
+    def pr_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols,
+                          ascending=[True] + list(ascending),
+                          kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        rn = grp.cumcount().to_numpy(dtype=np.float64)
+        n = grp[key].transform("size").to_numpy(dtype=np.float64)
+        g[out_col] = np.where(n > 1, rn / np.maximum(n - 1, 1), 0.0)
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(pr_bucket,
+                                         batch_format="pandas"))
+
+
 def grouped_cumsum(ds: "ray.data.Dataset", key: str,
                    order_cols: list[str], value_col: str,
                    out_col: str = "running_sum",

@@ -91,3 +91,31 @@ def test_pivot_counts_matches_crosstab(ray_session):
     for v in ["A", "B", "C"]:
         assert list(got["n_" + v]) == list(ct[v])
     assert "n_D" not in got.columns
+
+
+def test_grouped_percent_rank_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_percent_rank
+
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 200),
+                       "o": rng.permutation(200)})
+    got = grouped_percent_rank(ray.data.from_pandas(df), "k", ["o"],
+                               out_col="pr", num_buckets=4).to_pandas()
+    exp = df.copy()
+    exp["pr"] = exp.groupby("k")["o"].rank(method="first").sub(1) / \
+        exp.groupby("k")["o"].transform("size").sub(1)
+    got = got.sort_values(["k", "o"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "o"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["pr"], exp["pr"], rtol=0, atol=0)
+
+
+def test_grouped_percent_rank_singleton_zero(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_percent_rank
+
+    df = pd.DataFrame({"k": ["solo", "d", "d"], "o": [1, 2, 3]})
+    got = grouped_percent_rank(ray.data.from_pandas(df), "k", ["o"],
+                               num_buckets=2).to_pandas()
+    assert got.loc[got["k"] == "solo", "pr"].iloc[0] == 0.0
+    assert set(got.loc[got["k"] == "d", "pr"]) == {0.0, 1.0}
