@@ -1094,6 +1094,50 @@ def q_docs_hash_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_lineitem_bloom_join(sf_dir: str):
+    """Bloom-pre-filtered join: lineitems of high-value orders. The
+    small build side folds into a broadcast Bloom bitmap that drops
+    non-matching lineitems BEFORE the shuffle; output is byte-identical
+    to the plain join (false positives only reach the exact join)."""
+    from .stages.joins import bloom_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice"])
+
+    def high(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v > 400_000.0))
+
+    big = orders.map_batches(high, batch_format="pyarrow")
+    return bloom_hash_join(li, big, "l_orderkey", "o_orderkey",
+                           num_buckets=16)
+
+
+def q_customer_order_list(sf_dir: str):
+    """STRING_AGG / collect-list: each customer's order keys as one
+    ordered comma-joined string (bucketed shuffle, per-bucket
+    vectorized join)."""
+    from .stages.window import grouped_string_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    return grouped_string_agg(ds, "o_custkey", "o_orderkey",
+                              order_cols=["o_orderkey"],
+                              out_col="order_keys")
+
+
+def q_events_type_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type: bucketed distinct
+    pairs then a tiny per-key count — the exact companion of the HLL
+    approx path (events_user_approx_distinct)."""
+    from .stages.window import grouped_exact_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_exact_distinct(ds, "event_type", "user_id",
+                                  out_col="n_users")
+
+
 def q_lineitem_rollup(sf_dir: str):
     """ROLLUP(l_returnflag, l_linestatus): per-pair, per-flag and grand
     totals from ONE finest-granularity shuffle (coarser levels derived
@@ -1392,6 +1436,9 @@ QUERIES = {
     "orders_price_pctrank": q_orders_price_pctrank,
     "orders_semi_join": q_orders_semi_join,
     "docs_hash_sample": q_docs_hash_sample,
+    "customer_order_list": q_customer_order_list,
+    "lineitem_bloom_join": q_lineitem_bloom_join,
+    "events_type_distinct_users": q_events_type_distinct_users,
     "events_orders_asof": q_events_orders_asof,
     "lineitem_orders_range": q_lineitem_orders_range,
     "events_user_approx_distinct": q_events_user_approx_distinct,
@@ -1453,6 +1500,22 @@ ORACLES = {
     "docs_hash_sample": """
         SELECT doc_id, lang FROM documents
         WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
+    """,
+    "lineitem_bloom_join": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+               o.o_totalprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 400000
+    """,
+    "customer_order_list": """
+        SELECT o_custkey,
+               STRING_AGG(CAST(o_orderkey AS VARCHAR), ','
+                          ORDER BY o_orderkey) AS order_keys
+        FROM orders GROUP BY o_custkey
+    """,
+    "events_type_distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
     "docs_repetition": """
         WITH flat AS (

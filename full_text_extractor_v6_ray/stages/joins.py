@@ -361,3 +361,96 @@ def skew_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                                    left_key, right_key,
                                    num_buckets=num_buckets, how="inner")
     return hot_joined.union(cold_joined)
+
+
+class BloomFilter:
+    """Vectorized fixed-size Bloom filter over int64 keys.
+
+    k derived hash probes from two numpy multiplicative hashes
+    (h_i = h1 + i*h2 mod m — Kirsch-Mitzenmacher double hashing,
+    public construction). ~1% FP at 10 bits/key, k=7.
+    """
+
+    M1 = np.uint64(0x9E3779B97F4A7C15)
+    M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def __init__(self, n_bits: int, k: int = 7):
+        self.m = np.uint64(n_bits)
+        self.k = k
+        self.bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+
+    def _probes(self, keys: np.ndarray) -> "np.ndarray":
+        u = keys.astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = u * self.M1
+            h2 = (u ^ (u >> np.uint64(33))) * self.M2 | np.uint64(1)
+            idx = np.empty((self.k, u.size), dtype=np.uint64)
+            for i in range(self.k):
+                idx[i] = (h1 + np.uint64(i) * h2) % self.m
+        return idx
+
+    def add(self, keys: np.ndarray) -> None:
+        idx = self._probes(keys).ravel()
+        np.bitwise_or.at(self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1),
+                                       (idx & np.uint64(7)).astype(np.uint8)))
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        idx = self._probes(keys)
+        ok = np.ones(keys.size, dtype=bool)
+        for i in range(self.k):
+            byte = self.bits[(idx[i] >> np.uint64(3)).astype(np.int64)]
+            bit = np.left_shift(np.uint8(1),
+                                (idx[i] & np.uint64(7)).astype(np.uint8))
+            ok &= (byte & bit) != 0
+        return ok
+
+    def merge(self, other: "BloomFilter") -> None:
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+
+
+def bloom_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                    left_key: str, right_key: str,
+                    n_bits: int = 1 << 20,
+                    num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Bloom-pre-filtered inner hash join (the classic bloom join).
+
+    The build side's keys fold into per-block Bloom bitmaps (one
+    ``n_bits/8``-byte partial per block, OR-merged on the driver — at
+    1 MiB for 10^6-key filters this is a metadata-sized reduce), the
+    bitmap broadcasts once via ``ray.put``, and the probe side drops
+    non-matching rows BEFORE the shuffle — the standard way to keep a
+    selective join from moving the whole big side through the
+    exchange. False positives only let extra rows into the exact
+    ``bucket_hash_join``, so the OUTPUT is byte-identical to the plain
+    join (fully oracle-able); false negatives are impossible.
+    """
+    import ray
+
+    def build(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits)
+        bf.add(batch.column(right_key).to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          pa.large_binary())})
+
+    bf = BloomFilter(n_bits)
+    for row in (right.select_columns([right_key])
+                .map_batches(build, batch_format="pyarrow")
+                .iter_rows()):
+        bf.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    ref = ray.put(bf)
+
+    class Prefilter:
+        def __init__(self):
+            self.bf = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch.column(left_key).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(self.bf.might_contain(k)))
+
+    slim = left.map_batches(Prefilter, batch_format="pyarrow",
+                            batch_size=8192, concurrency=(1, 4))
+    return bucket_hash_join(slim, right, left_key, right_key,
+                            num_buckets=num_buckets, how="inner")

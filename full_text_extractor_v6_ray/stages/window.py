@@ -128,6 +128,67 @@ def grouped_cumsum(ds: "ray.data.Dataset", key: str,
                                          batch_format="pandas"))
 
 
+def grouped_string_agg(ds: "ray.data.Dataset", key: str, value_col: str,
+                       order_cols: list[str] | None = None,
+                       sep: str = ",", out_col: str = "agg",
+                       num_buckets: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Per-``key`` ordered string concatenation (STRING_AGG / the
+    collect_list shape): one bucketed shuffle, then one vectorized
+    pandas join per bucket. ``order_cols`` pins element order (required
+    for deterministic output); values are stringified with ``str()``
+    (ints format identically to SQL CAST AS VARCHAR).
+
+    Scale note: output rows are one per key and can be wide for hot
+    keys — the collect-style aggregate is for bounded group sizes
+    (per-doc links, per-user sessions), not unbounded corpora.
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    order_cols = order_cols or [value_col]
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols, kind="mergesort")
+        out = (g.groupby(key, sort=False)[value_col]
+               .agg(lambda s: sep.join(str(v) for v in s))
+               .reset_index(name=out_col))
+        return out
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(agg_bucket,
+                                         batch_format="pandas")
+            .select_columns([key, out_col]))
+
+
+def grouped_exact_distinct(ds: "ray.data.Dataset", key: str,
+                           value_col: str,
+                           out_col: str = "n_distinct",
+                           num_buckets: int | None = None
+                           ) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT value) per ``key``: distinct (key, value)
+    pairs via one bucketed shuffle (pairs deduped vectorized inside
+    each bucket — Python cost O(buckets)), then a tiny per-key count.
+    The exact companion of the HLL sketch path (stages/sketches.py)."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _BUCKET, _stable_bucket(batch.column(key), num_buckets))
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns=_BUCKET)
+                .drop_duplicates([key, value_col]))
+
+    from ray.data.aggregate import Count
+    pairs = (ds.select_columns([key, value_col])
+             .map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(_BUCKET).map_groups(distinct_bucket,
+                                          batch_format="pandas"))
+    return pairs.groupby(key).aggregate(Count(alias_name=out_col))
+
+
 def grouped_zscore(ds: "ray.data.Dataset", key: str, value_col: str,
                    out_col: str = "zscore",
                    ndigits: int = 6) -> "ray.data.Dataset":

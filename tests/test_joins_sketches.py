@@ -234,3 +234,49 @@ def test_skew_hash_join_no_hot_keys_falls_back(ray_session):
                          sample_frac=0.3, hot_min_samples=5).to_pandas()
     assert len(got) == 100
     assert sorted(got.columns) == ["k", "lv", "rv"]
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    from full_text_extractor_v6_ray.stages.joins import BloomFilter
+
+    rng = np.random.RandomState(7)
+    members = rng.randint(-2**62, 2**62, 5_000).astype(np.int64)
+    bf = BloomFilter(1 << 16)
+    bf.add(members)
+    assert bf.might_contain(members).all()
+
+    probe = rng.randint(-2**62, 2**62, 20_000).astype(np.int64)
+    probe = probe[~np.isin(probe, members)]
+    fp = bf.might_contain(probe).mean()
+    assert fp < 0.05  # 64Kb / 5k keys ~ 13 bits/key -> well under 5%
+
+
+def test_bloom_filter_merge_is_union():
+    from full_text_extractor_v6_ray.stages.joins import BloomFilter
+
+    a, b = BloomFilter(1 << 12), BloomFilter(1 << 12)
+    a.add(np.arange(0, 50, dtype=np.int64))
+    b.add(np.arange(50, 100, dtype=np.int64))
+    a.merge(b)
+    assert a.might_contain(np.arange(100, dtype=np.int64)).all()
+
+
+def test_bloom_hash_join_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import bloom_hash_join
+
+    rng = np.random.RandomState(13)
+    left = pd.DataFrame({"k": rng.randint(0, 500, 3_000).astype(np.int64),
+                         "lv": np.arange(3_000)})
+    # selective build side: only 40 of 500 key values survive
+    right = pd.DataFrame({"rk": np.arange(0, 500, 13).astype(np.int64),
+                          "rv": np.arange(0, 500, 13) * 3})
+    got = bloom_hash_join(ray.data.from_pandas(left),
+                          ray.data.from_pandas(right),
+                          "k", "rk", n_bits=1 << 12,
+                          num_buckets=4).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
+    key = ["k", "lv", "rv"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    exp = exp[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))

@@ -119,3 +119,35 @@ def test_grouped_percent_rank_singleton_zero(ray_session):
                                num_buckets=2).to_pandas()
     assert got.loc[got["k"] == "solo", "pr"].iloc[0] == 0.0
     assert set(got.loc[got["k"] == "d", "pr"]) == {0.0, 1.0}
+
+
+def test_grouped_string_agg_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_string_agg
+
+    rng = np.random.RandomState(41)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 120),
+                       "v": rng.permutation(120)})
+    got = (grouped_string_agg(ray.data.from_pandas(df), "k", "v",
+                              order_cols=["v"], out_col="vals",
+                              num_buckets=4).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    exp = (df.sort_values(["k", "v"]).groupby("k")["v"]
+           .agg(lambda s: ",".join(str(x) for x in s))
+           .reset_index(name="vals"))
+    pd.testing.assert_frame_equal(got[["k", "vals"]], exp)
+
+
+def test_grouped_exact_distinct_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_exact_distinct
+
+    rng = np.random.RandomState(43)
+    df = pd.DataFrame({"k": rng.choice(["x", "y", "z"], 500),
+                       "u": rng.randint(0, 40, 500)})
+    got = (grouped_exact_distinct(ray.data.from_pandas(df), "k", "u",
+                                  out_col="n", num_buckets=4).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    exp = df.groupby("k")["u"].nunique().reset_index(name="n")
+    assert list(got["k"]) == list(exp["k"])
+    assert list(got["n"].astype(int)) == list(exp["n"])
