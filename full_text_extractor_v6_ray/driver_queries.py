@@ -1367,6 +1367,59 @@ def q_audio_durations(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs price per returnflag):
+    map-side sufficient-statistic combiner — six doubles per (block,
+    group) through the shuffle, never the raw rows."""
+    from .stages.stats import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, "l_returnflag", "l_quantity",
+                        "l_extendedprice", out_col="corr_qty_price")
+
+
+def q_events_cohort_retention(sf_dir: str):
+    """Weekly cohort retention: distinct active users per
+    (first-event week, weeks-since-first) cell. One shuffle on the
+    user key; per-bucket vectorized pandas; tiny groupby-sum combine."""
+    from .stages.stats import cohort_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
+def q_events_props_stats(sf_dir: str):
+    """JSON metadata-column extraction: pull props.k with a vectorized
+    Arrow regex (pc.extract_regex — no per-row json.loads), aggregate
+    per event type. The webtext shape: crawl sidecar metadata lives in
+    JSON string columns; parse stays columnar."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    agg = (ds.map_batches(parse, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("k", alias_name="sum_k"),
+                      Mean("k", alias_name="avg_k")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's Sum over a nullable int column yields double — pin the
+        # oracle's BIGINT type.
+        i = b.schema.get_field_index("sum_k")
+        b = b.set_column(i, "sum_k", pc.cast(b.column("sum_k"), pa.int64()))
+        return _round_cols(b, ["avg_k"], 6)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1449,10 +1502,44 @@ QUERIES = {
     "docs_sample": q_docs_sample,
     "supplier_region_stats": q_supplier_region_stats,
     "part_type_stats": q_part_type_stats,
+    "lineitem_corr": q_lineitem_corr,
+    "events_cohort_retention": q_events_cohort_retention,
+    "events_props_stats": q_events_props_stats,
 }
 
 
 ORACLES = {
+    "lineitem_corr": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CORR(l_quantity, l_extendedprice), 6)
+                   AS corr_qty_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_cohort_retention": """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+            FROM events
+        ), f AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1
+        )
+        SELECT f.cohort_week,
+               date_diff('day', f.cohort_week, e.week) // 7
+                   AS weeks_since,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM e JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "events_props_stats": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k')
+                              AS BIGINT)), 6) AS avg_k
+        FROM events GROUP BY event_type
+    """,
     "events_customer_skewjoin": """
         SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
         FROM events e JOIN customer c ON e.user_id = c.c_custkey

@@ -1,0 +1,134 @@
+"""Distributed statistics operators.
+
+``grouped_corr``: Pearson correlation per group via map-side
+sufficient-statistic combiners — each batch contributes ONE row per
+group (n, Σx, Σy, Σx², Σy², Σxy), so the shuffle moves six doubles per
+(block, group) instead of the raw rows; the final formula runs on the
+tiny combined table. The classic "pre-aggregate before the groupby"
+shape that keeps a 100 TB scan's wide step at kilobytes.
+
+``cohort_retention``: weekly cohort retention over an event stream —
+users are hash-bucketed (ONE shuffle on the user key); inside a bucket
+every user's full history is local, so first-week assignment, week
+offsets and per-user distinctness are exact vectorized pandas; buckets
+emit per-(cohort_week, weeks_since) partial counts that a tiny
+groupby-sum combines. Python-call cost is O(num_buckets), never O(users).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _stable_bucket, default_num_buckets
+
+_BUCKET = "__bucket"
+
+
+def grouped_corr(ds: "ray.data.Dataset", key: str, x: str, y: str,
+                 out_col: str = "corr", ndigits: int = 6,
+                 count_alias: str = "n") -> "ray.data.Dataset":
+    """Pearson correlation of ``x`` vs ``y`` per ``key`` group.
+
+    corr = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)) —
+    the (n−1) sample factors cancel, so this equals SQL CORR().
+    Null rows in either column are dropped (SQL semantics).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = pc.cast(batch[x], pa.float64())
+        yv = pc.cast(batch[y], pa.float64())
+        keep = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        t = pa.table({key: batch[key], "_x": xv, "_y": yv}).filter(keep)
+        xv, yv = t["_x"], t["_y"]
+        prod = pa.table({
+            key: t[key],
+            "_sx": xv, "_sy": yv,
+            "_sxx": pc.multiply(xv, xv),
+            "_syy": pc.multiply(yv, yv),
+            "_sxy": pc.multiply(xv, yv),
+        })
+        g = prod.group_by(key).aggregate(
+            [("_sx", "sum"), ("_sy", "sum"), ("_sxx", "sum"),
+             ("_syy", "sum"), ("_sxy", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [key, "_sx", "_sy", "_sxx", "_syy", "_sxy", "_n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["_n"], pa.float64())
+        sx, sy = batch["_sx"], batch["_sy"]
+        cov = pc.subtract(pc.multiply(n, batch["_sxy"]),
+                          pc.multiply(sx, sy))
+        vx = pc.subtract(pc.multiply(n, batch["_sxx"]),
+                         pc.multiply(sx, sx))
+        vy = pc.subtract(pc.multiply(n, batch["_syy"]),
+                         pc.multiply(sy, sy))
+        denom = pc.sqrt(pc.multiply(vx, vy))
+        corr = pc.if_else(pc.greater(denom, 0.0),
+                          pc.divide(cov, denom), None)
+        return pa.table({
+            key: batch[key],
+            count_alias: pc.cast(batch["_n"], pa.int64()),
+            out_col: pc.round(corr, ndigits=ndigits),
+        })
+
+    combined = (ds.select_columns([key, x, y])
+                .map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(key)
+                .aggregate(Sum("_sx", alias_name="_sx"),
+                           Sum("_sy", alias_name="_sy"),
+                           Sum("_sxx", alias_name="_sxx"),
+                           Sum("_syy", alias_name="_syy"),
+                           Sum("_sxy", alias_name="_sxy"),
+                           Sum("_n", alias_name="_n")))
+    return combined.map_batches(finish, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def cohort_retention(ds: "ray.data.Dataset", user_col: str, ts_col: str,
+                     num_buckets: int | None = None,
+                     count_alias: str = "n_users") -> "ray.data.Dataset":
+    """Weekly cohort retention: for each (cohort_week, weeks_since) cell,
+    the number of DISTINCT users whose first event fell in cohort_week
+    and who were active weeks_since weeks later.
+
+    One shuffle on the user key; per-user logic vectorized inside each
+    bucket; cross-bucket combine is a tiny groupby-sum (buckets
+    partition users, so per-bucket distinct counts add exactly).
+    """
+    from ray.data.aggregate import Sum
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def add_week_bucket(batch: pa.Table) -> pa.Table:
+        week = pc.floor_temporal(batch[ts_col], unit="week")
+        return pa.table({
+            user_col: batch[user_col],
+            "_week": week,
+            _BUCKET: _stable_bucket(batch.column(user_col), num_buckets),
+        })
+
+    def bucket_cells(g: pd.DataFrame) -> pd.DataFrame:
+        cohort = g.groupby(user_col, sort=False)["_week"].transform("min")
+        weeks_since = ((g["_week"] - cohort).dt.days // 7).astype(np.int64)
+        cells = pd.DataFrame({
+            "cohort_week": cohort,
+            "weeks_since": weeks_since,
+            user_col: g[user_col],
+        }).drop_duplicates()
+        out = (cells.groupby(["cohort_week", "weeks_since"], sort=False)
+               .size().rename("_partial").reset_index())
+        return out
+
+    partials = (ds.select_columns([user_col, ts_col])
+                .map_batches(add_week_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(_BUCKET)
+                .map_groups(bucket_cells, batch_format="pandas"))
+    return (partials.groupby(["cohort_week", "weeks_since"])
+            .aggregate(Sum("_partial", alias_name=count_alias)))

@@ -1,0 +1,114 @@
+"""Distributed statistics stage: grouped correlation + cohort retention."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("events", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import grouped_corr
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 600),
+                       "x": rng.rand(600) * 100,
+                       "y": rng.rand(600) * 50})
+    df["y"] += df["x"] * 0.3  # induce real correlation
+    got = (grouped_corr(ray.data.from_pandas(df), "k", "x", "y")
+           .to_pandas().set_index("k").sort_index())
+    for k, g in df.groupby("k"):
+        exp = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert abs(got.loc[k, "corr"] - round(exp, 6)) < 2e-6
+        assert got.loc[k, "n"] == len(g)
+
+
+def test_grouped_corr_constant_column_is_null(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import grouped_corr
+
+    df = pd.DataFrame({"k": ["a"] * 5, "x": [1.0] * 5,
+                       "y": [1, 2, 3, 4, 5.0]})
+    got = grouped_corr(ray.data.from_pandas(df), "k", "x", "y").to_pandas()
+    assert pd.isna(got.loc[0, "corr"])
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import cohort_retention
+
+    rng = np.random.RandomState(5)
+    n = 800
+    ts = (pd.Timestamp("2024-01-01")
+          + pd.to_timedelta(rng.randint(0, 60 * 86400, n), unit="s"))
+    df = pd.DataFrame({"user_id": rng.randint(0, 40, n), "ts": ts})
+    got = (cohort_retention(ray.data.from_pandas(df), "user_id", "ts",
+                            num_buckets=8)
+           .to_pandas()
+           .sort_values(["cohort_week", "weeks_since"])
+           .reset_index(drop=True))
+
+    ref = df.copy()
+    ref["week"] = ref["ts"].dt.to_period("W-SUN").dt.start_time  # Monday
+    ref["cohort_week"] = ref.groupby("user_id")["week"].transform("min")
+    ref["weeks_since"] = ((ref["week"] - ref["cohort_week"]).dt.days // 7)
+    exp = (ref.drop_duplicates(["cohort_week", "weeks_since", "user_id"])
+           .groupby(["cohort_week", "weeks_since"]).size()
+           .rename("n_users").reset_index()
+           .sort_values(["cohort_week", "weeks_since"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got["n_users"].astype(int).tolist()
+            == exp["n_users"].astype(int).tolist())
+    assert got["weeks_since"].tolist() == exp["weeks_since"].tolist()
+    assert (pd.to_datetime(got["cohort_week"]).tolist()
+            == exp["cohort_week"].tolist())
+
+
+def _vs_oracle(name, sort_keys, ray_session):
+    from full_text_extractor_v6_ray.driver_queries import ORACLES, QUERIES
+
+    got = QUERIES[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    got = (got.reindex(sorted(got.columns), axis=1)
+           .sort_values(sort_keys).reset_index(drop=True))
+    exp = _duck(SF).execute(ORACLES[name]).fetchdf()
+    exp = (exp.reindex(sorted(exp.columns), axis=1)
+           .sort_values(sort_keys).reset_index(drop=True))
+    assert list(got.columns) == list(exp.columns), name
+    assert len(got) == len(exp), name
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            np.testing.assert_allclose(g.astype(float), e.astype(float),
+                                       rtol=0, atol=1.1e-6, err_msg=c)
+        elif g.dtype.kind == "M" or e.dtype.kind == "M":
+            assert (pd.to_datetime(g).tolist()
+                    == pd.to_datetime(e).tolist()), c
+        else:
+            assert g.astype(str).tolist() == e.astype(str).tolist(), c
+
+
+def test_lineitem_corr_oracle(ray_session):
+    _vs_oracle("lineitem_corr", ["l_returnflag"], ray_session)
+
+
+def test_events_cohort_retention_oracle(ray_session):
+    _vs_oracle("events_cohort_retention",
+               ["cohort_week", "weeks_since"], ray_session)
+
+
+def test_events_props_stats_oracle(ray_session):
+    _vs_oracle("events_props_stats", ["event_type"], ray_session)
