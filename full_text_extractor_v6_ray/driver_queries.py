@@ -1420,6 +1420,15 @@ def q_events_props_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_docs_tfidf_top3(sf_dir: str):
+    """Top-3 TF-IDF terms per document: local tf, shuffled df partials,
+    bucketed term join (never a vocabulary broadcast), grouped top-k."""
+    from .stages.stats import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1505,10 +1514,34 @@ QUERIES = {
     "lineitem_corr": q_lineitem_corr,
     "events_cohort_retention": q_events_cohort_retention,
     "events_props_stats": q_events_props_stats,
+    "docs_tfidf_top3": q_docs_tfidf_top3,
 }
 
 
 ORACLES = {
+    "docs_tfidf_top3": """
+        WITH flat AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM flat WHERE term <> '' GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM flat WHERE term <> '' GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df),
+                         6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rn
+            FROM scored) WHERE rn <= 3
+    """,
     "lineitem_corr": """
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,

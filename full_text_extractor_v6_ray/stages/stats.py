@@ -89,6 +89,72 @@ def grouped_corr(ds: "ray.data.Dataset", key: str, x: str, y: str,
                                 zero_copy_batch=True)
 
 
+def tfidf_top_terms(docs: "ray.data.Dataset", doc_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    ndigits: int = 6) -> "ray.data.Dataset":
+    """Top-``k`` TF-IDF terms per document (the term-weighting core of
+    corpus quality filters / keyword indexes).
+
+    Scale shape: tokenize + per-doc tf entirely inside ``map_batches``
+    (a doc is one row, so tf is local — vectorized Arrow explode via
+    list_parent_indices, no Python loop); df is a term-key shuffle of
+    PER-BATCH partials (one row per distinct term per batch); the score
+    join is the bucketed hash join on the term key — never a broadcast
+    of the vocabulary, which at crawl scale is billions of terms. tf
+    rows feed two consumers (df branch + join side), so they're
+    materialized once with a lineage cut (parquet-spill flavor available
+    for 10^12-row corpora, stages/dedup.py:materialize_rebased).
+    Tokenization is whitespace-run split, identical to the DuckDB
+    oracle's regexp_split_to_array(text, '\\s+') with '' filtered.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import materialize_rebased
+    from .joins import bucket_hash_join
+    from .window import grouped_row_number
+
+    n_docs = docs.count()  # parquet metadata count — no scan
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+        parents = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        ids = pc.take(batch[doc_col], parents)
+        t = pa.table({doc_col: ids, "term": flat})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        g = t.group_by([doc_col, "term"]).aggregate([([], "count_all")])
+        return g.rename_columns([doc_col, "term", "tf"])
+
+    tf_rows = materialize_rebased(
+        docs.select_columns([doc_col, text_col])
+        .map_batches(tf_partial, batch_format="pyarrow",
+                     zero_copy_batch=True))
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["term"]).group_by("term").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["term_r", "_df"])
+
+    df = (tf_rows.map_batches(df_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+          .groupby("term_r").aggregate(Sum("_df", alias_name="df")))
+
+    joined = bucket_hash_join(tf_rows, df, "term", "term_r")
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf = pc.ln(pc.divide(float(n_docs),
+                              pc.cast(batch["df"], pa.float64())))
+        tfidf = pc.round(pc.multiply(
+            pc.cast(batch["tf"], pa.float64()), idf), ndigits=ndigits)
+        return batch.append_column("tfidf", tfidf)
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return grouped_row_number(scored, doc_col, ["tfidf", "term"],
+                              ascending=[False, True], limit=k,
+                              out_col="rn")
+
+
 def cohort_retention(ds: "ray.data.Dataset", user_col: str, ts_col: str,
                      num_buckets: int | None = None,
                      count_alias: str = "n_users") -> "ray.data.Dataset":

@@ -11,7 +11,7 @@ def _duck(sf_dir):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("events", "lineitem"):
+    for t in ("events", "lineitem", "documents"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     return con
@@ -112,3 +112,26 @@ def test_events_cohort_retention_oracle(ray_session):
 
 def test_events_props_stats_oracle(ray_session):
     _vs_oracle("events_props_stats", ["event_type"], ray_session)
+
+
+def test_tfidf_top_terms_small(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple banana apple", "banana cherry", "cherry date date"],
+    })
+    got = (tfidf_top_terms(ray.data.from_pandas(docs), k=2)
+           .to_pandas().sort_values(["doc_id", "rn"]).reset_index(drop=True))
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert got.loc[0, "term"] == "apple"
+    assert abs(got.loc[0, "tfidf"] - round(2 * np.log(3.0), 6)) < 1e-9
+    assert got.loc[1, "term"] == "banana"
+    # every doc contributes <= 2 rows, rn within [1,2]
+    assert got.groupby("doc_id")["rn"].max().max() <= 2
+    assert set(got["doc_id"]) == {1, 2, 3}
+
+
+def test_tfidf_oracle(ray_session):
+    _vs_oracle("docs_tfidf_top3", ["doc_id", "rn"], ray_session)
