@@ -1429,6 +1429,36 @@ def q_docs_tfidf_top3(sf_dir: str):
     return tfidf_top_terms(ds, k=3)
 
 
+def q_orders_priority_mode(sf_dir: str):
+    """Modal order priority per customer: composite groupby collapse,
+    then grouped top-1 over the tiny counts table (ties -> smallest
+    value, pinned in both engines)."""
+    from .stages.window import grouped_mode
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    return grouped_mode(ds, "o_custkey", "o_orderpriority")
+
+
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus): all four subset levels
+    from ONE finest-granularity shuffle."""
+    from .stages.cube import cube_agg
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return cube_agg(ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+                    sum_alias="sum_qty", count_alias="n")
+
+
+def q_events_hourly_dense(sf_dir: str):
+    """Dense hourly event counts per type — missing hours zero-filled
+    over the global span (time-series densification)."""
+    from .stages.cube import gapfill_hourly
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return gapfill_hourly(ds, "ts", "event_type")
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1515,10 +1545,43 @@ QUERIES = {
     "events_cohort_retention": q_events_cohort_retention,
     "events_props_stats": q_events_props_stats,
     "docs_tfidf_top3": q_docs_tfidf_top3,
+    "orders_priority_mode": q_orders_priority_mode,
+    "lineitem_cube": q_lineitem_cube,
+    "events_hourly_dense": q_events_hourly_dense,
 }
 
 
 ORACLES = {
+    "orders_priority_mode": """
+        SELECT o_custkey, o_orderpriority, n FROM (
+            SELECT o_custkey, o_orderpriority, n,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY n DESC, o_orderpriority) AS rn
+            FROM (SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+                  FROM orders GROUP BY 1, 2)
+        ) WHERE rn = 1
+    """,
+    "lineitem_cube": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "events_hourly_dense": """
+        WITH c AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM c),
+        hours AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS hour FROM b
+        ), types AS (SELECT DISTINCT event_type FROM events)
+        SELECT t.event_type, h.hour,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM types t CROSS JOIN hours h
+        LEFT JOIN c ON c.event_type = t.event_type AND c.hour = h.hour
+    """,
     "docs_tfidf_top3": """
         WITH flat AS (
             SELECT doc_id,

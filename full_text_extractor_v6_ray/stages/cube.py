@@ -58,6 +58,74 @@ def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def cube_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
+             sum_alias: str = "sum_v", count_alias: str = "n",
+             all_label: str = "ALL") -> pa.Table:
+    """GROUP BY CUBE(keys): SUM + COUNT at every SUBSET of the keys.
+
+    Same one-finest-shuffle shape as ``rollup_agg`` — the raw rows are
+    grouped once at full granularity; all 2^|keys| subset levels are
+    re-aggregations of that small finest table."""
+    finest = (ds.select_columns(keys + [value_col])
+              .groupby(keys)
+              .aggregate(Sum(value_col, alias_name=sum_alias),
+                         Count(alias_name=count_alias))
+              .to_pandas())
+
+    frames = []
+    for mask in range(1 << len(keys)):
+        kept = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        if len(kept) == len(keys):
+            frames.append(finest.copy())
+            continue
+        g = (finest.groupby(kept)[[sum_alias, count_alias]].sum()
+             .reset_index() if kept else
+             pd.DataFrame([finest[[sum_alias, count_alias]].sum()]))
+        for k in keys:
+            if k not in kept:
+                g[k] = all_label
+        frames.append(g[keys + [sum_alias, count_alias]])
+    out = pd.concat(frames, ignore_index=True)
+    out[count_alias] = out[count_alias].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def gapfill_hourly(ds: "ray.data.Dataset", ts_col: str, key: str,
+                   count_alias: str = "n") -> pa.Table:
+    """Dense hourly time series per key: count of rows per (key, hour)
+    with MISSING HOURS FILLED WITH ZERO over the global [min, max] hour
+    span (time-series densification — downstream window/anomaly jobs
+    need the zeros).
+
+    Scale shape: the raw rows collapse in ONE hour-truncated groupby
+    (map-side partials); densification runs on that result, which is
+    small by construction (|keys| x |hours| rows), vectorized via a
+    cross-index reindex — never a second pass over the raw rows."""
+    import pyarrow.compute as pc
+
+    def to_hour(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch[key],
+            "hour": pc.floor_temporal(batch[ts_col], unit="hour"),
+        })
+
+    sparse = (ds.select_columns([key, ts_col])
+              .map_batches(to_hour, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby([key, "hour"])
+              .aggregate(Count(alias_name=count_alias))
+              .to_pandas())
+
+    hours = pd.date_range(sparse["hour"].min(), sparse["hour"].max(),
+                          freq="h")
+    full = pd.MultiIndex.from_product(
+        [sorted(sparse[key].unique()), hours], names=[key, "hour"])
+    dense = (sparse.set_index([key, "hour"])[count_alias]
+             .reindex(full, fill_value=0).reset_index())
+    dense[count_alias] = dense[count_alias].astype("int64")
+    return pa.Table.from_pandas(dense, preserve_index=False)
+
+
 def fixed_width_histogram(ds: "ray.data.Dataset", value_col: str,
                           width: float,
                           sum_alias: str = "sum_v",

@@ -286,3 +286,24 @@ def pivot_counts(ds: "ray.data.Dataset", group_key: str, pivot_key: str,
     return (ds.select_columns([group_key, pivot_key])
             .map_batches(partial, batch_format="pyarrow")
             .groupby(group_key).aggregate(*aggs))
+
+
+def grouped_mode(ds: "ray.data.Dataset", key: str, value_col: str,
+                 count_alias: str = "n",
+                 num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Modal (most frequent) ``value_col`` per ``key``; ties broken by
+    the lexicographically smallest value (deterministic, engine-portable).
+
+    Two-stage: one composite-key groupby collapses the raw rows to
+    (key, value, count) — map-side partials keep the shuffle at distinct
+    pairs — then the tiny counts table takes a grouped top-1 (the
+    ROW_NUMBER machinery, count desc / value asc)."""
+    from ray.data.aggregate import Count
+
+    counts = (ds.select_columns([key, value_col])
+              .groupby([key, value_col])
+              .aggregate(Count(alias_name=count_alias)))
+    top = grouped_row_number(counts, key, [count_alias, value_col],
+                             ascending=[False, True], limit=1,
+                             out_col="__rn")
+    return top.select_columns([key, value_col, count_alias])

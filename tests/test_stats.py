@@ -11,7 +11,7 @@ def _duck(sf_dir):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("events", "lineitem", "documents"):
+    for t in ("events", "lineitem", "documents", "orders"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     return con
@@ -135,3 +135,42 @@ def test_tfidf_top_terms_small(ray_session):
 
 def test_tfidf_oracle(ray_session):
     _vs_oracle("docs_tfidf_top3", ["doc_id", "rn"], ray_session)
+
+
+def test_grouped_mode_tiebreak(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_mode
+
+    df = pd.DataFrame({"k": [1, 1, 1, 1, 2, 2],
+                       "v": ["b", "b", "a", "a", "z", "y"]})
+    got = (grouped_mode(ray.data.from_pandas(df), "k", "v", num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.loc[0, "v"] == "a"  # tie 2-2 -> lexicographically smallest
+    assert got.loc[0, "n"] == 2
+    assert got.loc[1, "v"] == "y"  # tie 1-1 -> smallest
+    assert len(got) == 2
+
+
+def test_gapfill_hourly_zero_rows(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.cube import gapfill_hourly
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 03:20",
+                              "2024-01-01 01:05"]),
+    })
+    got = (gapfill_hourly(ray.data.from_pandas(df), "ts", "k")
+           .to_pandas().sort_values(["k", "hour"]).reset_index(drop=True))
+    # 2 keys x 4 hours (00..03) = 8 dense rows
+    assert len(got) == 8
+    assert got["n"].sum() == 3
+    a = got[got["k"] == "a"]["n"].tolist()
+    assert a == [1, 0, 0, 1]
+
+
+def test_mode_cube_dense_oracles(ray_session):
+    _vs_oracle("orders_priority_mode", ["o_custkey"], ray_session)
+    _vs_oracle("lineitem_cube", ["l_returnflag", "l_linestatus"],
+               ray_session)
+    _vs_oracle("events_hourly_dense", ["event_type", "hour"], ray_session)
