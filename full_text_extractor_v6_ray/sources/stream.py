@@ -76,13 +76,24 @@ class FolderTail:
 
     def __init__(self, folder: str, out_dir: str,
                  extensions: tuple[str, ...] | None = None,
-                 recursive: bool = False):
+                 recursive: bool = False,
+                 dedup_urls: bool = False, num_index_shards: int = 8):
         self.folder = folder
         self.out_dir = out_dir
         self.extensions = extensions
         self.recursive = recursive
         os.makedirs(out_dir, exist_ok=True)
         self.rounds, self.seen = _load_manifest(out_dir)
+        self.url_index = None
+        if dedup_urls:
+            # cross-round keep-latest state (state/url_index.py); on a
+            # restarted tailer, replay prior output so re-landed
+            # (url, ts) pairs are rejected, not re-extracted
+            from ..state.url_index import StreamUrlDedup
+
+            self.url_index = StreamUrlDedup(num_shards=num_index_shards)
+            if self.rounds:
+                self.url_index.rebuild_from(read_stream_output(out_dir))
 
     def _next_round_id(self) -> int:
         return 1 + max((e["round"] for e in self.rounds), default=-1)
@@ -111,8 +122,14 @@ class FolderTail:
                                         include_paths=True)
         pages = ds.map_batches(_ToPages(), batch_format="pyarrow",
                                zero_copy_batch=True)
+        if self.url_index is not None:
+            # streaming keep-latest: already-seen (url, ts) pairs are
+            # dropped BEFORE extraction spends cycles on them
+            pages = pages.map_batches(self.url_index.filter_batch,
+                                      batch_format="pyarrow")
         extracted = extract_pages(pages)
-        extracted.write_parquet(part_dir)
+        os.makedirs(part_dir, exist_ok=True)  # a fully-deduped round
+        extracted.write_parquet(part_dir)     # may write zero files
 
         # count from the written partition (no second pipeline run)
         import pyarrow.parquet as pq
@@ -168,3 +185,21 @@ def read_stream_output(out_dir: str) -> "ray.data.Dataset":
         import pyarrow as pa
         return ray.data.from_arrow(pa.table({}))
     return ray.data.read_parquet(files)
+
+
+def read_stream_output_latest(out_dir: str) -> "ray.data.Dataset":
+    """Compacted global view: exactly one row per url — the latest
+    crawl. The log-compaction companion of the streaming url index
+    (state/url_index.py): newer versions APPEND across rounds; this is
+    the bounded keyed keep-latest pass that collapses them, the same
+    operator the batch path uses (stages/dedup.py:dedup_latest_by_ts)."""
+    from ..stages.dedup import dedup_latest_by_ts
+
+    ds = read_stream_output(out_dir)
+    try:
+        names = ds.schema().names
+    except Exception:
+        names = []
+    if "url" not in names:
+        return ds
+    return dedup_latest_by_ts(ds)
