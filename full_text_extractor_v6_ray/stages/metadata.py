@@ -40,6 +40,14 @@ _OG_MODIFIED = re.compile(
 _ISLAND = re.compile(
     r"<script[^>]*type=['\"]application/(?:ld\+)?json['\"][^>]*>(.*?)</script>",
     re.IGNORECASE | re.DOTALL)
+# attribute order varies in the wild: match rel-then-href and href-then-rel
+_CANONICAL = re.compile(
+    r"<link[^>]*rel=['\"]canonical['\"][^>]*href=['\"]([^'\"]+)['\"]"
+    r"|<link[^>]*href=['\"]([^'\"]+)['\"][^>]*rel=['\"]canonical['\"]",
+    re.IGNORECASE)
+_ROBOTS = re.compile(
+    r"<meta[^>]*name=['\"]robots['\"][^>]*content=['\"]([^'\"]*)['\"]",
+    re.IGNORECASE)
 
 
 def _ldjson_fields(text: str) -> tuple[str, str, str]:
@@ -80,6 +88,7 @@ class PageMetadataBatch:
         urls = batch.column("url")
         has_title, has_h1, lang_attr, has_desc = [], [], [], []
         authors, published, modified, completeness = [], [], [], []
+        canonicals, noindex = [], []
         for payload in batch.column("html").to_pylist():
             try:
                 text = (payload or b"").decode("utf-8", errors="replace")
@@ -97,6 +106,10 @@ class PageMetadataBatch:
             author = am.group(1) if am else ld_author
             pub = pm.group(1) if pm else ld_pub
             mod = mm.group(1) if mm else ld_mod
+            cm = _CANONICAL.search(text)
+            rm = _ROBOTS.search(text)
+            canonicals.append((cm.group(1) or cm.group(2)) if cm else "")
+            noindex.append(bool(rm) and "noindex" in rm.group(1).lower())
             has_title.append(t)
             has_h1.append(h)
             lang_attr.append(lm.group(1) if lm else "")
@@ -116,6 +129,8 @@ class PageMetadataBatch:
             "author": pa.array(authors, pa.string()),
             "published": pa.array(published, pa.string()),
             "modified": pa.array(modified, pa.string()),
+            "canonical": pa.array(canonicals, pa.string()),
+            "noindex": pa.array(noindex, pa.bool_()),
             "completeness": pa.array(completeness, pa.float64()),
         })
 

@@ -147,3 +147,18 @@ def test_generated_pages_carry_islands():
     assert "doc_id,lang,n_words" in keys
     assert any("@context" in k for k in keys)    # JSON-LD present
     assert "chart" in keys                        # chart island present
+
+
+def test_page_metadata_canonical_and_robots():
+    from full_text_extractor_v6_ray.stages.metadata import PageMetadataBatch
+
+    out = PageMetadataBatch()(_pages([
+        "<html><head><link rel='canonical' href='https://x.io/a'>"
+        "<meta name='robots' content='noindex, nofollow'></head></html>",
+        "<html><head><link href='https://y.io/b' rel='canonical'>"
+        "<meta name='robots' content='index, follow'></head></html>",
+        "<html><body>none</body></html>",
+    ]))
+    assert out["canonical"].to_pylist() == ["https://x.io/a",
+                                            "https://y.io/b", ""]
+    assert out["noindex"].to_pylist() == [True, False, False]
