@@ -1607,7 +1607,8 @@ ORACLES = {
     """,
     "lineitem_corr": """
         SELECT l_returnflag,
-               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(REGR_COUNT(l_quantity, l_extendedprice) AS BIGINT)
+                   AS n,
                ROUND(CORR(l_quantity, l_extendedprice), 6)
                    AS corr_qty_price
         FROM lineitem GROUP BY l_returnflag
