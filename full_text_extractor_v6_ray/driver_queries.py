@@ -406,9 +406,12 @@ def q_docs_neardup_dedup(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     comp = dup_components_ds(minhash_dup_pairs(docs, threshold=0.7)).to_pandas()
-    d = comp["doc_id"].to_numpy(dtype=np.int64)
-    c = comp["component"].to_numpy(dtype=np.int64)
-    drop = np.sort(d[d != c])      # non-canonical ids, sorted for searchsorted
+    if "doc_id" in comp.columns:   # empty Dataset.to_pandas loses columns
+        d = comp["doc_id"].to_numpy(dtype=np.int64)
+        c = comp["component"].to_numpy(dtype=np.int64)
+        drop = np.sort(d[d != c])  # non-canonical ids, sorted for searchsorted
+    else:
+        drop = np.empty(0, dtype=np.int64)
     ref = ray.put(drop)
 
     class DropDups:
@@ -1459,6 +1462,19 @@ def q_events_hourly_dense(sf_dir: str):
     return gapfill_hourly(ds, "ts", "event_type")
 
 
+def q_docs_corpus_prep(sf_dir: str):
+    """Composed training-corpus preparation capstone: exact dedup ->
+    langid -> quality filter -> near-dup removal, one chained Dataset
+    pipeline (pipelines/corpus_prep.py). Non-SQL (heuristic scorers +
+    MinHash) — consistency-tested against its component stages."""
+    from .pipelines.corpus_prep import corpus_prep
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = corpus_prep(docs)
+    return out.select_columns(["doc_id", "text_hash", "lang_pred",
+                               "lang_conf", "n_tokens", "quality"])
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1548,6 +1564,7 @@ QUERIES = {
     "orders_priority_mode": q_orders_priority_mode,
     "lineitem_cube": q_lineitem_cube,
     "events_hourly_dense": q_events_hourly_dense,
+    "docs_corpus_prep": q_docs_corpus_prep,
 }
 
 

@@ -226,6 +226,14 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
         batch_format="pyarrow")
     pairs = materialize_rebased(_distinct_pairs(cands, num_buckets),
                                 num_buckets, spill_dir=spill_dir)
+    if pairs.count() == 0:
+        # no LSH candidates at all (dup-free corpus): short-circuit with
+        # a typed empty result — the signature joins below can't probe a
+        # schemaless empty dataset
+        import ray.data
+        return ray.data.from_arrow(pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("est_jaccard", pa.float64())]).empty_table())
 
     sa = sig_cols.map_batches(lambda b: b.rename_columns(["doc_id", "sig_a"]),
                               batch_format="pyarrow")
@@ -518,6 +526,12 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
                                    spill_dir=spill_dir)
 
     edges = rebase(pairs.map_batches(to_edges, batch_format="pyarrow"))
+    if edges.count() == 0:
+        # a dup-free corpus is a normal input, not an edge case: the
+        # bucketed join below would otherwise probe a schemaless empty
+        # dataset (same guard as dup_components_star_ds)
+        import ray.data
+        return ray.data.from_arrow(_EMPTY_COMPONENTS.empty_table())
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("src"),
