@@ -1475,6 +1475,60 @@ def q_docs_corpus_prep(sf_dir: str):
                                "lang_conf", "n_tokens", "quality"])
 
 
+def q_events_prev_gap(sf_dir: str):
+    """LAG window: microseconds since the user's previous event (null
+    for each user's first). One bucketed shuffle, vectorized shift."""
+    from .stages.window import grouped_lag_gap
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = grouped_lag_gap(ds, "user_id", "ts", ["event_id"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        gap_us = pc.cast(pc.round(pc.multiply(batch["gap_s"], 1e6)),
+                         pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "ts": batch["ts"],
+                         "user_id": batch["user_id"],
+                         "gap_us": gap_us})
+
+    return out.map_batches(to_us, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_orders_price_ntile(sf_dir: str):
+    """NTILE(4) price quartile per order status (SQL uneven-tile
+    semantics: first size%n tiles one row larger)."""
+    from .stages.window import grouped_ntile
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    return grouped_ntile(ds, "o_orderstatus",
+                         ["o_totalprice", "o_orderkey"], 4)
+
+
+def q_orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth: one month-truncated groupby
+    collapses the raw rows; the growth LAG runs on that tiny table."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def to_month(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(batch["o_orderdate"], unit="month"),
+            "price": batch["o_totalprice"],
+        })
+
+    from ray.data.aggregate import Sum
+
+    monthly = (ds.map_batches(to_month, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("month").aggregate(Sum("price", alias_name="revenue"))
+               .to_pandas().sort_values("month").reset_index(drop=True))
+    monthly["revenue"] = monthly["revenue"].round(2)
+    monthly["growth"] = (monthly["revenue"]
+                         / monthly["revenue"].shift() - 1).round(6)
+    return pa.Table.from_pandas(monthly, preserve_index=False)
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1565,10 +1619,39 @@ QUERIES = {
     "lineitem_cube": q_lineitem_cube,
     "events_hourly_dense": q_events_hourly_dense,
     "docs_corpus_prep": q_docs_corpus_prep,
+    "events_prev_gap": q_events_prev_gap,
+    "orders_price_ntile": q_orders_price_ntile,
+    "orders_monthly_growth": q_orders_monthly_growth,
 }
 
 
 ORACLES = {
+    "events_prev_gap": """
+        SELECT event_id, ts, user_id,
+               date_diff('microsecond',
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    """,
+    "orders_price_ntile": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+        FROM orders
+    """,
+    "orders_monthly_growth": """
+        WITH m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS month,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               ROUND(revenue / LAG(revenue) OVER (ORDER BY month) - 1, 6)
+                   AS growth
+        FROM m
+    """,
     "orders_priority_mode": """
         SELECT o_custkey, o_orderpriority, n FROM (
             SELECT o_custkey, o_orderpriority, n,

@@ -307,3 +307,63 @@ def grouped_mode(ds: "ray.data.Dataset", key: str, value_col: str,
                              ascending=[False, True], limit=1,
                              out_col="__rn")
     return top.select_columns([key, value_col, count_alias])
+
+
+def grouped_lag_gap(ds: "ray.data.Dataset", key: str, ts_col: str,
+                    order_cols: list[str] | None = None,
+                    out_col: str = "gap_s",
+                    num_buckets: int | None = None) -> "ray.data.Dataset":
+    """LAG analog: seconds since the previous row of the same ``key``
+    in (ts, tiebreak) order; null for each key's first row.
+
+    Same bucketed shape as grouped_row_number: one shuffle on the key
+    hash, one vectorized pandas pass per bucket (sort + shift per key),
+    O(num_buckets) Python calls."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    order = [ts_col] + (order_cols or [])
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="mergesort")
+        prev = g.groupby(key, sort=False)[ts_col].shift()
+        gap = (g[ts_col] - prev).dt.total_seconds()
+        g[out_col] = gap
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(lag_bucket,
+                                         batch_format="pandas"))
+
+
+def grouped_ntile(ds: "ray.data.Dataset", key: str,
+                  order_cols: list[str], n: int,
+                  ascending: list[bool] | None = None,
+                  out_col: str = "tile",
+                  num_buckets: int | None = None) -> "ray.data.Dataset":
+    """NTILE(n) per key: rows split into n as-even-as-possible ordered
+    tiles (first ``size % n`` tiles one row larger — SQL semantics).
+    ``order_cols`` must be unique within a key (window contract)."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    if ascending is None:
+        ascending = [True] * len(order_cols)
+
+    def tile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols,
+                          ascending=[True] + list(ascending),
+                          kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        rn = grp.cumcount().to_numpy()
+        size = grp[key].transform("size").to_numpy()
+        big, rem = size // n, size % n        # tiles 1..rem get big+1 rows
+        cut = rem * (big + 1)
+        g[out_col] = np.where(
+            rn < cut,
+            rn // np.maximum(big + 1, 1) + 1,
+            np.where(big > 0, rem + (rn - cut) // np.maximum(big, 1) + 1,
+                     rem)).astype(np.int64)
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(tile_bucket,
+                                         batch_format="pandas"))

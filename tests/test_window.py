@@ -151,3 +151,37 @@ def test_grouped_exact_distinct_matches_pandas(ray_session):
     exp = df.groupby("k")["u"].nunique().reset_index(name="n")
     assert list(got["k"]) == list(exp["k"])
     assert list(got["n"].astype(int)) == list(exp["n"])
+
+
+def test_grouped_lag_gap(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_lag_gap
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "id": [1, 2, 3, 4],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                              "2024-01-01 00:01:00", "2024-01-01 05:00:00"]),
+    })
+    got = (grouped_lag_gap(ray.data.from_pandas(df), "k", "ts", ["id"],
+                           num_buckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert pd.isna(got.loc[0, "gap_s"]) and pd.isna(got.loc[3, "gap_s"])
+    assert got.loc[1, "gap_s"] == 10.0
+    assert got.loc[2, "gap_s"] == 50.0
+
+
+def test_grouped_ntile_uneven_semantics(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_ntile
+
+    # 10 rows, 4 tiles -> sizes 3,3,2,2 (first size%n tiles larger);
+    # plus a group smaller than n (2 rows -> tiles 1,2)
+    df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 2,
+                       "o": list(range(10)) + [0, 1]})
+    got = (grouped_ntile(ray.data.from_pandas(df), "k", ["o"], 4,
+                         num_buckets=4)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    a = got[got["k"] == "a"]["tile"].tolist()
+    assert a == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert got[got["k"] == "b"]["tile"].tolist() == [1, 2]
