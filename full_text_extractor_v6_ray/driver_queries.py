@@ -1529,6 +1529,29 @@ def q_orders_monthly_growth(sf_dir: str):
     return pa.Table.from_pandas(monthly, preserve_index=False)
 
 
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT (wide -> long): the melt companion of orders_status_pivot.
+    Pure per-batch Arrow reshape — column replication + concat, zero
+    shuffle, streaming-friendly at any scale."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for metric in ("l_quantity", "l_extendedprice", "l_discount"):
+            parts.append(pa.table({
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "metric": pa.array([metric] * batch.num_rows, pa.string()),
+                "value": pc.cast(batch[metric], pa.float64()),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1622,10 +1645,24 @@ QUERIES = {
     "events_prev_gap": q_events_prev_gap,
     "orders_price_ntile": q_orders_price_ntile,
     "orders_monthly_growth": q_orders_monthly_growth,
+    "lineitem_unpivot": q_lineitem_unpivot,
 }
 
 
 ORACLES = {
+    "lineitem_unpivot": """
+        SELECT l_orderkey, l_linenumber, metric, value FROM (
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS metric, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount FROM lineitem
+        )
+    """,
     "events_prev_gap": """
         SELECT event_id, ts, user_id,
                date_diff('microsecond',
