@@ -266,10 +266,19 @@ def run_scaling() -> dict:
             break
 
     best = max(pairs, key=lambda p: p["ceiling_window"])
+    effs = sorted(p["efficiency"] for p in pairs)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     i_lo = 0 if seq[0] == n_lo else 1
     return {
         "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
         "value": best["efficiency"],
+        # robust companion: the ceiling probes measure raw CPU only, so a
+        # leg-level IO/object-store transient can hide inside a "quiet"
+        # window and drag the headline pairing; the median over all
+        # pairings is immune to a single bad leg (report both, choose
+        # neither by ratio)
+        "median_efficiency": median_eff,
         "unit": "ratio",
         f"sec_{n_lo}": best[f"sec_{n_lo}"],
         f"sec_{n_hi}": best[f"sec_{n_hi}"],
