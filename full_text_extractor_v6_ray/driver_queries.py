@@ -1552,6 +1552,25 @@ def q_lineitem_unpivot(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_customers_no_events(sf_dir: str):
+    """SQL EXCEPT (set difference): customers who never generated an
+    event — one tagged hash-bucket shuffle, vectorized per-bucket isin."""
+    from .stages.dedup import bucketed_except
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        # int32 -> int64: EXCEPT needs one key type; DuckDB promotes the
+        # same way
+        return pa.table({"c_custkey": pc.cast(batch["c_custkey"],
+                                              pa.int64())})
+
+    cust = cust.map_batches(widen, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return bucketed_except(cust, ev, "c_custkey", "user_id")
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1646,10 +1665,16 @@ QUERIES = {
     "orders_price_ntile": q_orders_price_ntile,
     "orders_monthly_growth": q_orders_monthly_growth,
     "lineitem_unpivot": q_lineitem_unpivot,
+    "customers_no_events": q_customers_no_events,
 }
 
 
 ORACLES = {
+    "customers_no_events": """
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+        EXCEPT
+        SELECT user_id FROM events
+    """,
     "lineitem_unpivot": """
         SELECT l_orderkey, l_linenumber, metric, value FROM (
             SELECT l_orderkey, l_linenumber,
