@@ -174,3 +174,36 @@ def test_mode_cube_dense_oracles(ray_session):
     _vs_oracle("lineitem_cube", ["l_returnflag", "l_linestatus"],
                ray_session)
     _vs_oracle("events_hourly_dense", ["event_type", "hour"], ray_session)
+
+
+def test_bucketed_except(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.dedup import bucketed_except
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 4, 5]})
+    right = pd.DataFrame({"j": [2, 4, 4, 9]})
+    got = sorted(bucketed_except(ray.data.from_pandas(left),
+                                 ray.data.from_pandas(right),
+                                 "k", "j", num_buckets=4)
+                 .to_pandas()["k"].tolist())
+    assert got == [1, 3, 5]  # distinct left minus right
+
+
+def test_unpivot_oracle(ray_session):
+    _vs_oracle("lineitem_unpivot",
+               ["l_orderkey", "l_linenumber", "metric"], ray_session)
+
+
+def test_customers_no_events_oracle(ray_session):
+    from full_text_extractor_v6_ray.driver_queries import ORACLES, QUERIES
+    import duckdb
+
+    got = sorted(QUERIES["customers_no_events"](SF)
+                 .to_pandas()["c_custkey"].tolist())
+    con = duckdb.connect()
+    for t in ("customer", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    exp = sorted(x[0] for x in
+                 con.execute(ORACLES["customers_no_events"]).fetchall())
+    assert got == exp
