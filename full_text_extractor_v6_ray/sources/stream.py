@@ -22,9 +22,23 @@ re-landing with new content is re-ingested, an untouched one never is.
 
 At 100 TB scale the manifest stays driver-side tiny (one row per FILE,
 not per record); the bytes stream through ``read_binary_files`` shards
-exactly as in the batch path. No cross-round state is held in Ray —
-each round is an independent bounded pipeline, so backpressure,
-spilling and retries reset round to round.
+exactly as in the batch path. Each round is an independent bounded
+Dataset pipeline, so backpressure and spilling reset round to round.
+The ONE piece of cross-round Ray state is the optional url index
+(``state/url_index.py``), and it follows a probe/commit protocol so
+retries stay safe: filtering only PROBES the committed state, and the
+round's accepted (url, ts) pairs are COMMITTED from the durably-written
+partition strictly AFTER its manifest entry lands — a round that fails
+anywhere before that leaves the index untouched and the retry
+re-admits the same rows. (A crash between manifest append and commit
+can admit a duplicate append on retry; the compacted view is identical
+— see the contract in ``state/url_index.py``.)
+
+Restart recovery is snapshot-aware: every ``snapshot_every`` committed
+rounds the index checkpoints per-shard parquet under
+``out_dir/url_index_snapshot``; a restarted tailer restores the
+snapshot and replays only the manifest rounds AFTER it, not the whole
+output history.
 """
 
 from __future__ import annotations
@@ -77,23 +91,34 @@ class FolderTail:
     def __init__(self, folder: str, out_dir: str,
                  extensions: tuple[str, ...] | None = None,
                  recursive: bool = False,
-                 dedup_urls: bool = False, num_index_shards: int = 8):
+                 dedup_urls: bool = False, num_index_shards: int = 8,
+                 snapshot_every: int = 0):
         self.folder = folder
         self.out_dir = out_dir
         self.extensions = extensions
         self.recursive = recursive
+        self.snapshot_every = snapshot_every
         os.makedirs(out_dir, exist_ok=True)
         self.rounds, self.seen = _load_manifest(out_dir)
         self.url_index = None
         if dedup_urls:
             # cross-round keep-latest state (state/url_index.py); on a
-            # restarted tailer, replay prior output so re-landed
-            # (url, ts) pairs are rejected, not re-extracted
+            # restarted tailer, restore the last snapshot (if any) and
+            # replay ONLY the rounds after it so re-landed (url, ts)
+            # pairs are rejected, not re-extracted — never a full
+            # output-history replay when a snapshot exists
             from ..state.url_index import StreamUrlDedup
 
             self.url_index = StreamUrlDedup(num_shards=num_index_shards)
-            if self.rounds:
-                self.url_index.rebuild_from(read_stream_output(out_dir))
+            through = self.url_index.restore_snapshot(self._snap_dir())
+            tail_rounds = [e for e in self.rounds
+                           if through is None or e["round"] > through]
+            if tail_rounds:
+                self.url_index.commit_from(
+                    read_stream_output(out_dir, rounds=tail_rounds))
+
+    def _snap_dir(self) -> str:
+        return os.path.join(self.out_dir, "url_index_snapshot")
 
     def _next_round_id(self) -> int:
         return 1 + max((e["round"] for e in self.rounds), default=-1)
@@ -145,6 +170,15 @@ class FolderTail:
         self.rounds.append(entry)
         for s in fresh:
             self.seen.add((s["path"], s["size"], s["mtime_ns"]))
+        if self.url_index is not None and n_rows:
+            # commit STRICTLY AFTER the durable write + manifest entry —
+            # probe state during filtering never mutated the index, so a
+            # failure anywhere above re-admits these rows on retry
+            self.url_index.commit_from(
+                read_stream_output(self.out_dir, rounds=[entry]))
+        if (self.url_index is not None and self.snapshot_every
+                and len(self.rounds) % self.snapshot_every == 0):
+            self.url_index.snapshot(self._snap_dir(), through_round=rid)
         return {"round": rid, "n_files": len(fresh), "n_rows": n_rows}
 
     def run(self, poll_interval: float = 5.0, max_polls: int = 0,
@@ -169,12 +203,16 @@ class FolderTail:
         return {"polls": polls, "n_files": files, "n_rows": rows}
 
 
-def read_stream_output(out_dir: str) -> "ray.data.Dataset":
+def read_stream_output(out_dir: str,
+                       rounds: list[dict] | None = None) -> "ray.data.Dataset":
     """Dataset over every manifest-named partition (orphaned directories
-    from crashed rounds are excluded by construction)."""
+    from crashed rounds are excluded by construction). Pass ``rounds``
+    to restrict to specific manifest entries (tail replay / per-round
+    commit)."""
     import ray.data
 
-    rounds, _ = _load_manifest(out_dir)
+    if rounds is None:
+        rounds, _ = _load_manifest(out_dir)
     files = []
     for e in rounds:
         d = os.path.join(out_dir, e["partition"])

@@ -29,6 +29,21 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
+def _coalesce_null_keys(finest: pd.DataFrame, keys: list[str],
+                        aggs: list[str], all_label: str) -> pd.DataFrame:
+    """Null key values are merged into ``all_label`` BEFORE deriving
+    subtotal levels — the semantics of grouping over
+    ``COALESCE(k, all_label)``, which is what the DuckDB oracles do.
+    (Without this, pandas' default dropna=True would silently drop
+    null-key rows from every coarser level.) Re-aggregates only when a
+    null actually occurs, so the non-null common case is untouched."""
+    if not finest[keys].isna().any().any():
+        return finest
+    filled = finest.copy()
+    filled[keys] = filled[keys].fillna(all_label)
+    return filled.groupby(keys, dropna=False)[aggs].sum().reset_index()
+
+
 def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
                sum_alias: str = "sum_v", count_alias: str = "n",
                all_label: str = "ALL") -> pa.Table:
@@ -37,18 +52,23 @@ def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
     Returns a (small) pyarrow Table: |finest combos| + coarser rows.
     Coarser levels re-aggregate the finest table (exact for integral
     sums; float error ~1 ulp per level, below any round-6 contract).
-    """
+    Null key values merge into ``all_label`` (COALESCE semantics — see
+    ``_coalesce_null_keys``); a real key value equal to ``all_label``
+    is indistinguishable from the placeholder, so pick a label outside
+    the key domain."""
     finest = (ds.select_columns(keys + [value_col])
               .groupby(keys)
               .aggregate(Sum(value_col, alias_name=sum_alias),
                          Count(alias_name=count_alias))
               .to_pandas())
+    finest = _coalesce_null_keys(finest, keys, [sum_alias, count_alias],
+                                 all_label)
 
     frames = [finest.copy()]
     for level in range(len(keys) - 1, -1, -1):
         kept = keys[:level]
-        g = (finest.groupby(kept)[[sum_alias, count_alias]].sum()
-             .reset_index() if kept else
+        g = (finest.groupby(kept, dropna=False)[[sum_alias, count_alias]]
+             .sum().reset_index() if kept else
              pd.DataFrame([finest[[sum_alias, count_alias]].sum()]))
         for k in keys[level:]:
             g[k] = all_label
@@ -65,12 +85,16 @@ def cube_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
 
     Same one-finest-shuffle shape as ``rollup_agg`` — the raw rows are
     grouped once at full granularity; all 2^|keys| subset levels are
-    re-aggregations of that small finest table."""
+    re-aggregations of that small finest table. Null key values merge
+    into ``all_label`` (COALESCE semantics — see
+    ``_coalesce_null_keys``)."""
     finest = (ds.select_columns(keys + [value_col])
               .groupby(keys)
               .aggregate(Sum(value_col, alias_name=sum_alias),
                          Count(alias_name=count_alias))
               .to_pandas())
+    finest = _coalesce_null_keys(finest, keys, [sum_alias, count_alias],
+                                 all_label)
 
     frames = []
     for mask in range(1 << len(keys)):
@@ -78,8 +102,8 @@ def cube_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
         if len(kept) == len(keys):
             frames.append(finest.copy())
             continue
-        g = (finest.groupby(kept)[[sum_alias, count_alias]].sum()
-             .reset_index() if kept else
+        g = (finest.groupby(kept, dropna=False)[[sum_alias, count_alias]]
+             .sum().reset_index() if kept else
              pd.DataFrame([finest[[sum_alias, count_alias]].sum()]))
         for k in keys:
             if k not in kept:
@@ -115,6 +139,15 @@ def gapfill_hourly(ds: "ray.data.Dataset", ts_col: str, key: str,
               .groupby([key, "hour"])
               .aggregate(Count(alias_name=count_alias))
               .to_pandas())
+
+    if len(sparse) == 0:
+        # empty input: pd.date_range(NaT, NaT) would raise — return an
+        # empty table with the output schema instead
+        return pa.table({
+            key: pa.array([], pa.string()),
+            "hour": pa.array([], pa.timestamp("us")),
+            count_alias: pa.array([], pa.int64()),
+        })
 
     hours = pd.date_range(sparse["hour"].min(), sparse["hour"].max(),
                           freq="h")

@@ -46,7 +46,8 @@ _CANONICAL = re.compile(
     r"|<link[^>]*href=['\"]([^'\"]+)['\"][^>]*rel=['\"]canonical['\"]",
     re.IGNORECASE)
 _ROBOTS = re.compile(
-    r"<meta[^>]*name=['\"]robots['\"][^>]*content=['\"]([^'\"]*)['\"]",
+    r"<meta[^>]*name=['\"]robots['\"][^>]*content=['\"]([^'\"]*)['\"]"
+    r"|<meta[^>]*content=['\"]([^'\"]*)['\"][^>]*name=['\"]robots['\"]",
     re.IGNORECASE)
 
 
@@ -109,7 +110,8 @@ class PageMetadataBatch:
             cm = _CANONICAL.search(text)
             rm = _ROBOTS.search(text)
             canonicals.append((cm.group(1) or cm.group(2)) if cm else "")
-            noindex.append(bool(rm) and "noindex" in rm.group(1).lower())
+            noindex.append(bool(rm) and "noindex" in
+                           (rm.group(1) or rm.group(2)).lower())
             has_title.append(t)
             has_h1.append(h)
             lang_attr.append(lm.group(1) if lm else "")

@@ -44,3 +44,52 @@ def test_fixed_width_histogram_matches_pandas(ray_session):
     assert list(got["bin"]) == list(exp["bin"])
     assert list(got["n"]) == list(exp["count"])
     np.testing.assert_allclose(got["s"], exp["sum"], rtol=1e-12)
+
+
+def test_cube_and_rollup_null_keys_match_duckdb(ray_session):
+    """Null key values merge into the ALL label (COALESCE semantics) —
+    they must NOT be silently dropped from coarser levels (pandas'
+    default dropna=True would do exactly that)."""
+    import duckdb
+    import ray.data
+    from full_text_extractor_v6_ray.stages.cube import cube_agg, rollup_agg
+
+    df = pd.DataFrame({
+        "a": ["x", "x", None, "y", None],
+        "b": ["p", None, "p", "q", None],
+        "v": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+    con = duckdb.connect()
+    con.register("t", df)
+
+    for fn, sql_group in (
+            (cube_agg, "CUBE(a, b)"),
+            (rollup_agg, "ROLLUP(a, b)")):
+        got = (fn(ray.data.from_pandas(df), ["a", "b"], "v",
+                  sum_alias="s", count_alias="n")
+               .to_pandas().sort_values(["a", "b", "s"])
+               .reset_index(drop=True))
+        exp = con.execute(f"""
+            WITH c AS (SELECT COALESCE(a, 'ALL') AS a,
+                              COALESCE(b, 'ALL') AS b, v FROM t)
+            SELECT COALESCE(a, 'ALL') AS a, COALESCE(b, 'ALL') AS b,
+                   SUM(v) AS s, CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY {sql_group}
+            ORDER BY a, b, s
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["a", "b", "s", "n"]], exp, check_dtype=False)
+
+
+def test_gapfill_hourly_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from full_text_extractor_v6_ray.stages.cube import gapfill_hourly
+
+    empty = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+    }))
+    got = gapfill_hourly(empty, "ts", "k")
+    assert got.num_rows == 0
+    assert set(got.schema.names) == {"k", "hour", "n"}

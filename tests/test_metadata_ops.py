@@ -162,3 +162,16 @@ def test_page_metadata_canonical_and_robots():
     assert out["canonical"].to_pylist() == ["https://x.io/a",
                                             "https://y.io/b", ""]
     assert out["noindex"].to_pylist() == [True, False, False]
+
+
+def test_robots_meta_attribute_order_robust():
+    """content-before-name attribute order must still detect noindex
+    (mirrors the canonical-link order robustness)."""
+    from full_text_extractor_v6_ray.stages.metadata import PageMetadataBatch
+
+    out = PageMetadataBatch()(_pages([
+        "<html><head><meta content='noindex' name='robots'></head></html>",
+        "<html><head><meta content='index, follow' name='robots'>"
+        "</head></html>",
+    ]))
+    assert out["noindex"].to_pylist() == [True, False]
