@@ -397,36 +397,20 @@ def q_docs_neardup_dedup(sf_dir: str):
     minhash pairs -> connected components -> keep the canonical (min-id)
     doc per component, pass non-dup docs through.
 
-    Scale shape: the component map covers only near-dup NODES (tiny vs
-    the corpus), so it broadcasts via ray.put once and the removal is a
-    vectorized filter inside map_batches — no corpus-wide join."""
-    import ray
-
-    from .stages.fuzzy_dedup import dup_components_ds, minhash_dup_pairs
+    Scale shape: size-dispatched removal (`remove_neardup_members`) —
+    the drop set is COUNTED, broadcast via ray.put only when provably
+    small, and removed with one distributed bucket_anti_join shuffle
+    when it is corpus-scale (CC near-dup fractions run 20-40%)."""
+    from .stages.fuzzy_dedup import (
+        dup_components_ds,
+        minhash_dup_pairs,
+        remove_neardup_members,
+    )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    comp = dup_components_ds(minhash_dup_pairs(docs, threshold=0.7)).to_pandas()
-    if "doc_id" in comp.columns:   # empty Dataset.to_pandas loses columns
-        d = comp["doc_id"].to_numpy(dtype=np.int64)
-        c = comp["component"].to_numpy(dtype=np.int64)
-        drop = np.sort(d[d != c])  # non-canonical ids, sorted for searchsorted
-    else:
-        drop = np.empty(0, dtype=np.int64)
-    ref = ray.put(drop)
-
-    class DropDups:
-        def __init__(self):
-            self.drop = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            keep = ~np.isin(ids, self.drop)   # vectorized membership
-            return batch.filter(pa.array(keep))
-
+    comp = dup_components_ds(minhash_dup_pairs(docs, threshold=0.7))
     kept = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    return kept.map_batches(DropDups, batch_format="pyarrow",
-                            batch_size=1024, concurrency=(1, 2))
+    return remove_neardup_members(kept, comp, key="doc_id")
 
 
 def q_docs_simhash_pairs(sf_dir: str):

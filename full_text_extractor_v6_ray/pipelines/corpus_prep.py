@@ -7,16 +7,21 @@ pretraining-data job chains, as ONE Dataset -> Dataset function.
       -> quality scoring    (Gopher/C4-style heuristics)
       -> filter             (lang confident + quality floor, vectorized)
       -> near-dup removal   (MinHash-LSH pairs -> connected components ->
-                             broadcast tiny drop set, vectorized filter)
+                             size-dispatched drop: broadcast np.isin when
+                             the drop set is small, bucketed ANTI JOIN
+                             when it is not)
 
 Scale notes: the exact-dedup shuffle moves each surviving text body
 exactly once (in-batch combine collapses batch-local dups first, so a
 hot duplicated text crosses the wire O(batches) times, not O(copies));
 survivors are materialized once with a lineage cut because they feed
 BOTH the near-dup pair mining and the final filter (the round-2 lesson:
-without the cut every consumer re-runs the scorer pools); the near-dup
-drop set covers only near-dup nodes — tiny vs the corpus — so it
-broadcasts via ray.put and the removal stays a vectorized np.isin.
+without the cut every consumer re-runs the scorer pools); near-dup
+removal goes through ``remove_neardup_members`` — the drop set is
+COUNTED first, broadcast only under ``max_broadcast_drop`` keys, and
+otherwise removed with one distributed bucket_anti_join shuffle (CC
+near-dup fractions run 20-40% of the corpus: the drop set must never
+be assumed driver-sized).
 """
 
 from __future__ import annotations
@@ -28,7 +33,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.dedup import keyed_keep_one, materialize_rebased
-from ..stages.fuzzy_dedup import dup_components_ds, minhash_dup_pairs
+from ..stages.fuzzy_dedup import (
+    dup_components_ds,
+    minhash_dup_pairs,
+    remove_neardup_members,
+)
 from ..stages.text_ops import LangIdBatch, QualityScoreBatch
 
 
@@ -46,14 +55,16 @@ def corpus_prep(docs: "ray.data.Dataset",
                 quality_min: float = 0.35,
                 lang_conf_min: float = 0.05,
                 neardup_threshold: float = 0.7,
-                num_blocks: int = 32) -> "ray.data.Dataset":
+                num_blocks: int = 32,
+                max_broadcast_drop: int = 1_000_000) -> "ray.data.Dataset":
     """docs (doc_id, text, ...) -> cleaned corpus with score columns.
 
     Output columns: doc_id, text, text_hash, lang_pred, lang_conf,
     n_tokens, quality (plus any passthrough input columns).
+    ``max_broadcast_drop`` caps how many near-dup drop keys may take the
+    broadcast fast path; larger drop sets are removed with a
+    distributed anti-join (see ``remove_neardup_members``).
     """
-    import ray
-
     hashed = docs.map_batches(_add_md5, batch_format="pyarrow",
                               zero_copy_batch=True)
     # exact dedup: keep the smallest doc_id per distinct text
@@ -82,25 +93,10 @@ def corpus_prep(docs: "ray.data.Dataset",
         num_blocks=num_blocks)
 
     # near-dup removal over the survivors (capstone shape:
-    # driver_queries.q_docs_neardup_dedup)
+    # driver_queries.q_docs_neardup_dedup): size-dispatched — broadcast
+    # only when the drop set is provably small, distributed anti-join
+    # otherwise; nothing corpus-scale ever lands on the driver
     pairs = minhash_dup_pairs(survivors, threshold=neardup_threshold)
-    comp = dup_components_ds(pairs).to_pandas()
-    if "doc_id" in comp.columns:   # empty Dataset.to_pandas loses columns
-        d = comp["doc_id"].to_numpy(dtype=np.int64)
-        c = comp["component"].to_numpy(dtype=np.int64)
-        drop = np.sort(d[d != c])
-    else:
-        drop = np.empty(0, dtype=np.int64)
-    drop_ref = ray.put(drop)
-
-    class DropNearDups:
-        def __init__(self):
-            self.drop = ray.get(drop_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            return batch.filter(pa.array(~np.isin(ids, self.drop)))
-
-    return survivors.map_batches(DropNearDups, batch_format="pyarrow",
-                                 batch_size=1024, concurrency=(1, 2))
+    comp = dup_components_ds(pairs)
+    return remove_neardup_members(survivors, comp, key="doc_id",
+                                  max_broadcast=max_broadcast_drop)

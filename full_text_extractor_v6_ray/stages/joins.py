@@ -454,3 +454,45 @@ def bloom_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                             batch_size=8192, concurrency=(1, 4))
     return bucket_hash_join(slim, right, left_key, right_key,
                             num_buckets=num_buckets, how="inner")
+
+
+def bucket_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                     left_key: str, right_key: str,
+                     num_buckets: int | None = None) -> "ray.data.Dataset":
+    """ANTI join: every left row (full payload) whose key has NO match
+    in ``right[right_key]`` — the distributed dual of the broadcast
+    np.isin filter, for when the right side is NOT small (a near-dup
+    drop set at CC scale runs 20-40% of the corpus and cannot live on
+    the driver).
+
+    ONE shuffle: the left payload moves once; the right side ships only
+    its key column, per-batch-deduped before the exchange (the combiner
+    that bounds hot-key traffic at O(batches)). Per-bucket work is one
+    vectorized pandas isin — O(num_buckets) Python calls total.
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    ls = left.schema().base_schema
+    lcols = list(ls.names)
+    ltypes = dict(_fields(ls))
+    out_fields = _fields(ls)
+
+    def rdistinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by([right_key]).aggregate([])
+
+    rkeys = right.select_columns([right_key]).map_batches(
+        rdistinct, batch_format="pyarrow", zero_copy_batch=True)
+    rs = pa.schema([(right_key, ltypes.get(left_key, pa.int64()))])
+    rtypes = dict(_fields(rs))
+    lt = _prep_side(left, left_key, 0, num_buckets, ls, rs)
+    rt = _prep_side(rkeys, right_key, 1, num_buckets, rs, ls)
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg, rg = _split_sides(g, lcols, [right_key], ltypes, rtypes)
+        if lg.empty:
+            return _typed_empty(out_fields)
+        out = lg[~lg[left_key].isin(rg[right_key])]
+        return out if len(out) else _typed_empty(out_fields)
+
+    return lt.union(rt).groupby(_BUCKET).map_groups(anti_bucket,
+                                                    batch_format="pandas")

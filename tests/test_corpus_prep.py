@@ -51,3 +51,64 @@ def test_corpus_prep_idempotent(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert once["doc_id"].tolist() == again["doc_id"].tolist()
     assert once["text_hash"].tolist() == again["text_hash"].tolist()
+
+
+def test_corpus_prep_antijoin_path_same_result(ray_session):
+    """Forcing the distributed anti-join path (max_broadcast_drop=0)
+    yields the identical cleaned corpus — no driver-side drop array."""
+    import ray.data
+    from full_text_extractor_v6_ray.pipelines.corpus_prep import corpus_prep
+
+    out = (corpus_prep(ray.data.from_pandas(_docs()),
+                       neardup_threshold=0.6, max_broadcast_drop=0)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 5]
+
+
+def test_remove_neardup_members_dispatch_and_equality(ray_session,
+                                                      monkeypatch):
+    """50% dup fraction: broadcast and anti-join paths agree exactly,
+    and the size dispatch picks the right one (anti-join above the
+    cap — the drop set never materializes on the driver there)."""
+    import numpy as np
+    import ray.data
+    from full_text_extractor_v6_ray.stages import fuzzy_dedup as fd
+    from full_text_extractor_v6_ray.stages import joins
+
+    n = 1000
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "lang": ["en"] * n})
+    # every odd id is a near-dup member of the preceding even id
+    comp = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "component": (np.arange(n, dtype=np.int64) // 2) * 2,
+    })
+
+    calls = {"anti": 0}
+    real_anti = joins.bucket_anti_join
+
+    def spy(*a, **k):
+        calls["anti"] += 1
+        return real_anti(*a, **k)
+
+    monkeypatch.setattr(joins, "bucket_anti_join", spy)
+
+    def run(max_broadcast):
+        return (fd.remove_neardup_members(
+            ray.data.from_pandas(docs), ray.data.from_pandas(comp),
+            key="doc_id", max_broadcast=max_broadcast)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    via_broadcast = run(max_broadcast=10**9)
+    assert calls["anti"] == 0            # small path: no shuffle join
+    via_anti = run(max_broadcast=10)     # 500 drop keys > 10 -> anti-join
+    assert calls["anti"] == 1
+    pd.testing.assert_frame_equal(via_broadcast, via_anti)
+    assert via_anti["doc_id"].tolist() == list(range(0, n, 2))
+    # empty drop set short-circuits to the input dataset
+    no_dups = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                            "component": pd.array([], dtype="int64")})
+    out = fd.remove_neardup_members(
+        ray.data.from_pandas(docs), ray.data.from_pandas(no_dups),
+        key="doc_id", max_broadcast=0).to_pandas()
+    assert len(out) == n and calls["anti"] == 1

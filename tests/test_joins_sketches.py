@@ -280,3 +280,37 @@ def test_bloom_hash_join_matches_pandas(ray_session):
     got = got[key].sort_values(key).reset_index(drop=True)
     exp = exp[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_bucket_anti_join_matches_duckdb(ray_session):
+    """Payload-preserving ANTI join == DuckDB NOT IN, including dtypes
+    and an empty-result bucket."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import bucket_anti_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 200, 500).astype(np.int64),
+        "payload": [f"row-{i}" for i in range(500)],
+        "v": rng.rand(500),
+    })
+    right = pd.DataFrame({"rk": np.repeat(
+        rng.choice(200, 60, replace=False).astype(np.int64), 3)})
+
+    got = (bucket_anti_join(ray.data.from_pandas(left),
+                            ray.data.from_pandas(right), "k", "rk",
+                            num_buckets=8)
+           .to_pandas().sort_values("payload").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute("""
+        SELECT * FROM l WHERE k NOT IN (SELECT rk FROM r)
+        ORDER BY payload
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "payload", "v"]], exp,
+                                  check_dtype=False)
+    assert str(got["k"].dtype) == "int64"
