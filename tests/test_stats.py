@@ -207,3 +207,60 @@ def test_customers_no_events_oracle(ray_session):
     exp = sorted(x[0] for x in
                  con.execute(ORACLES["customers_no_events"]).fetchall())
     assert got == exp
+
+
+def test_tfidf_spill_and_min_df(ray_session, tmp_path):
+    """The parquet-spill flavor (no object-store pinning) gives the
+    identical result; min_df=2 drops exactly the hapax terms and leaves
+    recurring-term scores untouched."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple banana apple", "banana cherry", "cherry date date"],
+    })
+
+    def run(**kw):
+        return (tfidf_top_terms(ray.data.from_pandas(docs), k=2, **kw)
+                .to_pandas().sort_values(["doc_id", "rn"])
+                .reset_index(drop=True))
+
+    base = run()
+    spilled = run(spill_dir=str(tmp_path), num_blocks=4)
+    pd.testing.assert_frame_equal(
+        base[["doc_id", "term", "tfidf", "rn"]],
+        spilled[["doc_id", "term", "tfidf", "rn"]])
+
+    pruned = run(min_df=2)
+    assert set(pruned["term"]) == {"banana", "cherry"}  # hapax gone
+    merged = pruned.merge(base, on=["doc_id", "term"], suffixes=("", "_b"))
+    assert (merged["tfidf"] == merged["tfidf_b"]).all()
+
+
+def test_tfidf_hot_routing_equivalence(ray_session):
+    """All-hot, all-cold and mixed routing give byte-identical results —
+    which side of the hot cut a term lands on is a pure routing choice."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import tfidf_top_terms
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "text": [" ".join(rng.choice(vocab, 30)) for _ in range(60)],
+    })
+
+    def run(hot):
+        return (tfidf_top_terms(ray.data.from_pandas(docs), k=3,
+                                hot_terms=hot)
+                .to_pandas().sort_values(["doc_id", "rn"])
+                .reset_index(drop=True))
+
+    all_cold = run(0)
+    mixed = run(10)
+    all_hot = run(10_000)
+    for other in (mixed, all_hot):
+        pd.testing.assert_frame_equal(
+            all_cold[["doc_id", "term", "tf", "df", "tfidf", "rn"]],
+            other[["doc_id", "term", "tf", "df", "tfidf", "rn"]])
