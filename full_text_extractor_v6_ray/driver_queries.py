@@ -1276,6 +1276,98 @@ def q_containers_extract(sf_dir: str):
     return wrapped.groupby("method").aggregate(Count(alias_name="n_docs"))
 
 
+def q_pptx_chart_series(sf_dir: str):
+    """M12 parity for BINARY payloads (pptx chart XML parts): every
+    doc_id % 5 == 0 document is wrapped as a pptx zip carrying one
+    DrawingML chart (barChart, title, one series over 3 categories with
+    values derived from doc_id), routed through
+    ``extractor.ooxml.pptx_chart_series`` and flattened to one row per
+    data point. Cache points are written in SCRAMBLED idx order so the
+    parser's idx sort is what the oracle checks, not writer luck.
+    Oracled: values are pure doc_id arithmetic."""
+    import io as _io
+    import zipfile as _zipfile
+
+    from .extractor.ooxml import pptx_chart_series
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def _pt(i: int, v) -> str:
+        return f'<c:pt idx="{i}"><c:v>{v}</c:v></c:pt>'
+
+    class WrapAndParse:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, ct, ti, sn, cat, val = [], [], [], [], [], []
+            for doc_id in batch.column("doc_id").to_pylist():
+                if doc_id % 5 != 0:
+                    continue
+                base = doc_id + 1
+                cats = ["a", "b", "c"]
+                vals = [base, 2 * base, 3 * base]
+                # scrambled idx order: 1,2,0
+                order = [1, 2, 0]
+                cat_pts = "".join(_pt(i, cats[i]) for i in order)
+                val_pts = "".join(_pt(i, vals[i]) for i in order)
+                xml = (
+                    "<c:chartSpace><c:chart>"
+                    f"<c:title><a:t>Chart {doc_id}</a:t></c:title>"
+                    "<c:plotArea><c:barChart><c:ser>"
+                    '<c:tx><c:strRef><c:pt idx="0"><c:v>S1</c:v></c:pt>'
+                    "</c:strRef></c:tx>"
+                    f"<c:cat><c:strRef>{cat_pts}</c:strRef></c:cat>"
+                    f"<c:val><c:numRef><c:numCache>{val_pts}"
+                    "</c:numCache></c:numRef></c:val>"
+                    "</c:ser></c:barChart></c:plotArea>"
+                    "</c:chart></c:chartSpace>")
+                buf = _io.BytesIO()
+                with _zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("ppt/presentation.xml", "<p:presentation/>")
+                    zf.writestr("ppt/charts/chart1.xml", xml)
+                for s in pptx_chart_series(buf.getvalue()):
+                    for c, v in zip(s["categories"], s["values"]):
+                        ids.append(doc_id)
+                        ct.append(s["chart_type"])
+                        ti.append(s["title"])
+                        sn.append(s["series_name"])
+                        cat.append(c)
+                        val.append(v)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "chart_type": pa.array(ct, pa.string()),
+                "title": pa.array(ti, pa.string()),
+                "series_name": pa.array(sn, pa.string()),
+                "cat": pa.array(cat, pa.string()),
+                "val": pa.array(val, pa.float64()),
+            })
+
+    return ds.map_batches(WrapAndParse, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4))
+
+
+def q_docs_enhanced(sf_dir: str):
+    """Enhancement actor pool (A2-A4 analog) with the graceful-
+    degradation contract DuckDB-oracled: the deterministic
+    fault-injection transform fails on len(text) % 7 == 3 rows, which
+    must FALL BACK to their original text (never crash); all other rows
+    carry the enhancement marker."""
+    from .stages.enhance import EnhanceConfig, enhance_dataset
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = enhance_dataset(ds, EnhanceConfig(transform="flaky_prefix",
+                                            pool_size=4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text": batch.column("text"),
+            "fell_back": batch.column("fell_back"),
+            "enhance_error": batch.column("enhance_error"),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synth media -> decode actor pool -> dim stats."""
     from ray.data.aggregate import Count, Mean
@@ -1591,6 +1683,8 @@ QUERIES = {
     "knn_cosine_ivf_top10": q_knn_cosine_ivf_top10,
     "embeddings_norms": q_embeddings_norms,
     "containers_extract": q_containers_extract,
+    "pptx_chart_series": q_pptx_chart_series,
+    "docs_enhanced": q_docs_enhanced,
     "media_decode_stats": q_media_decode_stats,
     "video_frame_stats": q_video_frame_stats,
     "audio_durations": q_audio_durations,
@@ -1654,6 +1748,31 @@ QUERIES = {
 
 
 ORACLES = {
+    "docs_enhanced": """
+        -- mirrors stages/enhance.py flaky_prefix + per-row fallback:
+        -- len % 7 == 3 rows fail upstream and degrade to the original
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN length(text) % 7 = 3 THEN text
+                    ELSE 'ENHANCED: ' || text END AS text,
+               (length(text) % 7 = 3) AS fell_back,
+               CASE WHEN length(text) % 7 = 3 THEN 'ValueError'
+                    ELSE '' END AS enhance_error
+        FROM documents
+    """,
+    "pptx_chart_series": """
+        -- mirrors q_pptx_chart_series' planted pptx chart fixtures:
+        -- every doc_id % 5 == 0 doc carries one barChart, series S1,
+        -- categories a/b/c with values (doc_id+1) * {1,2,3}
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               'barChart' AS chart_type,
+               'Chart ' || CAST(d.doc_id AS VARCHAR) AS title,
+               'S1' AS series_name,
+               m.cat AS cat,
+               CAST((d.doc_id + 1) * m.mult AS DOUBLE) AS val
+        FROM documents d,
+             (VALUES ('a', 1), ('b', 2), ('c', 3)) AS m(cat, mult)
+        WHERE d.doc_id % 5 = 0
+    """,
     "customers_no_events": """
         SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
         EXCEPT

@@ -228,3 +228,87 @@ def extract_zip(payload: bytes) -> tuple[str, list[tuple[str, str]], str, str]:
         return "", [], "zip", "zip_unsupported"
     except Exception as exc:
         return "", [], "zip", f"zip_error:{type(exc).__name__}"
+
+
+# ---------------------------------------------------------------------------
+# pptx chart parts (M12 parity for binary payloads)
+# ---------------------------------------------------------------------------
+
+_CHART_NAME = re.compile(r"^ppt/charts/chart(\d+)\.xml$")
+_C_PLOT_TYPE = re.compile(r"<c:plotArea>.*?<c:(\w+Chart)\b", re.DOTALL)
+_C_TITLE = re.compile(r"<c:title>(.*?)</c:title>", re.DOTALL)
+_C_SER = re.compile(r"<c:ser>(.*?)</c:ser>", re.DOTALL)
+_C_TX = re.compile(r"<c:tx>(.*?)</c:tx>", re.DOTALL)
+_C_CAT = re.compile(r"<c:cat>(.*?)</c:cat>", re.DOTALL)
+_C_VAL = re.compile(r"<c:val>(.*?)</c:val>", re.DOTALL)
+_C_PT = re.compile(r"<c:pt\s[^>]*?idx=\"(\d+)\"[^>]*>\s*<c:v>(.*?)</c:v>",
+                   re.DOTALL)
+_C_V = re.compile(r"<c:v>(.*?)</c:v>", re.DOTALL)
+
+
+def _pts_in_order(fragment: str) -> list[str]:
+    """<c:pt idx=..><c:v>..</c:v> values sorted by idx (cache order is
+    not guaranteed to be index order in the wild)."""
+    pts = [(int(m.group(1)), _unescape(m.group(2)))
+           for m in _C_PT.finditer(fragment)]
+    return [v for _, v in sorted(pts, key=lambda p: p[0])]
+
+
+def pptx_chart_series(payload: bytes) -> list[dict]:
+    """Chart series from a pptx zip's ``ppt/charts/chart*.xml`` parts —
+    the DrawingML analog of the reference's python-pptx chart walk
+    (/root/reference/src/processors/powerpoint/content_extractor.py:368-421:
+    chart_type, title, plot categories, per-series name + non-null
+    values). One dict per series:
+
+      {chart_idx, chart_type, title, series_name,
+       categories: [str], values: [float]}
+
+    Never raises: a malformed chart part contributes nothing (the
+    reference's try/except-per-chart contract); non-numeric cached
+    values are skipped exactly like its ``val is not None`` filter.
+    """
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except Exception:
+        return []
+    out: list[dict] = []
+    charts = sorted(
+        (int(m.group(1)), n) for n in zf.namelist()
+        if (m := _CHART_NAME.match(n)))
+    for idx, name in charts:
+        try:
+            xml = _read_member(zf, name) or ""
+            tm = _C_PLOT_TYPE.search(xml)
+            chart_type = tm.group(1) if tm else "unknown"
+            ttl = _C_TITLE.search(xml)
+            title = _runs_text(ttl.group(1), _AT) if ttl else ""
+            for ser in _C_SER.finditer(xml):
+                frag = ser.group(1)
+                txm = _C_TX.search(frag)
+                sname = ""
+                if txm:
+                    pts = _pts_in_order(txm.group(1))
+                    if pts:
+                        sname = normalize_text(pts[0])
+                    else:
+                        vm = _C_V.search(txm.group(1))
+                        sname = normalize_text(
+                            _unescape(vm.group(1))) if vm else ""
+                cm = _C_CAT.search(frag)
+                cats = ([normalize_text(v) for v in
+                         _pts_in_order(cm.group(1))] if cm else [])
+                vm = _C_VAL.search(frag)
+                vals: list[float] = []
+                if vm:
+                    for v in _pts_in_order(vm.group(1)):
+                        try:
+                            vals.append(float(v))
+                        except ValueError:
+                            continue
+                out.append({"chart_idx": idx, "chart_type": chart_type,
+                            "title": title, "series_name": sname,
+                            "categories": cats, "values": vals})
+        except Exception:
+            continue
+    return out

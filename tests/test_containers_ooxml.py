@@ -201,3 +201,72 @@ def test_warc_only_noncontent_records_is_empty():
         b"GET / HTTP/1.1\r\n\r\n", wtype=b"request")
     res = extract_document(payload)
     assert res.method == "error" and res.error == "warc_empty"
+
+
+def _chart_pptx(chart_xml: str, extra: dict | None = None) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml", "<p:presentation/>")
+        zf.writestr("ppt/charts/chart1.xml", chart_xml)
+        for name, xml in (extra or {}).items():
+            zf.writestr(name, xml)
+    return buf.getvalue()
+
+
+def test_pptx_chart_series_parses_drawingml():
+    from full_text_extractor_v6_ray.extractor.ooxml import pptx_chart_series
+
+    xml = (
+        "<c:chartSpace><c:chart>"
+        "<c:title><a:t>Sales</a:t></c:title>"
+        "<c:plotArea><c:lineChart>"
+        "<c:ser><c:tx><c:strRef>"
+        '<c:pt idx="0"><c:v>East</c:v></c:pt></c:strRef></c:tx>'
+        # scrambled idx order; parser must sort by idx
+        '<c:cat><c:strRef><c:pt idx="1"><c:v>Feb</c:v></c:pt>'
+        '<c:pt idx="0"><c:v>Jan</c:v></c:pt></c:strRef></c:cat>'
+        '<c:val><c:numRef><c:numCache><c:pt idx="1"><c:v>2.5</c:v></c:pt>'
+        '<c:pt idx="0"><c:v>1.5</c:v></c:pt></c:numCache></c:numRef></c:val>'
+        "</c:ser>"
+        "<c:ser><c:tx><c:v>West</c:v></c:tx>"
+        '<c:val><c:numRef><c:numCache><c:pt idx="0"><c:v>9</c:v></c:pt>'
+        '<c:pt idx="1"><c:v>oops</c:v></c:pt>'   # non-numeric -> skipped
+        "</c:numCache></c:numRef></c:val></c:ser>"
+        "</c:lineChart></c:plotArea></c:chart></c:chartSpace>")
+    out = pptx_chart_series(_chart_pptx(xml))
+    assert len(out) == 2
+    east, west = out
+    assert east["chart_type"] == "lineChart" and east["title"] == "Sales"
+    assert east["series_name"] == "East"
+    assert east["categories"] == ["Jan", "Feb"]
+    assert east["values"] == [1.5, 2.5]
+    assert west["series_name"] == "West"
+    assert west["values"] == [9.0]           # 'oops' dropped, not fatal
+    assert west["categories"] == []
+
+
+def test_pptx_chart_series_never_raises():
+    from full_text_extractor_v6_ray.extractor.ooxml import pptx_chart_series
+
+    assert pptx_chart_series(b"not a zip") == []
+    # a malformed chart part contributes nothing; a second good one parses
+    good = ("<c:chartSpace><c:chart><c:plotArea><c:pieChart>"
+            '<c:ser><c:val><c:numRef><c:numCache>'
+            '<c:pt idx="0"><c:v>4</c:v></c:pt>'
+            "</c:numCache></c:numRef></c:val></c:ser>"
+            "</c:pieChart></c:plotArea></c:chart></c:chartSpace>")
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/charts/chart1.xml", "<c:chartSpace")  # truncated
+        zf.writestr("ppt/charts/chart2.xml", good)
+    out = pptx_chart_series(buf.getvalue())
+    assert len(out) == 1
+    assert out[0]["chart_idx"] == 2
+    assert out[0]["chart_type"] == "pieChart"
+    assert out[0]["values"] == [4.0]
