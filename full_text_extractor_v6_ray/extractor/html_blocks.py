@@ -143,10 +143,15 @@ class BlockParser(HTMLParser):
                     ))
                     break
             self._segments = []
-        self._cur_kind = "para"
-        self._cur_level = 0
-        self._cur_ordered = False
-        self._cur_index = 0
+        # kind/level/ordered/index are only ever set together (heading /
+        # li setters), so kind == "para" implies the rest are already at
+        # defaults — skip 4 attribute writes on the (majority) no-op
+        # flushes between consecutive block tags
+        if self._cur_kind != "para":
+            self._cur_kind = "para"
+            self._cur_level = 0
+            self._cur_ordered = False
+            self._cur_index = 0
 
     def _is_boiler_attrs(self, attrs) -> bool:
         blob = ""
