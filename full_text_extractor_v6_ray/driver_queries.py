@@ -1067,18 +1067,14 @@ def q_orders_semi_join(sf_dir: str):
 
 def q_docs_hash_sample(sf_dir: str):
     """Deterministic systematic sample: keep docs whose md5(doc_id) hex
-    digest sorts below '28' (~15.6%) — key-hash sampling every engine
-    can reproduce exactly (oracle: DuckDB md5(doc_id::VARCHAR))."""
+    digest sorts below '28' (fraction 40/256 = 0.15625) — key-hash
+    sampling every engine can reproduce exactly (oracle: DuckDB
+    md5(doc_id::VARCHAR); digest < '28' == 8-hex prefix < '28000000' ==
+    fraction_threshold(0.15625))."""
+    from .stages.sampling import md5_hash_sample
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        m = np.fromiter(
-            (hashlib.md5(str(i).encode()).hexdigest() < "28" for i in ids),
-            dtype=bool, count=len(ids))
-        return batch.filter(pa.array(m))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return md5_hash_sample(ds, "doc_id", 0.15625)
 
 
 def q_lineitem_bloom_join(sf_dir: str):
@@ -1647,6 +1643,77 @@ def q_customers_no_events(sf_dir: str):
     return bucketed_except(cust, ev, "c_custkey", "user_id")
 
 
+def q_events_hopping_15m(sf_dir: str):
+    """Generalized hopping-window aggregate (1-hour window, 15-minute
+    slide -> each event in k=4 windows). Unlike q_events_sliding's
+    k=2 phase-shift (which replicates every ROW twice through the
+    shuffle), hopping_window_agg collapses each batch to per-slide-slot
+    partials FIRST and replicates only those — the shuffle carries
+    O(k x occupied slots), not O(k x rows)."""
+    from .stages.cube import hopping_window_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    return hopping_window_agg(ds, "ts", window_s=3600, slide_s=900,
+                              value_col="value",
+                              count_alias="n", sum_alias="sum_value")
+
+
+def q_orders_left_join_coverage(sf_dir: str):
+    """LEFT OUTER bucketed hash join: every order decorated with the
+    (filtered) customer side; unmatched rows keep typed nulls (the
+    Int64-coercion path in joins._coerce_merged). Aggregated to match
+    coverage per order status — per-batch partials, tiny groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import bucket_hash_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def near_nations(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["c_nationkey"], pa.scalar(5))
+        return batch.filter(keep)
+
+    cust = cust.map_batches(near_nations, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = bucket_hash_join(orders, cust, "o_custkey", "c_custkey",
+                              how="left")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderstatus": batch["o_orderstatus"].to_pandas(),
+            "m": pc.is_valid(batch["c_nationkey"]).to_pandas().astype(
+                "int64"),
+        })
+        g = df.groupby("o_orderstatus")["m"]
+        out = pd.DataFrame({"__n": g.count(), "__m": g.sum()})
+        return pa.Table.from_pandas(out.reset_index(),
+                                    preserve_index=False)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Sum("__n", alias_name="n_orders"),
+                       Sum("__m", alias_name="n_matched")))
+
+
+def q_lineitem_price_quantiles_approx(sf_dir: str):
+    """Scale path for quantiles: mergeable per-block order-statistic
+    sketch (stages/sketches.py) — O(256 x blocks) bytes through the
+    driver, never a per-group full sort. Rows-only (approximation has
+    no exact SQL twin); accuracy vs the exact quantiles is pinned by
+    tests/test_sketches.py."""
+    from .stages.sketches import approx_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    q25, q50, q75, q90 = approx_quantiles(
+        ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.9])
+    return pd.DataFrame({
+        "q25": [round(q25, 1)], "q50": [round(q50, 1)],
+        "q75": [round(q75, 1)], "q90": [round(q90, 1)],
+    })
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1744,6 +1811,9 @@ QUERIES = {
     "orders_monthly_growth": q_orders_monthly_growth,
     "lineitem_unpivot": q_lineitem_unpivot,
     "customers_no_events": q_customers_no_events,
+    "events_hopping_15m": q_events_hopping_15m,
+    "orders_left_join_coverage": q_orders_left_join_coverage,
+    "lineitem_price_quantiles_approx": q_lineitem_price_quantiles_approx,
 }
 
 
@@ -2369,5 +2439,29 @@ ORACLES = {
                                                        CAST(x AS DOUBLE)))),
                      6) AS l2_norm
         FROM embeddings
+    """,
+    "events_hopping_15m": """
+        -- hopping window: 1 h window, 15 min slide -> each event in
+        -- k=4 windows whose starts are (floor(t/slide) - i) * slide
+        SELECT make_timestamp(ws_us) AS ws,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM (
+            SELECT ((epoch_us(ts) // 900000000) - i) * 900000000
+                       AS ws_us,
+                   value
+            FROM events CROSS JOIN generate_series(0, 3) AS t(i)
+        )
+        GROUP BY ws_us ORDER BY ws
+    """,
+    "orders_left_join_coverage": """
+        SELECT o.o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(c.c_nationkey) AS n_matched
+        FROM orders o
+        LEFT JOIN (SELECT c_custkey, c_nationkey FROM customer
+                   WHERE c_nationkey < 5) c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_orderstatus
     """,
 }

@@ -159,6 +159,83 @@ def gapfill_hourly(ds: "ray.data.Dataset", ts_col: str, key: str,
     return pa.Table.from_pandas(dense, preserve_index=False)
 
 
+def hopping_window_agg(ds: "ray.data.Dataset", ts_col: str,
+                       window_s: int, slide_s: int,
+                       value_col: str | None = None,
+                       count_alias: str = "n",
+                       sum_alias: str = "sum_v") -> "ray.data.Dataset":
+    """Hopping (overlapping sliding) event-time window aggregate: count
+    (and optional sum of ``value_col``) of events per window
+    ``[ws, ws + window_s)``, window starts aligned to ``slide_s``.
+    An event at time t belongs to exactly ``k = window_s // slide_s``
+    windows. Streaming-analytics shape the reference's flat category
+    stats (folder_processor.py:164-206) can't express.
+
+    Scale shape: the k-fold expansion is NEVER materialized row-wise.
+    Each batch first collapses to per-slide-slot partials (one row per
+    occupied slide slot — vectorized np.unique + np.add.at), and only
+    those partials are replicated k times (slot - i for i in 0..k-1),
+    so the shuffle carries O(k x occupied-slots-per-batch) rows, not
+    O(k x rows). One tiny groupby-sum over window starts finishes it.
+
+    Windows with zero events are absent from the output (densify with
+    ``gapfill_hourly``-style reindex downstream if needed).
+    """
+    import pyarrow.compute as pc
+
+    if window_s % slide_s != 0:
+        raise ValueError("window_s must be a multiple of slide_s")
+    k = window_s // slide_s
+    slide_us = slide_s * 1_000_000
+    cols = [ts_col] + ([value_col] if value_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # normalize to us first: parquet carries timestamp[us] but
+        # pandas-born datasets carry timestamp[ns] — the int cast must
+        # mean the same epoch unit everywhere
+        ts_us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        # epoch values are positive; numpy // floors like the DuckDB
+        # BIGINT // the oracle uses
+        slots = ts_us // slide_us
+        uniq, inv = np.unique(slots, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        if value_col:
+            v = batch.column(value_col).to_numpy(zero_copy_only=False)
+            s = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(s, inv, v)
+        # each occupied slot s contributes to windows starting at
+        # slot s-i, i in 0..k-1 (all satisfy ws <= t < ws + window)
+        offs = np.arange(k, dtype=np.int64)
+        ws = (uniq[:, None] - offs[None, :]).ravel()
+        out = {"__ws_slot": pa.array(ws, pa.int64()),
+               "__n": pa.array(np.repeat(n, k), pa.int64())}
+        if value_col:
+            out["__s"] = pa.array(np.repeat(s, k), pa.float64())
+        return pa.table(out)
+
+    aggs = [Sum("__n", alias_name=count_alias)]
+    if value_col:
+        aggs.append(Sum("__s", alias_name=sum_alias))
+    agg = (ds.select_columns(cols)
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("__ws_slot")
+           .aggregate(*aggs))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ws = pc.cast(pc.multiply(batch.column("__ws_slot"),
+                                 pa.scalar(slide_us, pa.int64())),
+                     pa.timestamp("us"))
+        out = {"ws": ws, count_alias: batch.column(count_alias)}
+        if value_col:
+            out[sum_alias] = pc.round(batch.column(sum_alias), ndigits=2)
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("ws")
+
+
 def fixed_width_histogram(ds: "ray.data.Dataset", value_col: str,
                           width: float,
                           sum_alias: str = "sum_v",

@@ -1,0 +1,75 @@
+"""Deterministic, engine-portable sampling.
+
+``ds.random_sample(frac, seed=...)`` is deterministic for a fixed
+engine + partitioning, but no other engine can reproduce the same row
+set — so a 100 TB pipeline that samples before an expensive stage
+(quality-score calibration, dedup-threshold tuning, eval-set carving)
+can't be cross-checked or resumed on different infrastructure. The
+reference has no sampling story at all (it processes every file,
+folder_processor.py:60-96); at corpus scale you need one.
+
+``md5_hash_sample`` keeps a row iff the first 8 hex chars of
+``md5(str(key))`` sort below a threshold derived from the fraction.
+Properties:
+
+- engine-portable: DuckDB ``substr(md5(CAST(k AS VARCHAR)), 1, 8) <
+  'xxxxxxxx'`` (and the Spark/pandas equivalents) select the SAME rows
+  — the sample is oracle-checkable, which seeded RNG samples are not;
+- stable under repartitioning / retries / cluster size — membership
+  depends only on the key value;
+- consistent across tables: sampling two tables by the same join key
+  keeps referential integrity (the classic hash-sample property);
+- embarrassingly parallel: a pure per-batch filter, no shuffle, no
+  state, composes with read-side column pruning.
+
+Cost note: md5 over short keys is ~1 µs/row of per-row Python — fine
+for a sampling stage (it prunes 1-frac of everything downstream), but
+this is deliberately NOT the engine's internal bucket hash
+(stages/hashing.py stays numpy-vectorized); use this only where
+cross-engine reproducibility is the point.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_HEX_SPACE = 16 ** 8
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Lowercase 8-hex-char threshold such that P[md5_prefix < t] ==
+    round(fraction * 16^8) / 16^8 (exact to ~2.3e-10)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(min(int(round(fraction * _HEX_SPACE)), _HEX_SPACE - 1),
+                  "08x")
+
+
+def md5_prefixes(values: list) -> np.ndarray:
+    """8-hex-char md5 prefixes of str(value); '' / None never match."""
+    return np.array([
+        hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8]
+        if v is not None else "~"  # '~' > any hex char: nulls drop
+        for v in values
+    ])
+
+
+def md5_hash_sample(ds: "ray.data.Dataset", key_col: str,
+                    fraction: float) -> "ray.data.Dataset":
+    """Keep rows whose md5(str(key)) 8-hex prefix < threshold(fraction).
+
+    Matches DuckDB ``substr(md5(CAST(key AS VARCHAR)), 1, 8) <
+    '<threshold>'`` row-for-row (Python ``str(int)`` == DuckDB BIGINT
+    -> VARCHAR; both md5 hex digests are lowercase).
+    """
+    thresh = fraction_threshold(fraction)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        prefixes = md5_prefixes(batch.column(key_col).to_pylist())
+        return batch.filter(pa.array(prefixes < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

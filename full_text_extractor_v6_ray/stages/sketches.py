@@ -1,4 +1,5 @@
-"""Mergeable sketches: HyperLogLog approximate distinct count.
+"""Mergeable sketches: HyperLogLog approximate distinct count and a
+mergeable quantile sketch.
 
 The guide's sketch pattern: emit ONE serialized sketch per batch from
 ``map_batches`` (no shuffle of raw values), merge the handful of partials
@@ -81,3 +82,131 @@ def approx_distinct(ds: "ray.data.Dataset", col: str) -> float:
     merged = hll_merge([np.frombuffer(p["sketch"], dtype=np.uint8)
                         for p in parts])
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (weighted order-statistic summary)
+# ---------------------------------------------------------------------------
+# The exact grouped-quantile path (driver_queries
+# q_lineitem_price_quantiles) is a per-group sort — right for tiny key
+# cardinality, wrong for a global quantile over 10^12 rows (one task
+# would sort everything). This sketch is the scale path: each block
+# collapses to at most ``m`` (value, weight) points — m evenly spaced
+# order statistics of the SORTED block, each carrying weight n_block/m
+# — and partials merge by concatenation. Rank error per block is
+# <= n_block/(2m); merged error is bounded by the same fraction of the
+# total, so m=256 gives ~0.2% rank error regardless of row count.
+# Deterministic (no RNG), mergeable in any order, O(m x blocks) bytes
+# through the driver — the HLL pattern applied to quantiles.
+
+QSKETCH_M = 256
+
+
+def quantile_sketch_partial(values: np.ndarray,
+                            m: int = QSKETCH_M) -> np.ndarray:
+    """(k, 2) float64 [value, weight] summary of one block (k <= m)."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    n = len(v)
+    if n == 0:
+        return np.empty((0, 2), dtype=np.float64)
+    v.sort()
+    if n <= m:
+        return np.stack([v, np.ones(n)], axis=1)
+    # midpoints of m equal-frequency strata -> unbiased at stratum level
+    idx = ((np.arange(m, dtype=np.float64) + 0.5) * n / m).astype(np.int64)
+    return np.stack([v[idx], np.full(m, n / m)], axis=1)
+
+
+def quantile_sketch_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Concatenate + sort partials into one (k, 2) summary."""
+    if not parts:
+        return np.empty((0, 2), dtype=np.float64)
+    allp = np.concatenate([p for p in parts if len(p)], axis=0) \
+        if any(len(p) for p in parts) else np.empty((0, 2))
+    if len(allp) == 0:
+        return np.empty((0, 2), dtype=np.float64)
+    order = np.argsort(allp[:, 0], kind="stable")
+    return allp[order]
+
+
+def quantile_sketch_query(sketch: np.ndarray, qs: list[float]) -> list[float]:
+    """Estimate quantiles from a merged summary (weighted midpoint CDF)."""
+    if len(sketch) == 0:
+        return [float("nan")] * len(qs)
+    w = sketch[:, 1]
+    total = w.sum()
+    # cumulative weight at each point's midpoint: rank of the stratum
+    # centers, matching how partials picked stratum midpoints
+    cum = np.cumsum(w) - w / 2.0
+    out = []
+    for q in qs:
+        target = q * total
+        out.append(float(np.interp(target, cum, sketch[:, 0])))
+    return out
+
+
+def approx_quantiles(ds: "ray.data.Dataset", col: str,
+                     qs: list[float], m: int = QSKETCH_M) -> list[float]:
+    """Distributed approximate quantiles of one numeric column: one
+    (<= m)-point summary per block through the driver, never the rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = quantile_sketch_partial(
+            batch.column(col).to_numpy(zero_copy_only=False), m)
+        return pa.table({"sketch": pa.array([sk.tobytes()], pa.binary()),
+                         "k": pa.array([len(sk)], pa.int64())})
+
+    parts = (ds.select_columns([col])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all())
+    merged = quantile_sketch_merge([
+        np.frombuffer(p["sketch"], dtype=np.float64).reshape(p["k"], 2)
+        for p in parts])
+    return quantile_sketch_query(merged, qs)
+
+
+def grouped_approx_quantiles(ds: "ray.data.Dataset", key: str, col: str,
+                             qs: list[float], m: int = QSKETCH_M,
+                             ndigits: int = 4) -> "ray.data.Dataset":
+    """Per-key approximate quantiles at HIGH key cardinality — the scale
+    twin of the exact per-group sort (driver_queries
+    q_lineitem_price_quantiles, which is right only when |keys| is
+    tiny). Each batch emits one <=m-point sketch per key present, so
+    the shuffle carries O(keys-per-batch x m) doubles instead of the
+    raw rows; per-key merge happens in map_groups over sketch rows.
+    Output: one row per key with q<NN> columns (values rounded to
+    ``ndigits``)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: batch.column(key).to_pandas(),
+            "__v": batch.column(col).to_numpy(zero_copy_only=False),
+        })
+        keys, sks, ks = [], [], []
+        for k_, g in df.groupby(key, sort=False):
+            sk = quantile_sketch_partial(g["__v"].to_numpy(), m)
+            keys.append(k_)
+            sks.append(sk.tobytes())
+            ks.append(len(sk))
+        return pa.table({key: pa.array(keys),
+                         "__sk": pa.array(sks, pa.binary()),
+                         "__k": pa.array(ks, pa.int64())})
+
+    qcols = [f"q{int(round(q * 100)):02d}" for q in qs]
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [np.frombuffer(b, dtype=np.float64).reshape(k_, 2)
+                 for b, k_ in zip(g["__sk"], g["__k"])]
+        est = quantile_sketch_query(quantile_sketch_merge(parts), qs)
+        out = {key: [g[key].iloc[0]]}
+        for c, e in zip(qcols, est):
+            out[c] = [round(e, ndigits)]
+        return pd.DataFrame(out)
+
+    return (ds.select_columns([key, col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(key)
+            .map_groups(merge_group, batch_format="pandas"))

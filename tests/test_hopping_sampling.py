@@ -1,0 +1,198 @@
+"""Hopping windows, md5 hash sampling, mergeable quantile sketch,
+LEFT OUTER bucketed join."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(n=400, seed=5):
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-03-01")
+    ts = base + pd.to_timedelta(
+        np.sort(rng.randint(0, 48 * 3600, n)), unit="s")
+    return pd.DataFrame({"ts": ts, "value": rng.rand(n).round(3) * 10})
+
+
+def test_hopping_window_matches_bruteforce(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.cube import hopping_window_agg
+
+    df = _events()
+    got = (hopping_window_agg(ray.data.from_pandas(df), "ts",
+                              window_s=3600, slide_s=900,
+                              value_col="value", count_alias="n",
+                              sum_alias="sum_v")
+           .to_pandas().reset_index(drop=True))
+
+    # brute force: explode every event into its k=4 windows
+    rows = []
+    for _, r in df.iterrows():
+        slot = int(r["ts"].value // (900 * 1_000_000_000))
+        for i in range(4):
+            rows.append(((slot - i) * 900, r["value"]))
+    exp = (pd.DataFrame(rows, columns=["ws_s", "value"])
+           .groupby("ws_s")
+           .agg(n=("value", "count"), sum_v=("value", "sum"))
+           .reset_index())
+    exp["ws"] = pd.to_datetime(exp["ws_s"], unit="s")
+    exp["sum_v"] = exp["sum_v"].round(2)
+
+    assert list(got["ws"]) == list(exp["ws"])
+    assert list(got["n"]) == list(exp["n"])
+    np.testing.assert_allclose(got["sum_v"], exp["sum_v"], atol=1e-9)
+    # every event lands in exactly k windows
+    assert got["n"].sum() == 4 * len(df)
+
+
+def test_hopping_window_rejects_non_multiple(ray_session):
+    import pytest
+    import ray.data
+    from full_text_extractor_v6_ray.stages.cube import hopping_window_agg
+
+    with pytest.raises(ValueError):
+        hopping_window_agg(ray.data.from_pandas(_events(10)), "ts",
+                           window_s=3600, slide_s=1000)
+
+
+def test_md5_sample_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from full_text_extractor_v6_ray.stages.sampling import (
+        fraction_threshold, md5_hash_sample)
+
+    df = pd.DataFrame({"k": np.arange(5000, dtype=np.int64),
+                       "v": np.arange(5000) * 2.0})
+    frac = 0.2
+    got = sorted(md5_hash_sample(ray.data.from_pandas(df), "k", frac)
+                 .to_pandas()["k"])
+    thresh = fraction_threshold(frac)
+    exp = sorted(duckdb.sql(
+        f"SELECT k FROM df WHERE substr(md5(CAST(k AS VARCHAR)), 1, 8)"
+        f" < '{thresh}'").df()["k"])
+    assert got == exp
+    # fraction is approximately honored
+    assert abs(len(got) / len(df) - frac) < 0.02
+
+
+def test_md5_sample_stable_under_repartition(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.sampling import md5_hash_sample
+
+    df = pd.DataFrame({"k": [f"url-{i}" for i in range(2000)]})
+    a = sorted(md5_hash_sample(
+        ray.data.from_pandas(df), "k", 0.3).to_pandas()["k"])
+    b = sorted(md5_hash_sample(
+        ray.data.from_pandas(df).repartition(7), "k", 0.3).to_pandas()["k"])
+    assert a == b and 400 < len(a) < 800
+
+
+def test_fraction_threshold_legacy_equivalence():
+    """digest < '28' (q_docs_hash_sample's original form) must equal
+    prefix8 < fraction_threshold(40/256)."""
+    from full_text_extractor_v6_ray.stages.sampling import (
+        fraction_threshold)
+
+    assert fraction_threshold(0.15625) == "28000000"
+    for i in range(3000):
+        d = hashlib.md5(str(i).encode()).hexdigest()
+        assert (d < "28") == (d[:8] < "28000000")
+
+
+def test_quantile_sketch_accuracy_and_merge_order():
+    from full_text_extractor_v6_ray.stages.sketches import (
+        quantile_sketch_merge, quantile_sketch_partial,
+        quantile_sketch_query)
+
+    rng = np.random.RandomState(11)
+    data = rng.lognormal(3.0, 1.0, 60_000)
+    blocks = np.array_split(data, 37)
+    parts = [quantile_sketch_partial(b) for b in blocks]
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = quantile_sketch_query(quantile_sketch_merge(parts), qs)
+    exact = np.quantile(data, qs)
+    # rank error <= ~1/(2*256) per block: value error small in rank
+    # space; check rank of estimate is within 1% of target
+    sorted_d = np.sort(data)
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(sorted_d, e) / len(data)
+        assert abs(rank - q) < 0.01, (q, rank)
+    # merge order never matters
+    est2 = quantile_sketch_query(
+        quantile_sketch_merge(list(reversed(parts))), qs)
+    np.testing.assert_allclose(est, est2, rtol=1e-12)
+
+
+def test_quantile_sketch_small_and_empty():
+    from full_text_extractor_v6_ray.stages.sketches import (
+        quantile_sketch_merge, quantile_sketch_partial,
+        quantile_sketch_query)
+
+    # fewer rows than m: sketch is exact
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    sk = quantile_sketch_merge([quantile_sketch_partial(v)])
+    assert quantile_sketch_query(sk, [0.5])[0] == 2.5
+    empty = quantile_sketch_merge([quantile_sketch_partial(np.array([]))])
+    assert np.isnan(quantile_sketch_query(empty, [0.5])[0])
+
+
+def test_approx_quantiles_dataset(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.sketches import approx_quantiles
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"v": rng.rand(20_000) * 100})
+    est = approx_quantiles(ray.data.from_pandas(df).repartition(8),
+                           "v", [0.5, 0.9])
+    assert abs(est[0] - 50) < 2 and abs(est[1] - 90) < 2
+
+
+def test_grouped_approx_quantiles(ray_session):
+    """High-cardinality per-key sketch path agrees with exact per-key
+    quantiles to ~1% rank error."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.sketches import (
+        grouped_approx_quantiles)
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 40, 30_000).astype(np.int64),
+        "v": rng.lognormal(2.0, 0.8, 30_000),
+    })
+    got = (grouped_approx_quantiles(
+        ray.data.from_pandas(df).repartition(6), "k", "v", [0.5, 0.9])
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    assert len(got) == 40
+    for _, row in got.iterrows():
+        g = np.sort(df.loc[df["k"] == row["k"], "v"].to_numpy())
+        for qc, q in (("q50", 0.5), ("q90", 0.9)):
+            rank = np.searchsorted(g, row[qc]) / len(g)
+            assert abs(rank - q) < 0.02, (row["k"], qc, rank)
+
+
+def test_left_join_unmatched_typed_nulls(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import bucket_hash_join
+
+    left = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                         "lv": np.arange(50) * 1.0})
+    right = pd.DataFrame({"rk": np.arange(0, 50, 5, dtype=np.int64),
+                          "rv": np.arange(10, dtype=np.int64) * 100,
+                          "rs": [f"s{i}" for i in range(10)]})
+    got = bucket_hash_join(ray.data.from_pandas(left),
+                           ray.data.from_pandas(right),
+                           "k", "rk", how="left").to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk",
+                     how="left").drop(columns=["rk"])
+    got = got.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    assert len(got) == 50
+    assert list(got["k"]) == list(exp["k"])
+    matched = got["rv"].notna()
+    assert matched.sum() == 10
+    # unmatched right ints stay integral (nullable), not float-corrupted
+    assert got.loc[matched, "rv"].astype("int64").tolist() == \
+        exp.loc[exp["rv"].notna(), "rv"].astype("int64").tolist()
+    assert got.loc[~matched, "rs"].isna().all()
