@@ -1714,6 +1714,43 @@ def q_lineitem_price_quantiles_approx(sf_dir: str):
     })
 
 
+def q_order_keys_intersect(sf_dir: str):
+    """SQL INTERSECT: order keys that appear in BOTH orders and
+    lineitem — completes the set-ops family (union/EXCEPT already
+    covered). One tagged hash-bucket shuffle with per-batch distinct
+    combiners."""
+    from .stages.dedup import bucketed_intersect
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    return bucketed_intersect(orders, items, "o_orderkey", "l_orderkey")
+
+
+def q_orders_date_dense_rank(sf_dir: str):
+    """DENSE_RANK over a heavily tied column (order dates per
+    priority): ties share a rank with no gaps, so no tiebreak column is
+    needed for determinism — the window-function case row_number can't
+    express."""
+    from .stages.window import grouped_dense_rank
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    return grouped_dense_rank(ds, "o_orderpriority", "o_orderdate",
+                              out_col="date_rank")
+
+
+def q_events_rolling_mean(sf_dir: str):
+    """Frame-bounded moving average (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW) of event value per user in time order — left-
+    associated frame summation so the floats cross-check against the
+    SQL window oracle after rounding."""
+    from .stages.window import grouped_rolling_mean
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return grouped_rolling_mean(ds, "user_id", ["ts"], "value",
+                                window=4, out_col="rm4")
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1814,6 +1851,9 @@ QUERIES = {
     "events_hopping_15m": q_events_hopping_15m,
     "orders_left_join_coverage": q_orders_left_join_coverage,
     "lineitem_price_quantiles_approx": q_lineitem_price_quantiles_approx,
+    "order_keys_intersect": q_order_keys_intersect,
+    "orders_date_dense_rank": q_orders_date_dense_rank,
+    "events_rolling_mean": q_events_rolling_mean,
 }
 
 
@@ -2463,5 +2503,23 @@ ORACLES = {
                    WHERE c_nationkey < 5) c
           ON o.o_custkey = c.c_custkey
         GROUP BY o.o_orderstatus
+    """,
+    "order_keys_intersect": """
+        SELECT o_orderkey FROM orders
+        INTERSECT
+        SELECT l_orderkey FROM lineitem
+    """,
+    "orders_date_dense_rank": """
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderdate) AS date_rank
+        FROM orders
+    """,
+    "events_rolling_mean": """
+        SELECT user_id, ts, value,
+               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN 3 PRECEDING
+                                      AND CURRENT ROW), 6) AS rm4
+        FROM events
     """,
 }

@@ -108,6 +108,71 @@ def grouped_percent_rank(ds: "ray.data.Dataset", key: str,
                                          batch_format="pandas"))
 
 
+def grouped_dense_rank(ds: "ray.data.Dataset", key: str,
+                       order_col: str,
+                       ascending: bool = True,
+                       out_col: str = "dr",
+                       num_buckets: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Per-``key`` DENSE_RANK() over ``order_col`` (1-based; ties share
+    a rank, no gaps). Unlike row_number/percent_rank, the order column
+    may contain duplicates — each row's rank depends only on the SET of
+    distinct values below it, so the output is deterministic without a
+    tiebreak column."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def dr_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(key, sort=False)[order_col].rank(
+            method="dense", ascending=ascending)
+        g[out_col] = r.astype("int64")
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(dr_bucket,
+                                         batch_format="pandas"))
+
+
+def grouped_rolling_mean(ds: "ray.data.Dataset", key: str,
+                         order_cols: list[str], value_col: str,
+                         window: int,
+                         out_col: str = "rolling_mean",
+                         ndigits: int = 6,
+                         num_buckets: int | None = None
+                         ) -> "ray.data.Dataset":
+    """Per-``key`` trailing-window moving average: SQL
+    ``AVG(v) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``. ``order_cols`` must be
+    unique within a key (window-function contract).
+
+    The mean is computed as left-associated shifted adds (v[t-w+1] +
+    ... + v[t], oldest first) over the partition order — the same
+    summation order a SQL engine scanning the frame uses — then
+    rounded, so the values cross-check against the DuckDB oracle
+    bit-for-bit after rounding (a running-subtract rolling sum would
+    accumulate float drift)."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols, kind="mergesort")
+        grp = g.groupby(key, sort=False)[value_col]
+        s = None
+        cnt = None
+        # oldest-first left-associated sum of the trailing frame
+        for i in range(window - 1, -1, -1):
+            sh = grp.shift(i)
+            have = sh.notna().astype("float64")
+            s = sh.fillna(0.0) if s is None else s + sh.fillna(0.0)
+            cnt = have if cnt is None else cnt + have
+        g[out_col] = (s / cnt).round(ndigits)
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(roll_bucket,
+                                         batch_format="pandas"))
+
+
 def grouped_cumsum(ds: "ray.data.Dataset", key: str,
                    order_cols: list[str], value_col: str,
                    out_col: str = "running_sum",

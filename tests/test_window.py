@@ -185,3 +185,58 @@ def test_grouped_ntile_uneven_semantics(ray_session):
     a = got[got["k"] == "a"]["tile"].tolist()
     assert a == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
     assert got[got["k"] == "b"]["tile"].tolist() == [1, 2]
+
+
+def test_grouped_dense_rank_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_dense_rank
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({"k": rng.randint(0, 6, 400),
+                       "d": rng.randint(0, 15, 400),   # heavy ties
+                       "id": np.arange(400)})
+    got = (grouped_dense_rank(ray.data.from_pandas(df), "k", "d",
+                              out_col="dr", num_buckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = df.copy()
+    exp["dr"] = exp.groupby("k")["d"].rank(method="dense").astype("int64")
+    assert got["dr"].tolist() == exp["dr"].tolist()
+    # ties share ranks, no gaps: per key the rank set is 1..n_distinct
+    for k, g in got.groupby("k"):
+        assert sorted(g["dr"].unique()) == list(
+            range(1, g["d"].nunique() + 1))
+
+
+def test_grouped_rolling_mean_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import (
+        grouped_rolling_mean)
+
+    rng = np.random.RandomState(29)
+    df = pd.DataFrame({"k": rng.randint(0, 8, 500),
+                       "o": rng.permutation(500),
+                       "v": (rng.rand(500) * 100).round(3)})
+    got = (grouped_rolling_mean(ray.data.from_pandas(df), "k", ["o"],
+                                "v", window=4, out_col="rm",
+                                num_buckets=4)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, o, ROUND(AVG(v) OVER (PARTITION BY k ORDER BY o
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) rm
+        FROM df ORDER BY k, o
+    """).df()
+    np.testing.assert_allclose(got["rm"], exp["rm"], atol=1e-9)
+
+
+def test_bucketed_intersect_matches_set(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.dedup import bucketed_intersect
+
+    left = pd.DataFrame({"a": np.r_[np.arange(0, 80),
+                                    np.arange(0, 80)]})  # dups in input
+    right = pd.DataFrame({"b": np.arange(50, 200)})
+    got = sorted(bucketed_intersect(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        "a", "b", num_buckets=4).to_pandas()["a"])
+    assert got == list(range(50, 80))   # distinct, both sides only
