@@ -1751,6 +1751,52 @@ def q_events_rolling_mean(sf_dir: str):
                                 window=4, out_col="rm4")
 
 
+def q_events_type_approx_distinct(sf_dir: str):
+    """Grouped HLL: approximate distinct users per event type — the
+    scale twin of the exact events_type_distinct_users (which shuffles
+    every (type, user) pair; this ships one 4 KiB register row per
+    (type, batch)). Rows-only: approximate by construction; accuracy
+    pinned by tests."""
+    from .stages.sketches import grouped_approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ds, "event_type", "user_id")
+
+
+def q_events_top_users(sf_dir: str):
+    """Approximate heavy hitters (Misra-Gries summary): top-10 users by
+    event count WITHOUT a full distinct-key shuffle — each batch emits
+    <= k_cap bounded counters. With k_cap (500) >= the table's distinct
+    user count the summary is provably exact, so the oracle is the
+    exact SQL top-10 (ties broken by user_id, same rule both sides);
+    the compression path is exercised by tests/test_hopping_sampling.py."""
+    from .stages.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", top=10)
+
+
+def q_orders_priority_revenue_share(sf_dir: str):
+    """Ratio-to-report: each priority's share of total revenue (a
+    window-over-aggregate — SUM(SUM(x)) OVER ()). One shuffle produces
+    the tiny per-priority table; the share is computed on that result,
+    never a second raw pass."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+    per = (ds.groupby("o_orderpriority")
+           .aggregate(Sum("o_totalprice", alias_name="revenue"))
+           .to_pandas())
+    total = per["revenue"].sum()
+    # share from UNROUNDED sums (the ratio of two ~equal-magnitude
+    # doubles is stable to ~1e-15 across engines; rounding first would
+    # amplify banker's-vs-half-away rounding differences)
+    per["share"] = (per["revenue"] / total).round(6)
+    per["revenue"] = per["revenue"].round(2)
+    return per
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1854,6 +1900,9 @@ QUERIES = {
     "order_keys_intersect": q_order_keys_intersect,
     "orders_date_dense_rank": q_orders_date_dense_rank,
     "events_rolling_mean": q_events_rolling_mean,
+    "events_top_users": q_events_top_users,
+    "orders_priority_revenue_share": q_orders_priority_revenue_share,
+    "events_type_approx_distinct": q_events_type_approx_distinct,
 }
 
 
@@ -2521,5 +2570,19 @@ ORACLES = {
                                       ROWS BETWEEN 3 PRECEDING
                                       AND CURRENT ROW), 6) AS rm4
         FROM events
+    """,
+    "events_top_users": """
+        -- exact twin: the MG summary is provably exact when k_cap >=
+        -- distinct users (sketches.py heavy_hitters docstring)
+        SELECT user_id, COUNT(*) AS approx_count
+        FROM events GROUP BY user_id
+        ORDER BY approx_count DESC, user_id LIMIT 10
+    """,
+    "orders_priority_revenue_share": """
+        SELECT o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               ROUND(SUM(o_totalprice)
+                     / SUM(SUM(o_totalprice)) OVER (), 6) AS share
+        FROM orders GROUP BY o_orderpriority
     """,
 }

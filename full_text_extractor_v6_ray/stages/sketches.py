@@ -166,6 +166,133 @@ def approx_quantiles(ds: "ray.data.Dataset", col: str,
     return quantile_sketch_query(merged, qs)
 
 
+def grouped_approx_distinct(ds: "ray.data.Dataset", key: str,
+                            col: str) -> "ray.data.Dataset":
+    """Per-``key`` approximate distinct count — the scale twin of the
+    exact grouped distinct (`window.grouped_exact_distinct`, which
+    shuffles every (key, value) pair). Each batch emits ONE 4 KiB HLL
+    register array per key present; the shuffle carries
+    O(keys-per-batch) sketch rows, and per-key merge is a vectorized
+    register max in map_groups. Right when the value cardinality per
+    key is huge (distinct users per day at 10^12 events); ~1.6% rel
+    error (p=12)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: batch.column(key).to_pandas(),
+            "__v": batch.column(col).to_pandas(),
+        })
+        keys, sks = [], []
+        for k_, g in df.groupby(key, sort=False):
+            keys.append(k_)
+            sks.append(hll_partial(g["__v"].to_numpy()).tobytes())
+        return pa.table({key: pa.array(keys),
+                         "__sk": pa.array(sks, pa.binary(M))})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_merge([np.frombuffer(b, dtype=np.uint8)
+                          for b in g["__sk"]])
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "approx_distinct": [round(hll_estimate(regs))]})
+
+    return (ds.select_columns([key, col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(key)
+            .map_groups(merge_group, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (approximate top-k / frequent items)
+# ---------------------------------------------------------------------------
+# Web-scale frequency questions ("hottest URLs / domains / terms") are
+# zipf-keyed: an exact groupby-count moves every distinct key through
+# the shuffle to find a top-k that is 99% head. The Misra-Gries summary
+# keeps at most ``k`` counters per block with the classic guarantee
+# (Misra & Gries 1982; merge rule per Agarwal et al., "Mergeable
+# Summaries", PODS'12): estimated count underestimates the true count
+# by at most n/k_cap in total. Any key with true frequency > n/k_cap is
+# GUARANTEED present. Deterministic, mergeable in any order.
+
+def mg_partial(values, k_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded (keys, counts) summary of one batch: exact in-batch
+    counts, then Misra-Gries compression to <= k_cap counters (subtract
+    the (k_cap+1)-th largest count, keep positive)."""
+    arr = np.asarray(values)
+    keys, counts = np.unique(arr, return_counts=True)
+    if len(keys) > k_cap:
+        kth = np.partition(counts, -(k_cap + 1))[-(k_cap + 1)]
+        counts = counts - kth
+        keep = counts > 0
+        keys, counts = keys[keep], counts[keep]
+    return keys, counts.astype(np.int64)
+
+
+def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]],
+             k_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge summaries: sum counters per key, then re-compress to
+    k_cap. Error bounds add across merged parts (mergeable-summary
+    property)."""
+    if not parts:
+        return np.array([]), np.array([], dtype=np.int64)
+    allk = np.concatenate([p[0] for p in parts])
+    allc = np.concatenate([p[1] for p in parts])
+    keys, inv = np.unique(allk, return_inverse=True)
+    counts = np.zeros(len(keys), dtype=np.int64)
+    np.add.at(counts, inv, allc)
+    if len(keys) > k_cap:
+        kth = np.partition(counts, -(k_cap + 1))[-(k_cap + 1)]
+        counts = counts - kth
+        keep = counts > 0
+        keys, counts = keys[keep], counts[keep]
+    return keys, counts
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str, top: int,
+                  k_cap: int | None = None) -> "pd.DataFrame":
+    """Approximate top-``top`` most frequent values of ``col``.
+
+    Scale shape: each batch collapses to <= k_cap (value, count) rows
+    (vectorized np.unique + MG compression) — no full distinct-key
+    shuffle; the groupby-sum runs over O(k_cap x blocks) rows and the
+    final MG compaction + top-k happens on that metadata-sized result.
+    With k_cap = 50 x top the rank error is n/(50 x top): at web scale
+    any value with share > 1/k_cap of the stream is guaranteed
+    surfaced, which is exactly the heavy-hitter question.
+
+    Returns a pandas DataFrame (value, approx_count) sorted by count
+    desc then value — counts are LOWER BOUNDS within n/k_cap of truth.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if k_cap is None:
+        k_cap = 50 * top
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, counts = mg_partial(
+            batch.column(col).to_numpy(zero_copy_only=False), k_cap)
+        return pa.table({col: pa.array(keys),
+                         "__c": pa.array(counts, pa.int64())})
+
+    summed = (ds.select_columns([col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(col)
+              .aggregate(Sum("__c", alias_name="approx_count"))
+              .to_pandas())
+    # final compaction (groupby may still hold > k_cap survivors)
+    keys, counts = mg_merge(
+        [(summed[col].to_numpy(), summed["approx_count"].to_numpy())],
+        k_cap)
+    out = (pd.DataFrame({col: keys, "approx_count": counts})
+           .sort_values(["approx_count", col],
+                        ascending=[False, True], kind="mergesort")
+           .head(top).reset_index(drop=True))
+    return out
+
+
 def grouped_approx_quantiles(ds: "ray.data.Dataset", key: str, col: str,
                              qs: list[float], m: int = QSKETCH_M,
                              ndigits: int = 4) -> "ray.data.Dataset":

@@ -196,3 +196,80 @@ def test_left_join_unmatched_typed_nulls(ray_session):
     assert got.loc[matched, "rv"].astype("int64").tolist() == \
         exp.loc[exp["rv"].notna(), "rv"].astype("int64").tolist()
     assert got.loc[~matched, "rs"].isna().all()
+
+
+def test_mg_heavy_hitters_guarantee():
+    """Misra-Gries bound: every key with true count > n/k_cap survives,
+    and estimates underestimate by at most n/k_cap — exercised with
+    k_cap << cardinality (the compression path the oracled query's
+    exact regime doesn't hit)."""
+    from full_text_extractor_v6_ray.stages.sketches import (
+        mg_merge, mg_partial)
+
+    rng = np.random.RandomState(41)
+    # zipf-ish: few hot keys over a large uniform tail
+    hot = np.repeat(np.arange(5), [4000, 3000, 2000, 1500, 1000])
+    tail = rng.randint(100, 5000, 8000)
+    data = np.concatenate([hot, tail])
+    rng.shuffle(data)
+    n, k_cap = len(data), 50
+
+    parts = [mg_partial(b, k_cap) for b in np.array_split(data, 13)]
+    keys, counts = mg_merge(parts, k_cap)
+    assert len(keys) <= k_cap
+    true = {k: c for k, c in zip(*np.unique(data, return_counts=True))}
+    est = dict(zip(keys, counts))
+    bound = n / k_cap
+    for k, tc in true.items():
+        if tc > bound:
+            assert k in est, f"guaranteed heavy hitter {k} missing"
+        if k in est:
+            assert 0 < est[k] <= tc
+            assert tc - est[k] <= bound
+
+
+def test_mg_exact_when_cardinality_below_cap():
+    from full_text_extractor_v6_ray.stages.sketches import (
+        mg_merge, mg_partial)
+
+    rng = np.random.RandomState(6)
+    data = rng.randint(0, 40, 10_000)
+    parts = [mg_partial(b, 500) for b in np.array_split(data, 7)]
+    keys, counts = mg_merge(parts, 500)
+    tk, tc = np.unique(data, return_counts=True)
+    assert list(keys) == list(tk) and list(counts) == list(tc)
+
+
+def test_heavy_hitters_dataset_exact_regime(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({"u": rng.randint(0, 30, 5000)})
+    got = heavy_hitters(ray.data.from_pandas(df).repartition(5), "u",
+                        top=5)
+    exp = (df["u"].value_counts().rename_axis("u")
+           .reset_index(name="c")
+           .sort_values(["c", "u"], ascending=[False, True])
+           .head(5).reset_index(drop=True))
+    assert got["u"].tolist() == exp["u"].tolist()
+    assert got["approx_count"].tolist() == exp["c"].tolist()
+
+
+def test_grouped_approx_distinct(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.sketches import (
+        grouped_approx_distinct)
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 4, 40_000),
+        "v": rng.randint(0, 5000, 40_000),
+    })
+    got = (grouped_approx_distinct(
+        ray.data.from_pandas(df).repartition(6), "k", "v")
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    assert len(got) == 4
+    for _, row in got.iterrows():
+        true = df.loc[df["k"] == row["k"], "v"].nunique()
+        assert abs(row["approx_distinct"] - true) / true < 0.05
