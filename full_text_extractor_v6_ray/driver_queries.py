@@ -1797,6 +1797,72 @@ def q_orders_priority_revenue_share(sf_dir: str):
     return per
 
 
+def q_orders_customer_full_join(sf_dir: str):
+    """FULL OUTER bucketed hash join: per-customer order counts joined
+    both ways against a filtered customer dim — left-only rows are
+    customers with orders outside the filter, right-only rows are
+    filtered customers with no orders. Result reduced to the three
+    coverage counts (single row, oracle-exact)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.joins import bucket_hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = (orders.groupby("o_custkey")
+                .aggregate(Count(alias_name="n_orders")))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def low_nations(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["c_nationkey"], pa.scalar(10)))
+
+    cust = cust.map_batches(low_nations, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = bucket_hash_join(per_cust, cust, "o_custkey", "c_custkey",
+                              how="outer")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lo = pc.is_null(batch["c_nationkey"]).to_numpy(
+            zero_copy_only=False)
+        ro = pc.is_null(batch["n_orders"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__n": pa.array([batch.num_rows], pa.int64()),
+            "__lo": pa.array([int(lo.sum())], pa.int64()),
+            "__ro": pa.array([int(ro.sum())], pa.int64()),
+        })
+
+    parts = (joined.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    return pd.DataFrame({
+        "n_rows": [int(parts["__n"].sum())],
+        "n_left_only": [int(parts["__lo"].sum())],
+        "n_right_only": [int(parts["__ro"].sum())],
+    })
+
+
+def q_lineitem_self_composite(sf_dir: str):
+    """Composite-key (multi-column ON clause) bucketed join: lineitem
+    decorated with the price of its own expensive twin on the
+    (l_orderkey, l_linenumber) primary key — the bucket is a
+    splitmix-combined stable hash of BOTH key columns."""
+    from .stages.joins import bucket_hash_join_multi
+
+    left = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    right = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_linenumber",
+                           "l_extendedprice"])
+
+    def expensive(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["l_extendedprice"],
+                                       pa.scalar(50_000.0)))
+
+    right = right.map_batches(expensive, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucket_hash_join_multi(left, right,
+                                  ["l_orderkey", "l_linenumber"],
+                                  ["l_orderkey", "l_linenumber"])
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1903,6 +1969,8 @@ QUERIES = {
     "events_top_users": q_events_top_users,
     "orders_priority_revenue_share": q_orders_priority_revenue_share,
     "events_type_approx_distinct": q_events_type_approx_distinct,
+    "orders_customer_full_join": q_orders_customer_full_join,
+    "lineitem_self_composite": q_lineitem_self_composite,
 }
 
 
@@ -2584,5 +2652,29 @@ ORACLES = {
                ROUND(SUM(o_totalprice)
                      / SUM(SUM(o_totalprice)) OVER (), 6) AS share
         FROM orders GROUP BY o_orderpriority
+    """,
+    "orders_customer_full_join": """
+        WITH per_cust AS (
+            SELECT o_custkey, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ), dim AS (
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_nationkey < 10
+        )
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE d.c_nationkey IS NULL)
+                   AS n_left_only,
+               COUNT(*) FILTER (WHERE p.n_orders IS NULL)
+                   AS n_right_only
+        FROM per_cust p FULL JOIN dim d ON p.o_custkey = d.c_custkey
+    """,
+    "lineitem_self_composite": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+               r.l_extendedprice
+        FROM lineitem l
+        JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem WHERE l_extendedprice > 50000) r
+          ON l.l_orderkey = r.l_orderkey
+         AND l.l_linenumber = r.l_linenumber
     """,
 }

@@ -162,6 +162,9 @@ def bucket_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """Partitioned hash join on an equality key (non-key names must differ).
 
     Output = left columns + right columns minus the right key.
+    ``how``: "inner", "left", or "outer" (FULL OUTER: right-only rows
+    appear with the key COALESCEd into ``left_key`` and nulls in the
+    other left columns — the usual COALESCE(l.k, r.k) result shape).
     ``num_buckets=None`` scales with the cluster (4 x CPUs, min 32) —
     bucket-grouped joins fix parallelism at the bucket count.
     """
@@ -173,16 +176,100 @@ def bucket_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     out_fields = (_fields(ls) + [(n, t) for n, t in _fields(rs)
                                  if n != right_key])
     rvals = [n for n in rcols if n != right_key]
+    lvals = [n for n in lcols if n != left_key]
     lt = _prep_side(left, left_key, 0, num_buckets, ls, rs)
     rt = _prep_side(right, right_key, 1, num_buckets, rs, ls)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg, rg = _split_sides(g, lcols, rcols, ltypes, rtypes)
-        if lg.empty or (rg.empty and how == "inner"):
+        if (lg.empty and rg.empty) or (lg.empty and how != "outer") \
+                or (rg.empty and how == "inner"):
             return _typed_empty(out_fields)
         merged = lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
+        if how == "outer" and right_key in merged.columns \
+                and right_key != left_key:
+            # right-only rows carry the key only on the right side
+            merged[left_key] = merged[left_key].fillna(merged[right_key])
         if right_key != left_key and right_key in merged.columns:
             merged = merged.drop(columns=[right_key])
+        merged = _coerce_merged(merged, rtypes, rvals)
+        if how == "outer":
+            # right-only rows hold NaN in LEFT columns too
+            merged = _coerce_merged(merged, ltypes, lvals + [left_key])
+        return merged
+
+    return lt.union(rt).groupby(_BUCKET).map_groups(join_bucket,
+                                                    batch_format="pandas")
+
+
+def _stable_bucket_multi(batch: pa.Table, keys: list[str],
+                         num_buckets: int) -> pa.Array:
+    """Deterministic bucket over a COMPOSITE key: per-column stable
+    hash64, splitmix-remixed pairwise so (a, b) and (b, a) land
+    differently — same version-independence contract as the
+    single-column `_stable_bucket`."""
+    from .hashing import hash64, splitmix64
+
+    h = hash64(batch.column(keys[0]))
+    for k in keys[1:]:
+        h = splitmix64(h ^ hash64(batch.column(k)))
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+
+def bucket_hash_join_multi(left: "ray.data.Dataset",
+                           right: "ray.data.Dataset",
+                           left_keys: list[str], right_keys: list[str],
+                           num_buckets: int | None = None,
+                           how: str = "inner") -> "ray.data.Dataset":
+    """Partitioned hash join on a COMPOSITE equality key (multi-column
+    ON clause). Same shuffle shape as `bucket_hash_join`; the bucket is
+    a splitmix-combined stable hash of every key column, so equal
+    composite keys co-locate. Output = left columns + right columns
+    minus the right keys. ``how``: "inner" or "left"."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    if len(left_keys) != len(right_keys) or not left_keys:
+        raise ValueError("left_keys/right_keys must be equal-length, "
+                         "non-empty")
+    ls, rs = left.schema().base_schema, right.schema().base_schema
+    lcols, rcols = list(ls.names), list(rs.names)
+    ltypes, rtypes = dict(_fields(ls)), dict(_fields(rs))
+    out_fields = (_fields(ls) + [(n, t) for n, t in _fields(rs)
+                                 if n not in right_keys])
+    rvals = [n for n in rcols if n not in right_keys]
+
+    def prep(keys: list[str], side: int, own, other):
+        own_names = list(own.names)
+        other_only = [(n, t) for n, t in _fields(other)
+                      if n not in own_names]
+        ordered = own_names + [n for n, _ in other_only]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            bucket = _stable_bucket_multi(batch, keys, num_buckets)
+            n = batch.num_rows
+            for name, typ in other_only:
+                batch = batch.append_column(name, pa.nulls(n, typ))
+            batch = batch.select(ordered)
+            batch = batch.append_column(_SIDE,
+                                        pa.array([side] * n, pa.int8()))
+            return batch.append_column(_BUCKET, bucket)
+        return fn
+
+    lt = left.map_batches(prep(left_keys, 0, ls, rs),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(prep(right_keys, 1, rs, ls),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg, rg = _split_sides(g, lcols, rcols, ltypes, rtypes)
+        if lg.empty or (rg.empty and how == "inner"):
+            return _typed_empty(out_fields)
+        merged = lg.merge(rg, left_on=left_keys, right_on=right_keys,
+                          how=how)
+        drop = [k for k in right_keys
+                if k not in left_keys and k in merged.columns]
+        if drop:
+            merged = merged.drop(columns=drop)
         return _coerce_merged(merged, rtypes, rvals)
 
     return lt.union(rt).groupby(_BUCKET).map_groups(join_bucket,

@@ -273,3 +273,71 @@ def test_grouped_approx_distinct(ray_session):
     for _, row in got.iterrows():
         true = df.loc[df["k"] == row["k"], "v"].nunique()
         assert abs(row["approx_distinct"] - true) / true < 0.05
+
+
+def test_full_outer_join_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import bucket_hash_join
+
+    left = pd.DataFrame({"k": np.arange(0, 40, 2, dtype=np.int64),
+                         "lv": np.arange(20, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 60, 3, dtype=np.int64),
+                          "rv": [f"r{i}" for i in range(20)]})
+    got = (bucket_hash_join(ray.data.from_pandas(left),
+                            ray.data.from_pandas(right),
+                            "k", "rk", how="outer")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = left.merge(right, left_on="k", right_on="rk", how="outer")
+    exp["k"] = exp["k"].fillna(exp["rk"]).astype("int64")
+    exp = (exp.drop(columns=["rk"])
+           .sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == exp["k"].tolist()
+    # matched / left-only / right-only all present
+    assert got["lv"].isna().sum() == exp["lv"].isna().sum() > 0
+    assert got["rv"].isna().sum() == exp["rv"].isna().sum() > 0
+    both = got["lv"].notna() & got["rv"].notna()
+    assert both.sum() == len(set(left["k"]) & set(right["rk"]))
+    # int columns survive as integers (nullable), never floats
+    assert str(got["lv"].dtype) in ("Int64", "int64")
+
+
+def test_composite_key_join_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import (
+        bucket_hash_join_multi)
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({
+        "a": rng.randint(0, 10, 300).astype(np.int64),
+        "b": rng.randint(0, 10, 300).astype(np.int64),
+        "lv": np.arange(300, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "a": np.repeat(np.arange(10, dtype=np.int64), 10),
+        "b": np.tile(np.arange(10, dtype=np.int64), 10),
+        "rv": np.arange(100, dtype=np.int64) * 7,
+    })
+    got = (bucket_hash_join_multi(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        ["a", "b"], ["a", "b"], num_buckets=8)
+        .to_pandas().sort_values(["a", "b", "lv"]).reset_index(drop=True))
+    exp = (left.merge(right, on=["a", "b"], how="inner")
+           .sort_values(["a", "b", "lv"]).reset_index(drop=True))
+    assert len(got) == len(exp) == 300   # right covers every (a,b) pair
+    for c in ("a", "b", "lv", "rv"):
+        assert got[c].tolist() == exp[c].tolist()
+
+
+def test_composite_key_join_distinguishes_swapped_keys(ray_session):
+    """(a=1,b=2) must NOT match (a=2,b=1) — the pairwise splitmix remix
+    plus the equality merge keep swapped composites apart."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import (
+        bucket_hash_join_multi)
+
+    left = pd.DataFrame({"a": [1, 2], "b": [2, 1], "lv": [10, 20]})
+    right = pd.DataFrame({"a": [1], "b": [2], "rv": [99]})
+    got = bucket_hash_join_multi(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        ["a", "b"], ["a", "b"], num_buckets=4).to_pandas()
+    assert len(got) == 1 and got["lv"].iloc[0] == 10
