@@ -1863,6 +1863,17 @@ def q_lineitem_self_composite(sf_dir: str):
                                   ["l_orderkey", "l_linenumber"])
 
 
+def q_events_user_value_quantiles(sf_dir: str):
+    """Per-user approximate value quantiles via the mergeable sketch —
+    the high-cardinality grouped-quantile path (per-key sketch rows
+    through the shuffle, never a per-key full sort). Rows-only:
+    approximate by construction; rank-error pinned by tests."""
+    from .stages.sketches import grouped_approx_quantiles
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    return grouped_approx_quantiles(ds, "user_id", "value", [0.5, 0.9])
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1971,6 +1982,7 @@ QUERIES = {
     "events_type_approx_distinct": q_events_type_approx_distinct,
     "orders_customer_full_join": q_orders_customer_full_join,
     "lineitem_self_composite": q_lineitem_self_composite,
+    "events_user_value_quantiles": q_events_user_value_quantiles,
 }
 
 
