@@ -190,6 +190,16 @@ def hopping_window_agg(ds: "ray.data.Dataset", ts_col: str,
     cols = [ts_col] + ([value_col] if value_col else [])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null timestamps carry no event time — drop explicitly (a null
+        # would otherwise surface as NaN after the numpy conversion and
+        # poison the slot arithmetic)
+        batch = batch.filter(pc.is_valid(batch.column(ts_col)))
+        if batch.num_rows == 0:
+            out = {"__ws_slot": pa.array([], pa.int64()),
+                   "__n": pa.array([], pa.int64())}
+            if value_col:
+                out["__s"] = pa.array([], pa.float64())
+            return pa.table(out)
         # normalize to us first: parquet carries timestamp[us] but
         # pandas-born datasets carry timestamp[ns] — the int cast must
         # mean the same epoch unit everywhere

@@ -179,6 +179,9 @@ def grouped_approx_distinct(ds: "ray.data.Dataset", key: str,
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: batch.column(key),
+                             "__sk": pa.array([], pa.binary(M))})
         df = pd.DataFrame({
             key: batch.column(key).to_pandas(),
             "__v": batch.column(col).to_pandas(),
@@ -271,6 +274,11 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str, top: int,
         k_cap = 50 * top
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # keep the key column's arrow type: pa.array(empty numpy)
+            # would infer a different type and break block unification
+            return pa.table({col: batch.column(col),
+                             "__c": pa.array([], pa.int64())})
         keys, counts = mg_partial(
             batch.column(col).to_numpy(zero_copy_only=False), k_cap)
         return pa.table({col: pa.array(keys),
@@ -307,6 +315,10 @@ def grouped_approx_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: batch.column(key),
+                             "__sk": pa.array([], pa.binary()),
+                             "__k": pa.array([], pa.int64())})
         df = pd.DataFrame({
             key: batch.column(key).to_pandas(),
             "__v": batch.column(col).to_numpy(zero_copy_only=False),

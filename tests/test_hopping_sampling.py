@@ -341,3 +341,37 @@ def test_composite_key_join_distinguishes_swapped_keys(ray_session):
         ray.data.from_pandas(left), ray.data.from_pandas(right),
         ["a", "b"], ["a", "b"], num_buckets=4).to_pandas()
     assert len(got) == 1 and got["lv"].iloc[0] == 10
+
+
+def test_empty_block_guards(ray_session):
+    """Empty partitions must not poison schema unification (empty
+    numpy -> arrow inference would yield null-typed key columns), and
+    null timestamps drop explicitly from hopping windows."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.cube import hopping_window_agg
+    from full_text_extractor_v6_ray.stages.sketches import (
+        grouped_approx_distinct, grouped_approx_quantiles, heavy_hitters)
+
+    small = pd.DataFrame({"k": ["a", "b", "a", "c", "a"],
+                          "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    sparse = ray.data.from_pandas(small).repartition(10)  # empty blocks
+    hh = heavy_hitters(sparse, "k", top=2)
+    assert hh["k"].tolist() == ["a", "b"] or hh["k"].tolist() == ["a", "c"]
+    assert hh["approx_count"].iloc[0] == 3
+    ad = grouped_approx_distinct(sparse, "k", "v").to_pandas()
+    assert len(ad) == 3
+    aq = grouped_approx_quantiles(sparse, "k", "v", [0.5]).to_pandas()
+    assert len(aq) == 3
+
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:10", None,
+                              "2024-01-01 00:20:00"]),
+        "value": [1.0, 2.0, 4.0],
+    })
+    got = (hopping_window_agg(ray.data.from_pandas(ev), "ts",
+                              window_s=1800, slide_s=900,
+                              value_col="value")
+           .to_pandas())
+    # the null-ts row contributes nothing; 2 events x 2 windows each
+    assert got["n"].sum() == 4
+    assert got["sum_v"].sum() == 2 * (1.0 + 4.0)
