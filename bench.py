@@ -147,6 +147,39 @@ def run_bench() -> dict:
         for d in (corpus_dir, spill):
             shutil.rmtree(d, ignore_errors=True)
 
+    # -- composed corpus-prep at scale (env-gated) --------------------------
+    # GRAFT_BENCH_CORPUS_REPLICATE=R expands documents into R variants
+    # with a planted 10% exact-dup / 10% near-dup / 80% unique mix
+    # (sources/docs_gen.py) and times the FULL training-corpus pipeline
+    # (exact dedup -> langid -> quality -> minhash-LSH -> components ->
+    # anti-join removal). Corpus synthesis is written untimed first so
+    # the timing isolates the pipeline, not the generator.
+    corpus_rep = int(os.environ.get("GRAFT_BENCH_CORPUS_REPLICATE", "0"))
+    corpus_rows = None
+    if corpus_rep:
+        from full_text_extractor_v6_ray.pipelines.corpus_prep import (
+            corpus_prep,
+        )
+        from full_text_extractor_v6_ray.sources.docs_gen import (
+            DocVariantsBatch,
+        )
+
+        docs_dir = f"{out_base}/bench_corpus_docs_{NUM_CPUS}"
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        import ray.data as rd
+        (rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+         .map_batches(DocVariantsBatch(corpus_rep),
+                      batch_format="pyarrow", zero_copy_batch=True)
+         .write_parquet(docs_dir))
+        t = time.perf_counter()
+        corpus_rows = corpus_prep(
+            rd.read_parquet(docs_dir),
+            num_blocks=max(32, 4 * NUM_CPUS),
+            scorer_concurrency=(1, max(4, NUM_CPUS // 2))).count()
+        queries["corpus_prep_docs"] = round(time.perf_counter() - t, 3)
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
     headline = queries["extract_dedup_write"]
     docs_per_sec = round(n_pages / queries["extract"], 1)
 
@@ -208,6 +241,9 @@ def run_bench() -> dict:
     if tfidf_rows is not None:
         out["tfidf_pages_rows"] = tfidf_rows
         out["tfidf_replicate"] = tfidf_rep
+    if corpus_rows is not None:
+        out["corpus_prep_rows"] = corpus_rows
+        out["corpus_replicate"] = corpus_rep
     return out
 
 

@@ -1874,6 +1874,75 @@ def q_events_user_value_quantiles(sf_dir: str):
     return grouped_approx_quantiles(ds, "user_id", "value", [0.5, 0.9])
 
 
+def q_lineitem_regression(sf_dir: str):
+    """Grouped least-squares fit (price on quantity per returnflag):
+    REGR_SLOPE / REGR_INTERCEPT via the sufficient-statistic combiner —
+    five doubles per (block, group) through the shuffle."""
+    from .stages.stats import grouped_regression
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_regression(ds, "l_returnflag", "l_quantity",
+                              "l_extendedprice")
+
+
+def q_lineitem_skew_kurt(sf_dir: str):
+    """Grouped sample skewness + excess kurtosis (quantity per
+    returnflag): power-sum combiner (n, Σx..Σx⁴) — five doubles per
+    (block, group) through the shuffle; G1/G2 bias corrections on the
+    tiny combined table (matches DuckDB skewness()/kurtosis())."""
+    from .stages.stats import grouped_skew_kurt
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity"])
+    return grouped_skew_kurt(ds, "l_returnflag", "l_quantity")
+
+
+def q_lineitem_mad(sf_dir: str):
+    """Grouped exact median + median-absolute-deviation per returnflag:
+    ONE bucketed key shuffle, cython groupby.median per bucket (the
+    exact path; grouped_approx_quantiles is the 10^12-row sketch twin)."""
+    from .stages.stats import grouped_mad
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    return grouped_mad(ds, "l_returnflag", "l_extendedprice")
+
+
+def q_events_first_last_value(sf_dir: str):
+    """Per-user first and last event value in time order (SQL
+    arg_min/arg_max): map-side combiner reduces each batch to one row
+    per (user, batch) — O(users x blocks) rows through the shuffle."""
+    from .stages.stats import grouped_first_last
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return grouped_first_last(ds, "user_id", "ts", "value")
+
+
+def q_orders_price_cumedist(sf_dir: str):
+    """CUME_DIST of order price within each priority (bucketed shuffle,
+    vectorized max-rank/size per bucket; ties allowed — max-rank makes
+    the output deterministic without a tiebreak column)."""
+    from .stages.window import grouped_cume_dist
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return grouped_cume_dist(ds, "o_orderpriority", "o_totalprice",
+                             out_col="cd")
+
+
+def q_events_value_ewma(sf_dir: str):
+    """Per-user exponentially weighted moving average of event values
+    in time order (α=0.3, recursive/adjust=False form). Rows-only: the
+    recurrence isn't SQL-expressible without recursive CTEs; exactness
+    pinned by an explicit-loop unit test. ONE bucketed shuffle, cython
+    grouped-EWM kernel per bucket."""
+    from .stages.window import grouped_ewma
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return grouped_ewma(ds, "user_id", ["ts"], "value", alpha=0.3)
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -1959,6 +2028,12 @@ QUERIES = {
     "supplier_region_stats": q_supplier_region_stats,
     "part_type_stats": q_part_type_stats,
     "lineitem_corr": q_lineitem_corr,
+    "lineitem_regression": q_lineitem_regression,
+    "lineitem_skew_kurt": q_lineitem_skew_kurt,
+    "events_value_ewma": q_events_value_ewma,
+    "lineitem_mad": q_lineitem_mad,
+    "events_first_last_value": q_events_first_last_value,
+    "orders_price_cumedist": q_orders_price_cumedist,
     "events_cohort_retention": q_events_cohort_retention,
     "events_props_stats": q_events_props_stats,
     "docs_tfidf_top3": q_docs_tfidf_top3,
@@ -2116,6 +2191,42 @@ ORACLES = {
                ROUND(CORR(l_quantity, l_extendedprice), 6)
                    AS corr_qty_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "lineitem_regression": """
+        SELECT l_returnflag,
+               CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT)
+                   AS n,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6)
+                   AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6)
+                   AS intercept
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "lineitem_skew_kurt": """
+        SELECT l_returnflag,
+               CAST(COUNT(l_quantity) AS BIGINT) AS n,
+               ROUND(skewness(l_quantity), 6) AS skew,
+               ROUND(kurtosis(l_quantity), 6) AS kurt
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "lineitem_mad": """
+        SELECT l_returnflag,
+               CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+               ROUND(MEDIAN(l_extendedprice), 6) AS median,
+               ROUND(MAD(l_extendedprice), 6) AS mad
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_first_last_value": """
+        SELECT user_id,
+               ARG_MIN(value, ts) AS first_v,
+               ARG_MAX(value, ts) AS last_v
+        FROM events GROUP BY user_id
+    """,
+    "orders_price_cumedist": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice) AS cd
+        FROM orders
     """,
     "events_cohort_retention": """
         WITH e AS (

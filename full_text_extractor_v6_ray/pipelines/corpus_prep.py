@@ -56,7 +56,9 @@ def corpus_prep(docs: "ray.data.Dataset",
                 lang_conf_min: float = 0.05,
                 neardup_threshold: float = 0.7,
                 num_blocks: int = 32,
-                max_broadcast_drop: int = 1_000_000) -> "ray.data.Dataset":
+                max_broadcast_drop: int = 1_000_000,
+                scorer_concurrency: tuple[int, int] = (1, 4)
+                ) -> "ray.data.Dataset":
     """docs (doc_id, text, ...) -> cleaned corpus with score columns.
 
     Output columns: doc_id, text, text_hash, lang_pred, lang_conf,
@@ -72,9 +74,11 @@ def corpus_prep(docs: "ray.data.Dataset",
 
     scored = (uniq
               .map_batches(LangIdBatch, batch_format="pyarrow",
-                           batch_size=512, concurrency=(1, 4))
+                           batch_size=512,
+                           concurrency=scorer_concurrency)
               .map_batches(QualityScoreBatch, batch_format="pyarrow",
-                           batch_size=512, concurrency=(1, 4)))
+                           batch_size=512,
+                           concurrency=scorer_concurrency))
 
     def keep_quality(batch: pa.Table) -> pa.Table:
         keep = pc.and_(

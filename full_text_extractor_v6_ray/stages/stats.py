@@ -312,3 +312,238 @@ def cohort_retention(ds: "ray.data.Dataset", user_col: str, ts_col: str,
                 .map_groups(bucket_cells, batch_format="pandas"))
     return (partials.groupby(["cohort_week", "weeks_since"])
             .aggregate(Sum("_partial", alias_name=count_alias)))
+
+
+def grouped_regression(ds: "ray.data.Dataset", key: str, x: str, y: str,
+                       slope_col: str = "slope",
+                       intercept_col: str = "intercept",
+                       ndigits: int = 6,
+                       count_alias: str = "n") -> "ray.data.Dataset":
+    """Per-``key`` least-squares line of ``y`` on ``x``: SQL
+    REGR_SLOPE(y, x) and REGR_INTERCEPT(y, x).
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²); intercept = ȳ − slope·x̄.
+    Same sufficient-statistic combiner as ``grouped_corr`` — each batch
+    ships one (n, Σx, Σy, Σxy, Σx²) row per group through the shuffle,
+    so the wide step is O(groups × blocks) doubles regardless of input
+    size. REGR_* null semantics: a pair is dropped when EITHER side is
+    null. Zero-variance groups yield null slope/intercept (SQL).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = pc.cast(batch[x], pa.float64())
+        yv = pc.cast(batch[y], pa.float64())
+        keep = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        t = pa.table({key: batch[key], "_x": xv, "_y": yv}).filter(keep)
+        xv, yv = t["_x"], t["_y"]
+        prod = pa.table({
+            key: t[key],
+            "_sx": xv, "_sy": yv,
+            "_sxx": pc.multiply(xv, xv),
+            "_sxy": pc.multiply(xv, yv),
+        })
+        g = prod.group_by(key).aggregate(
+            [("_sx", "sum"), ("_sy", "sum"), ("_sxx", "sum"),
+             ("_sxy", "sum"), ([], "count_all")])
+        return g.rename_columns([key, "_sx", "_sy", "_sxx", "_sxy", "_n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["_n"], pa.float64())
+        sx, sy = batch["_sx"], batch["_sy"]
+        num = pc.subtract(pc.multiply(n, batch["_sxy"]),
+                          pc.multiply(sx, sy))
+        den = pc.subtract(pc.multiply(n, batch["_sxx"]),
+                          pc.multiply(sx, sx))
+        slope = pc.if_else(pc.greater(den, 0.0), pc.divide(num, den), None)
+        intercept = pc.subtract(pc.divide(sy, n),
+                                pc.multiply(slope, pc.divide(sx, n)))
+        return pa.table({
+            key: batch[key],
+            count_alias: pc.cast(batch["_n"], pa.int64()),
+            slope_col: pc.round(slope, ndigits=ndigits),
+            intercept_col: pc.round(intercept, ndigits=ndigits),
+        })
+
+    combined = (ds.select_columns([key, x, y])
+                .map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(key)
+                .aggregate(Sum("_sx", alias_name="_sx"),
+                           Sum("_sy", alias_name="_sy"),
+                           Sum("_sxx", alias_name="_sxx"),
+                           Sum("_sxy", alias_name="_sxy"),
+                           Sum("_n", alias_name="_n")))
+    return combined.map_batches(finish, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def grouped_skew_kurt(ds: "ray.data.Dataset", key: str, col: str,
+                      skew_col: str = "skew", kurt_col: str = "kurt",
+                      ndigits: int = 6,
+                      count_alias: str = "n") -> "ray.data.Dataset":
+    """Per-``key`` sample skewness and excess kurtosis — the
+    adjusted Fisher–Pearson G1/G2 statistics DuckDB's ``skewness()`` /
+    ``kurtosis()`` and pandas ``.skew()``/``.kurt()`` compute.
+
+    Map-side power-sum combiner (n, Σx, Σx², Σx³, Σx⁴) per (group,
+    batch) — five doubles per group through the shuffle; central
+    moments and the bias corrections run on the tiny combined table:
+
+        M2 = S2 − n·m²;  M3 = S3 − 3m·S2 + 2n·m³
+        M4 = S4 − 4m·S3 + 6m²·S2 − 3n·m⁴
+        G1 = [(M3/n)/(M2/n)^1.5] · √(n(n−1))/(n−2)
+        G2 = [(n+1)·((M4/n)/(M2/n)² − 3) + 6] · (n−1)/((n−2)(n−3))
+
+    Power-sum cancellation is benign at round-6 for value scales up to
+    ~1e3 (verified vs DuckDB on lineitem quantities with shuffled
+    partial combination order); for wider-range columns pre-shift by a
+    constant. Groups need n ≥ 3 (skew) / n ≥ 4 (kurt) and nonzero
+    variance; others yield null, matching SQL. Nulls in ``col`` drop.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = pc.cast(batch[col], pa.float64())
+        t = pa.table({key: batch[key], "_x": xv}).filter(pc.is_valid(xv))
+        xv = t["_x"]
+        x2 = pc.multiply(xv, xv)
+        prod = pa.table({
+            key: t[key],
+            "_s1": xv, "_s2": x2,
+            "_s3": pc.multiply(x2, xv),
+            "_s4": pc.multiply(x2, x2),
+        })
+        g = prod.group_by(key).aggregate(
+            [("_s1", "sum"), ("_s2", "sum"), ("_s3", "sum"),
+             ("_s4", "sum"), ([], "count_all")])
+        return g.rename_columns([key, "_s1", "_s2", "_s3", "_s4", "_n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = batch["_s1"].to_numpy(zero_copy_only=False)
+        s2 = batch["_s2"].to_numpy(zero_copy_only=False)
+        s3 = batch["_s3"].to_numpy(zero_copy_only=False)
+        s4 = batch["_s4"].to_numpy(zero_copy_only=False)
+        with np.errstate(all="ignore"):
+            m = s1 / n
+            m2 = s2 - n * m * m
+            m3 = s3 - 3 * m * s2 + 2 * n * m ** 3
+            m4 = s4 - 4 * m * s3 + 6 * m * m * s2 - 3 * n * m ** 4
+            v = m2 / n
+            g1 = (m3 / n) / v ** 1.5
+            G1 = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+            g2 = (m4 / n) / (v * v) - 3
+            G2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        skew_ok = (n >= 3) & (m2 > 0)
+        kurt_ok = (n >= 4) & (m2 > 0)
+        return pa.table({
+            key: batch[key],
+            count_alias: pa.array(n.astype(np.int64)),
+            skew_col: pa.array(np.where(skew_ok, np.round(G1, ndigits),
+                                        np.nan),
+                               mask=~skew_ok),
+            kurt_col: pa.array(np.where(kurt_ok, np.round(G2, ndigits),
+                                        np.nan),
+                               mask=~kurt_ok),
+        })
+
+    combined = (ds.select_columns([key, col])
+                .map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(key)
+                .aggregate(Sum("_s1", alias_name="_s1"),
+                           Sum("_s2", alias_name="_s2"),
+                           Sum("_s3", alias_name="_s3"),
+                           Sum("_s4", alias_name="_s4"),
+                           Sum("_n", alias_name="_n")))
+    return combined.map_batches(finish, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
+                mad_col: str = "mad", median_col: str = "median",
+                ndigits: int = 6,
+                num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-``key`` exact median and median-absolute-deviation
+    (DuckDB ``median()`` / ``mad()``, linear interpolation on even
+    counts — pandas semantics, verified equal).
+
+    Medians don't decompose into partials, so this hash-buckets the
+    keys (ONE shuffle) and computes both medians vectorized per bucket
+    (cython ``groupby.median``). Partitioning assumption: a single
+    key's rows fit in one bucket task — right for dimension-cardinality
+    keys; for billion-row groups use the mergeable quantile sketch
+    (``stages.sketches.grouped_approx_quantiles``) instead.
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _BUCKET, _stable_bucket(batch.column(key), num_buckets))
+
+    def mad_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        med = g.groupby(key, sort=False)[col].transform("median")
+        dev = (g[col] - med).abs()
+        out = (g.assign(_med=med, _dev=dev)
+               .groupby(key, sort=False)
+               .agg(_m=("_med", "first"), _d=("_dev", "median"),
+                    _n=(col, "count"))
+               .reset_index())
+        return pd.DataFrame({
+            key: out[key],
+            "n": out["_n"].astype("int64"),
+            median_col: out["_m"].round(ndigits),
+            mad_col: out["_d"].round(ndigits),
+        })
+
+    return (ds.select_columns([key, col])
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(_BUCKET)
+            .map_groups(mad_bucket, batch_format="pandas"))
+
+
+def grouped_first_last(ds: "ray.data.Dataset", key: str, order_col: str,
+                       value_col: str,
+                       first_col: str = "first_v",
+                       last_col: str = "last_v") -> "ray.data.Dataset":
+    """Per-``key`` first and last ``value_col`` in ``order_col`` order
+    (SQL ``arg_min(v, ts)`` / ``arg_max(v, ts)``).
+
+    Map-side combiner: each batch reduces to ONE (key, ts_min, v_first,
+    ts_max, v_last) row per group, so the shuffle moves O(groups ×
+    blocks) rows; a tiny per-key reduce finishes. ``order_col`` must be
+    unique within a key for deterministic output (arg-min/max contract).
+    """
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(key, sort=False)
+        imin = grp[order_col].idxmin()
+        imax = grp[order_col].idxmax()
+        return pd.DataFrame({
+            key: imin.index,
+            "_tmin": g.loc[imin, order_col].to_numpy(),
+            "_vmin": g.loc[imin, value_col].to_numpy(),
+            "_tmax": g.loc[imax, order_col].to_numpy(),
+            "_vmax": g.loc[imax, value_col].to_numpy(),
+        })
+
+    def final_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over ALL keys (the partials table is
+        # metadata-sized: one row per (key, block) — same shape the
+        # HLL-register reduce in sketches.py works on)
+        grp = g.groupby(key, sort=False)
+        imin = grp["_tmin"].idxmin()
+        imax = grp["_tmax"].idxmax()
+        return pd.DataFrame({
+            key: imin.index,
+            first_col: g.loc[imin, "_vmin"].to_numpy(),
+            last_col: g.loc[imax, "_vmax"].to_numpy(),
+        })
+
+    partials = (ds.select_columns([key, order_col, value_col])
+                .map_batches(partial, batch_format="pandas"))
+    return (partials.repartition(1)
+            .map_batches(final_reduce, batch_format="pandas"))

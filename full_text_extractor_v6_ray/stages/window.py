@@ -433,3 +433,62 @@ def grouped_ntile(ds: "ray.data.Dataset", key: str,
     return (_bucketed(ds, key, num_buckets)
             .groupby(_BUCKET).map_groups(tile_bucket,
                                          batch_format="pandas"))
+
+
+def grouped_ewma(ds: "ray.data.Dataset", key: str,
+                 order_cols: list[str], value_col: str,
+                 alpha: float, out_col: str = "ewma",
+                 ndigits: int = 6,
+                 num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-``key`` exponentially weighted moving average in
+    ``order_cols`` order: ewma₀ = v₀; ewmaₜ = α·vₜ + (1−α)·ewmaₜ₋₁
+    (the recursive / ``adjust=False`` form — each observation's weight
+    decays geometrically with its distance from the current row).
+
+    Not SQL-expressible without recursive CTE gymnastics, so the query
+    is rows-only; exactness is pinned by an explicit-loop unit test.
+    Scale shape matches the other keyed windows: ONE bucketed shuffle
+    co-locates keys, then a single vectorized (cython ``ewm``) pass per
+    bucket — Python cost O(buckets). ``order_cols`` must be unique
+    within a key (window-function contract). Null values propagate the
+    previous ewma (pandas ``ignore_na=False`` semantics).
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def ewma_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([key] + order_cols, kind="mergesort")
+             .reset_index(drop=True))
+        # cython grouped-EWM kernel (ExponentialMovingWindowGroupby) —
+        # one vectorized pass, no per-key Python
+        ew = (g.groupby(key, sort=False)[value_col]
+              .ewm(alpha=alpha, adjust=False).mean().droplevel(0))
+        g[out_col] = ew.round(ndigits)
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(ewma_bucket,
+                                         batch_format="pandas"))
+
+
+def grouped_cume_dist(ds: "ray.data.Dataset", key: str, order_col: str,
+                      out_col: str = "cd",
+                      num_buckets: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Per-``key`` CUME_DIST(): (# rows with value <= current) / n.
+    Ties share a value (rank ``method="max"``), so the order column may
+    contain duplicates and the output is still deterministic — the
+    division is two exact small ints, bit-identical across engines."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def cd_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(key, sort=False)
+        r = grp[order_col].rank(method="max").to_numpy(dtype=np.float64)
+        n = grp[key].transform("size").to_numpy(dtype=np.float64)
+        g[out_col] = r / n
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(cd_bucket,
+                                         batch_format="pandas"))

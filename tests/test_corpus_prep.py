@@ -112,3 +112,52 @@ def test_remove_neardup_members_dispatch_and_equality(ray_session,
         ray.data.from_pandas(docs), ray.data.from_pandas(no_dups),
         key="doc_id", max_broadcast=0).to_pandas()
     assert len(out) == n and calls["anti"] == 1
+
+
+def test_doc_variants_structure():
+    """Bench corpus generator: R variants per doc with the documented
+    exact-dup / near-dup / unique mix (pure Arrow, no Ray)."""
+    from full_text_extractor_v6_ray.sources.docs_gen import DocVariantsBatch
+
+    base = " ".join(f"token{i} filler{i}" for i in range(60))
+    b = pa.table({"doc_id": pa.array([3], pa.int64()),
+                  "text": pa.array([base])})
+    out = DocVariantsBatch(20)(b)
+    ids = out["doc_id"].to_pylist()
+    txt = out["text"].to_pylist()
+    assert len(ids) == 20 and len(set(ids)) == 20
+    assert txt[1] == base and txt[11] == base          # exact dups of v0
+    assert txt[2].startswith(base) and txt[2] != base  # near dup
+
+    def shingles(t):
+        w = t.split()
+        return {tuple(w[i:i + 5]) for i in range(len(w) - 4)}
+
+    s0 = shingles(base)
+    s2 = shingles(txt[2])
+    assert len(s0 & s2) / len(s0 | s2) > 0.9           # near-dup: high J
+    for v in (3, 4, 5, 6, 7, 8, 9, 13, 19):
+        sv = shingles(txt[v])
+        assert len(s0 & sv) / len(s0 | sv) < 0.05, v   # unique: J ~ 0
+
+
+def test_corpus_prep_on_variant_corpus(ray_session):
+    """End-to-end: corpus_prep over a DocVariantsBatch expansion drops
+    exactly the planted exact and near duplicates."""
+    import ray.data
+    from full_text_extractor_v6_ray.pipelines.corpus_prep import corpus_prep
+    from full_text_extractor_v6_ray.sources.docs_gen import DocVariantsBatch
+
+    R = 20
+    base = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array([GOOD_1, GOOD_2])})
+    docs = ray.data.from_arrow(DocVariantsBatch(R)(base))
+    # neutralize the quality/lang floors to isolate dedup behavior
+    out = corpus_prep(docs, neardup_threshold=0.6,
+                      quality_min=-1.0, lang_conf_min=-1.0).to_pandas()
+    # per root doc: v0 survives; v1/v11 exact-dropped; v2/v12
+    # near-dropped; the 16 remaining variants survive -> 16 of 20
+    variants_present = set((out["doc_id"] // 10_000_019).tolist())
+    assert 0 in variants_present
+    assert not variants_present & {1, 11, 2, 12}
+    assert len(out) == 2 * 16

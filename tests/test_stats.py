@@ -264,3 +264,123 @@ def test_tfidf_hot_routing_equivalence(ray_session):
         pd.testing.assert_frame_equal(
             all_cold[["doc_id", "term", "tf", "df", "tfidf", "rn"]],
             other[["doc_id", "term", "tf", "df", "tfidf", "rn"]])
+
+
+def test_grouped_regression_matches_numpy(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import grouped_regression
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 400),
+                       "x": rng.rand(400) * 20,
+                       "y": rng.rand(400) * 5})
+    df["y"] += df["x"] * 2.5 + 7.0
+    got = (grouped_regression(ray.data.from_pandas(df), "k", "x", "y")
+           .to_pandas().set_index("k").sort_index())
+    for k, g in df.groupby("k"):
+        slope, inter = np.polyfit(g["x"], g["y"], 1)
+        assert abs(got.loc[k, "slope"] - slope) < 2e-6
+        assert abs(got.loc[k, "intercept"] - inter) < 2e-6
+        assert got.loc[k, "n"] == len(g)
+
+
+def test_grouped_regression_null_pairs_and_zero_variance(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import grouped_regression
+
+    df = pd.DataFrame({"k": ["a"] * 4 + ["c"] * 3,
+                       "x": [1.0, 2.0, None, 3.0, 5.0, 5.0, 5.0],
+                       "y": [2.0, 4.0, 9.0, None, 1.0, 2.0, 3.0]})
+    got = (grouped_regression(ray.data.from_pandas(df), "k", "x", "y")
+           .to_pandas().set_index("k"))
+    # group a: only (1,2),(2,4) survive -> slope 2, intercept 0
+    assert got.loc["a", "n"] == 2
+    assert got.loc["a", "slope"] == 2.0
+    assert got.loc["a", "intercept"] == 0.0
+    # group c: x constant -> null slope/intercept (SQL)
+    assert got.loc["c", "n"] == 3
+    assert pd.isna(got.loc["c", "slope"])
+    assert pd.isna(got.loc["c", "intercept"])
+
+
+def test_grouped_skew_kurt_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import grouped_skew_kurt
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 900),
+                       "v": rng.gamma(2.0, 3.0, 900)})
+    got = (grouped_skew_kurt(ray.data.from_pandas(df), "k", "v")
+           .to_pandas().set_index("k").sort_index())
+    for k, g in df.groupby("k"):
+        assert abs(got.loc[k, "skew"] - g["v"].skew()) < 2e-6, k
+        assert abs(got.loc[k, "kurt"] - g["v"].kurt()) < 2e-6, k
+        assert got.loc[k, "n"] == len(g)
+
+
+def test_grouped_skew_kurt_degenerate_groups(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import grouped_skew_kurt
+
+    df = pd.DataFrame({"k": ["two"] * 2 + ["three"] * 3 + ["flat"] * 5,
+                       "v": [1.0, 2.0, 1.0, 2.0, 4.0, 3.0, 3.0, 3.0,
+                             3.0, 3.0]})
+    got = (grouped_skew_kurt(ray.data.from_pandas(df), "k", "v")
+           .to_pandas().set_index("k"))
+    assert pd.isna(got.loc["two", "skew"])       # n < 3
+    assert pd.isna(got.loc["three", "kurt"])     # n < 4
+    assert abs(got.loc["three", "skew"]
+               - pd.Series([1.0, 2.0, 4.0]).skew()) < 2e-6
+    assert pd.isna(got.loc["flat", "skew"])      # zero variance
+    assert pd.isna(got.loc["flat", "kurt"])
+
+
+def test_lineitem_regression_oracle(ray_session):
+    _vs_oracle("lineitem_regression", ["l_returnflag"], ray_session)
+
+
+def test_lineitem_skew_kurt_oracle(ray_session):
+    _vs_oracle("lineitem_skew_kurt", ["l_returnflag"], ray_session)
+
+
+def test_grouped_mad_matches_pandas(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import grouped_mad
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 701),
+                       "v": rng.lognormal(3.0, 1.0, 701)})
+    got = (grouped_mad(ray.data.from_pandas(df), "k", "v")
+           .to_pandas().set_index("k").sort_index())
+    for k, g in df.groupby("k"):
+        med = g["v"].median()
+        mad = (g["v"] - med).abs().median()
+        assert abs(got.loc[k, "median"] - round(med, 6)) < 1e-9, k
+        assert abs(got.loc[k, "mad"] - round(mad, 6)) < 1e-9, k
+        assert got.loc[k, "n"] == len(g)
+
+
+def test_grouped_first_last_combiner(ray_session):
+    """Partials must combine correctly across many small blocks."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.stats import grouped_first_last
+
+    rng = np.random.RandomState(17)
+    n = 500
+    df = pd.DataFrame({"k": rng.choice(["x", "y", "z"], n),
+                       "ts": rng.permutation(n),
+                       "v": rng.rand(n)})
+    ds = ray.data.from_pandas(df).repartition(23)
+    got = (grouped_first_last(ds, "k", "ts", "v")
+           .to_pandas().set_index("k").sort_index())
+    for k, g in df.sort_values("ts").groupby("k"):
+        assert got.loc[k, "first_v"] == g["v"].iloc[0], k
+        assert got.loc[k, "last_v"] == g["v"].iloc[-1], k
+
+
+def test_lineitem_mad_oracle(ray_session):
+    _vs_oracle("lineitem_mad", ["l_returnflag"], ray_session)
+
+
+def test_events_first_last_oracle(ray_session):
+    _vs_oracle("events_first_last_value", ["user_id"], ray_session)

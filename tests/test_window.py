@@ -240,3 +240,52 @@ def test_bucketed_intersect_matches_set(ray_session):
         ray.data.from_pandas(left), ray.data.from_pandas(right),
         "a", "b", num_buckets=4).to_pandas()["a"])
     assert got == list(range(50, 80))   # distinct, both sides only
+
+
+def test_grouped_ewma_matches_explicit_loop(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_ewma
+
+    rng = np.random.RandomState(21)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.choice(["u1", "u2", "u3"], n),
+        "ts": rng.permutation(n),   # unique order col, shuffled
+        "v": rng.rand(n) * 10,
+    })
+    alpha = 0.3
+    got = (grouped_ewma(ray.data.from_pandas(df), "k", ["ts"], "v",
+                        alpha=alpha)
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    for k, g in df.sort_values("ts").groupby("k"):
+        state = None
+        exp = []
+        for v in g["v"]:
+            state = v if state is None else alpha * v + (1 - alpha) * state
+            exp.append(round(state, 6))
+        sub = got[got["k"] == k]
+        assert np.allclose(sub["ewma"].to_numpy(), exp, atol=1e-9), k
+
+
+def test_grouped_ewma_first_row_is_value(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_ewma
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "ts": [1, 2, 1],
+                       "v": [4.0, 8.0, 5.0]})
+    got = (grouped_ewma(ray.data.from_pandas(df), "k", ["ts"], "v",
+                        alpha=0.5)
+           .to_pandas().sort_values(["k", "ts"]))
+    assert got["ewma"].tolist() == [4.0, 6.0, 5.0]
+
+
+def test_grouped_cume_dist_ties(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_cume_dist
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 2,
+                       "v": [1, 2, 2, 3, 3, 10, 20]})
+    got = (grouped_cume_dist(ray.data.from_pandas(df), "k", "v")
+           .to_pandas().sort_values(["k", "v"]))
+    assert got[got["k"] == "a"]["cd"].tolist() == [0.2, 0.6, 0.6, 1.0, 1.0]
+    assert got[got["k"] == "b"]["cd"].tolist() == [0.5, 1.0]
