@@ -173,8 +173,13 @@ def run_bench() -> dict:
                       batch_format="pyarrow", zero_copy_batch=True)
          .write_parquet(docs_dir))
         t = time.perf_counter()
+        # floors disabled: the synthetic corpus is word-soup (scores
+        # und / low-quality across the board) and the bench's job is to
+        # load the DEDUP machinery with the full planted mix, not to
+        # measure the filter's selectivity
         corpus_rows = corpus_prep(
             rd.read_parquet(docs_dir),
+            quality_min=-1.0, lang_conf_min=-1.0,
             num_blocks=max(32, 4 * NUM_CPUS),
             scorer_concurrency=(1, max(4, NUM_CPUS // 2))).count()
         queries["corpus_prep_docs"] = round(time.perf_counter() - t, 3)

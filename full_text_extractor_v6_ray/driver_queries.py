@@ -1931,6 +1931,19 @@ def q_orders_price_cumedist(sf_dir: str):
                              out_col="cd")
 
 
+def q_orders_date_rank(sf_dir: str):
+    """SQL RANK (ties share the min rank, gaps allowed) over heavily
+    tied order dates per priority — completes the rank-family surface
+    (row_number / rank / dense_rank / percent_rank / cume_dist /
+    ntile)."""
+    from .stages.window import grouped_rank
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    return grouped_rank(ds, "o_orderpriority", "o_orderdate",
+                        out_col="date_rank")
+
+
 def q_events_value_ewma(sf_dir: str):
     """Per-user exponentially weighted moving average of event values
     in time order (α=0.3, recursive/adjust=False form). Rows-only: the
@@ -2034,6 +2047,7 @@ QUERIES = {
     "lineitem_mad": q_lineitem_mad,
     "events_first_last_value": q_events_first_last_value,
     "orders_price_cumedist": q_orders_price_cumedist,
+    "orders_date_rank": q_orders_date_rank,
     "events_cohort_retention": q_events_cohort_retention,
     "events_props_stats": q_events_props_stats,
     "docs_tfidf_top3": q_docs_tfidf_top3,
@@ -2753,6 +2767,12 @@ ORACLES = {
         SELECT o_orderkey, o_orderpriority, o_orderdate,
                DENSE_RANK() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_orderdate) AS date_rank
+        FROM orders
+    """,
+    "orders_date_rank": """
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate) AS date_rank
         FROM orders
     """,
     "events_rolling_mean": """

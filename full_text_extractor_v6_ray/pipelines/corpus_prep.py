@@ -81,10 +81,12 @@ def corpus_prep(docs: "ray.data.Dataset",
                            concurrency=scorer_concurrency))
 
     def keep_quality(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.and_(pc.greater_equal(batch["quality"], quality_min),
-                    pc.greater_equal(batch["lang_conf"], lang_conf_min)),
-            pc.not_equal(batch["lang_pred"], "und"))
+        keep = pc.and_(pc.greater_equal(batch["quality"], quality_min),
+                       pc.greater_equal(batch["lang_conf"], lang_conf_min))
+        # negative lang_conf_min = "no language gate" (bench/synthetic
+        # corpora whose text is word-soup score und across the board)
+        if lang_conf_min >= 0:
+            keep = pc.and_(keep, pc.not_equal(batch["lang_pred"], "und"))
         batch = batch.filter(keep)
         drop = [c for c in ("mean_token_len", "stop_ratio", "punct_ratio",
                             "digit_ratio", "max_repeat_ratio")

@@ -492,3 +492,23 @@ def grouped_cume_dist(ds: "ray.data.Dataset", key: str, order_col: str,
     return (_bucketed(ds, key, num_buckets)
             .groupby(_BUCKET).map_groups(cd_bucket,
                                          batch_format="pandas"))
+
+
+def grouped_rank(ds: "ray.data.Dataset", key: str, order_col: str,
+                 ascending: bool = True, out_col: str = "rk",
+                 num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-``key`` RANK() over ``order_col`` (1-based; ties share the
+    MINIMUM rank and leave gaps — SQL RANK, vs dense_rank's gapless
+    ranks). Duplicate order values allowed; output deterministic."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def rk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(key, sort=False)[order_col].rank(
+            method="min", ascending=ascending)
+        g[out_col] = r.astype("int64")
+        return g.drop(columns=_BUCKET)
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(rk_bucket,
+                                         batch_format="pandas"))

@@ -289,3 +289,13 @@ def test_grouped_cume_dist_ties(ray_session):
            .to_pandas().sort_values(["k", "v"]))
     assert got[got["k"] == "a"]["cd"].tolist() == [0.2, 0.6, 0.6, 1.0, 1.0]
     assert got[got["k"] == "b"]["cd"].tolist() == [0.5, 1.0]
+
+
+def test_grouped_rank_gaps(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import grouped_rank
+
+    df = pd.DataFrame({"k": ["a"] * 5, "v": [1, 2, 2, 3, 2]})
+    got = (grouped_rank(ray.data.from_pandas(df), "k", "v")
+           .to_pandas().sort_values("v"))
+    assert got["rk"].tolist() == [1, 2, 2, 2, 5]  # gap after the tie
