@@ -1956,6 +1956,86 @@ def q_events_value_ewma(sf_dir: str):
     return grouped_ewma(ds, "user_id", ["ts"], "value", alpha=0.3)
 
 
+def q_embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the full embedding table
+    (k=8): per-iteration broadcast centroids + map-side (cluster,
+    vec_sum, n) partials — driver holds only k x d floats. Rows-only:
+    iterative clustering isn't SQL-expressible; determinism and
+    planted-blob recovery pinned by unit tests. Output = the final
+    (vec_id, cluster) assignment."""
+    from .stages.embed import kmeans_fit_ds, kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_fit_ds(ds, k=8, n_iter=15)
+    return kmeans_assign(ds, cent)
+
+
+def q_docs_decontaminated(sf_dir: str):
+    """Benchmark decontamination: drop every document whose text
+    contains the 40-char prefix of any 'benchmark' doc (deterministic
+    stand-in set: doc_id % 97 == 0 with >= 40 chars). Needle set is
+    broadcast once; the filter is a pure per-batch match_substring —
+    no shuffle."""
+    import pyarrow.parquet as pq
+
+    from .stages.text_ops import decontaminate
+
+    bench = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    needles = [t[:40] for i, t in zip(bench.column("doc_id").to_pylist(),
+                                      bench.column("text").to_pylist())
+               if i % 97 == 0 and t is not None and len(t) >= 40]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return decontaminate(ds, needles).select_columns(["doc_id", "lang"])
+
+
+def q_docs_dup_ngrams(sf_dir: str):
+    """Exact duplicate word-8-gram spans across documents (the n-gram
+    approximation of suffix-array substring dedup): slim (ghash,
+    doc_id) explode, bucketed >= 2-docs filter, doc_id count — both
+    shuffles move 16-byte rows. Output: (doc_id, n_dup_ngrams) for
+    docs sharing at least one 8-gram with another doc."""
+    from .stages.fuzzy_dedup import dup_ngram_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_ngram_counts(ds, n=8)
+
+
+_STRAT_RATES = {"click": 0.5, "view": 0.25, "purchase": 1.0,
+                "signup": 0.125, "error": 0.0625}
+
+
+def q_events_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic hash sample: keep an event iff
+    md5(event_id) prefix clears its event_type's rate threshold
+    (floor convention — bit-identical to the SQL CASE oracle). Pure
+    per-batch filter, stable under repartitioning."""
+    from .stages.sampling import stratified_hash_sample
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "user_id"])
+    return stratified_hash_sample(ds, "event_id", "event_type",
+                                  _STRAT_RATES)
+
+
+def q_docs_mixture_resample(sf_dir: str):
+    """Domain-mixture resampling toward a UNIFORM language mix:
+    stage 1 is a metadata-sized lang count (groupby on a dimension
+    key), stage 2 derives per-lang keep rates (total/|langs|/count,
+    floor-threshold convention) and hash-filters — counts shuffle is
+    O(langs), the filter is per-batch. The training-data 'rebalance
+    the corpus composition' primitive."""
+    from .stages.sampling import (stratified_hash_sample,
+                                  uniform_mixture_rates)
+
+    counts_ds = (_read(sf_dir, "documents", columns=["lang"])
+                 .groupby("lang").count())
+    counts = {r["lang"]: int(r["count()"]) for r in counts_ds.take_all()}
+    rates = uniform_mixture_rates(counts)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_hash_sample(ds, "doc_id", "lang", rates)
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -2072,6 +2152,11 @@ QUERIES = {
     "orders_customer_full_join": q_orders_customer_full_join,
     "lineitem_self_composite": q_lineitem_self_composite,
     "events_user_value_quantiles": q_events_user_value_quantiles,
+    "embeddings_kmeans": q_embeddings_kmeans,
+    "docs_decontaminated": q_docs_decontaminated,
+    "docs_dup_ngrams": q_docs_dup_ngrams,
+    "events_stratified_sample": q_events_stratified_sample,
+    "docs_mixture_resample": q_docs_mixture_resample,
 }
 
 
@@ -2819,5 +2904,69 @@ ORACLES = {
               FROM lineitem WHERE l_extendedprice > 50000) r
           ON l.l_orderkey = r.l_orderkey
          AND l.l_linenumber = r.l_linenumber
+    """,
+    "docs_decontaminated": """
+        -- benchmark set = doc_id % 97 == 0 with >= 40 chars; a doc is
+        -- contaminated iff it contains any benchmark doc's 40-char prefix
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents b
+            WHERE b.doc_id % 97 = 0 AND length(b.text) >= 40
+              AND contains(d.text, substr(b.text, 1, 40)))
+    """,
+    "docs_dup_ngrams": """
+        -- distinct word-8-grams per doc (single-space split, empties
+        -- dropped — mirrors ngram_doc_rows tokenization exactly); count
+        -- grams appearing in >= 2 distinct docs, per doc
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(list_slice(t, i, i + 7), ' ')
+                               for i in range(1, len(t) - 6)]) AS g
+                FROM toks WHERE len(t) >= 8)
+        ), dup AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+        )
+        SELECT doc_id, COUNT(*) AS n_dup_ngrams
+        FROM grams JOIN dup USING (g) GROUP BY doc_id
+    """,
+    "events_stratified_sample": """
+        -- floor-threshold hash sample per event_type; thresholds are
+        -- floor(rate * 16^8) in 8 lowercase hex chars (md5 < '<8hex>'
+        -- compares identically to the 8-char-prefix comparison)
+        SELECT event_id, event_type, user_id FROM events
+        WHERE md5(CAST(event_id AS VARCHAR)) <
+              CASE event_type
+                  WHEN 'click'    THEN '80000000'
+                  WHEN 'view'     THEN '40000000'
+                  WHEN 'purchase' THEN '~'
+                  WHEN 'signup'   THEN '20000000'
+                  WHEN 'error'    THEN '10000000'
+                  ELSE '' END
+    """,
+    "docs_mixture_resample": """
+        -- uniform-mixture resample: rate_lang = min(1, (total/|langs|)
+        -- / count_lang), threshold = floor(rate * 2^32) as 8 hex chars;
+        -- division order pinned to match uniform_mixture_rates()
+        WITH c AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), p AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nl,
+                   CAST(SUM(n) AS DOUBLE) AS total FROM c
+        ), r AS (
+            SELECT lang,
+                   CASE WHEN (total / nl) / n >= 1.0 THEN '~'
+                        ELSE lower(lpad(to_hex(CAST(floor(
+                            ((total / nl) / n) * 4294967296.0)
+                            AS BIGINT)), 8, '0')) END AS th
+            FROM c, p
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r USING (lang)
+        WHERE md5(CAST(d.doc_id AS VARCHAR)) < r.th
     """,
 }

@@ -456,3 +456,150 @@ def quantize_int8(embeddings: "ray.data.Dataset",
         })
 
     return embeddings.map_batches(q, batch_format="pyarrow", batch_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's iterations over a streaming Dataset)
+# ---------------------------------------------------------------------------
+
+def _seed_centroids(embeddings: "ray.data.Dataset", k: int,
+                    emb_col: str, id_col: str,
+                    sample_per_seed: int = 64) -> np.ndarray:
+    """Deterministic farthest-point init over a bounded min-id sample.
+
+    Two steps, both scale-safe: (1) a slim two-level min-(k*64): each
+    batch keeps only its k*64 lowest-id rows (id + raw vector bytes),
+    the driver merges the O(k*64 x n_batches) partials — no sort
+    shuffle, no full materialization; (2) greedy farthest-point
+    selection on that sample (start at the smallest id, repeatedly add
+    the sample row farthest from the chosen set, ties to the lowest
+    id) — the k-means++ shape without RNG, so two runs seed
+    identically. Min-id seeding alone converges to split-one-blob
+    local optima whenever the low ids cluster together.
+    """
+    cap = k * sample_per_seed
+
+    def local_mink(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        M = _to_matrix(batch.column(emb_col)).astype(np.float64)
+        kk = min(cap, len(ids))
+        top = np.argsort(ids, kind="stable")[:kk]
+        return pa.table({
+            "_id": pa.array(ids[top].astype(np.int64)),
+            "_vec": pa.array([M[i].tobytes() for i in top], pa.binary()),
+        })
+
+    parts = embeddings.map_batches(local_mink, batch_format="pyarrow",
+                                   zero_copy_batch=True).take_all()
+    parts.sort(key=lambda r: r["_id"])
+    parts = parts[:cap]
+    if not parts:
+        raise ValueError("kmeans: empty embeddings dataset")
+    S = np.stack([np.frombuffer(r["_vec"], dtype=np.float64)
+                  for r in parts])
+    chosen = [0]
+    mind = ((S - S[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(S)):
+        nxt = int(np.argmax(mind))          # first max -> lowest id wins
+        chosen.append(nxt)
+        mind = np.minimum(mind, ((S - S[nxt]) ** 2).sum(axis=1))
+    return S[chosen]
+
+
+def _assign(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid index per row; ties break to the lowest index
+    (np.argmin contract) so assignment is deterministic."""
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row.
+    d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+    return np.argmin(d, axis=1)
+
+
+def kmeans_fit_ds(embeddings: "ray.data.Dataset", k: int = 8,
+                  n_iter: int = 20, emb_col: str = "embedding",
+                  id_col: str = "vec_id") -> np.ndarray:
+    """Lloyd's k-means over a full Dataset; returns the (k, d) centroids.
+
+    Distinct from ``kmeans_fit`` above (the IVF coarse quantizer, which
+    trains on a bounded driver-side SAMPLE): this one streams every
+    vector through map-side partial sums each iteration — the variant
+    you want when the clustering itself is the product (corpus
+    curation / domain discovery), not just an index.
+
+    Scale shape (the only one that works at 10^12 vectors): centroids are
+    driver state of size k x d (KBs); each iteration broadcasts them via
+    ``ray.put`` and streams ONE ``map_batches`` pass that reduces every
+    batch to at most k (cluster, vec_sum, n) partials — the driver pulls
+    O(k x n_batches) metadata-sized rows, never a vector. The input
+    Dataset is re-executed per iteration (lazy re-read; at cluster scale
+    pin it with ``materialize()``/checkpoint first if the read dominates).
+
+    Determinism: partials carry their batch's min id and are summed in
+    sorted (cluster, min_id) order; centroids round to 9 dp per
+    iteration; empty clusters keep their previous centroid; early-stop on
+    exact (rounded) fixpoint. Two runs over the same blocks produce
+    byte-identical centroids.
+    """
+    C = np.round(_seed_centroids(embeddings, k, emb_col, id_col), 9)
+    k = C.shape[0]
+
+    for _ in range(n_iter):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cent = ray.get(cref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            M = _to_matrix(batch.column(emb_col)).astype(np.float64)
+            lab = _assign(M, cent)
+            uniq = np.unique(lab)
+            sums = np.empty((len(uniq), M.shape[1]), dtype=np.float64)
+            ns = np.empty(len(uniq), dtype=np.int64)
+            for j, c in enumerate(uniq):
+                m = lab == c
+                sums[j] = M[m].sum(axis=0)
+                ns[j] = int(m.sum())
+            mn = int(ids.min()) if len(ids) else 0
+            return pa.table({
+                "cluster": pa.array(uniq.astype(np.int64)),
+                "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+                "n": pa.array(ns, pa.int64()),
+                "min_id": pa.array(np.full(len(uniq), mn, dtype=np.int64)),
+            })
+
+        parts = embeddings.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1024).take_all()
+        parts.sort(key=lambda r: (r["cluster"], r["min_id"]))
+        newC = C.copy()
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for r in parts:
+            v = np.frombuffer(r["vsum"], dtype=np.float64)
+            s, n = acc.get(r["cluster"], (np.zeros_like(v), 0))
+            acc[r["cluster"]] = (s + v, n + int(r["n"]))
+        for c, (s, n) in acc.items():
+            if n:
+                newC[c] = s / n
+        newC = np.round(newC, 9)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C
+
+
+def kmeans_assign(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+                  emb_col: str = "embedding",
+                  id_col: str = "vec_id") -> "ray.data.Dataset":
+    """(id, cluster) assignment under fixed broadcast centroids —
+    embarrassingly parallel, one streaming pass, no shuffle."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        M = _to_matrix(batch.column(emb_col)).astype(np.float64)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(_assign(M, cent).astype(np.int64)),
+        })
+
+    return embeddings.map_batches(fn, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=1024)

@@ -820,3 +820,112 @@ def remove_neardup_members(ds: "ray.data.Dataset",
 
     return ds.map_batches(DropMembers, batch_format="pyarrow",
                           batch_size=1024, concurrency=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate n-gram spans (substring-dedup signal, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" — the n-gram
+# approximation of suffix-array exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+def ngram_doc_rows(docs: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 8) -> "ray.data.Dataset":
+    """Slim (ghash uint64, doc_id) rows: one row per DISTINCT word
+    n-gram per document.
+
+    Tokenization is single-space split with empties dropped — chosen
+    because it is exactly reproducible in SQL
+    (``list_filter(string_split(text,' '), x -> x <> '')``), so the
+    whole operator stays DuckDB-oracle-checkable. Gram identity is a
+    64-bit polynomial combine of md5-low64 token hashes (same primitive
+    as ``text_ops.shingle_hashes`` but case-preserving); collisions are
+    ~(total_grams)^2 / 2^64 — negligible against the oracle at test
+    scale and against each other at corpus scale. The shuffle payload
+    is 16 B/row: the gram STRINGS never leave the map task.
+    """
+    from .text_ops import token_hashes
+
+    mult = np.uint64(1099511628211)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out_h: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for did, t in zip(ids, texts):
+            toks = [x for x in (t or "").split(" ") if x]
+            if len(toks) < n:
+                continue
+            th = token_hashes(toks)
+            g = th[: len(th) - n + 1].copy()
+            with np.errstate(over="ignore"):
+                for i in range(1, n):
+                    g = g * mult + th[i: len(th) - n + 1 + i]
+            g = np.unique(g)
+            out_h.append(g)
+            out_d.append(np.full(len(g), did, dtype=np.int64))
+        if not out_h:
+            return pa.table({"ghash": pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64())})
+        return pa.table({"ghash": pa.array(np.concatenate(out_h)),
+                         id_col: pa.array(np.concatenate(out_d))})
+
+    return docs.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def dup_ngram_counts(docs: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 8,
+                     num_buckets: int | None = None) -> "ray.data.Dataset":
+    """(doc_id, n_dup_ngrams): per doc, how many of its distinct word
+    n-grams also occur in at least one OTHER document.
+
+    Two slim shuffles, both over 16-byte rows: (1) bucket the
+    (ghash, doc_id) rows by ghash and keep, vectorized per bucket, only
+    rows whose ghash has >= 2 distinct docs (rows are already distinct
+    per (ghash, doc), so a value_counts is the doc count); (2) a doc_id
+    groupby counting the survivors. Docs with zero duplicated grams do
+    not appear (dominant case at corpus scale — emitting them would make
+    the output O(corpus) instead of O(duplicated docs))."""
+    from .dedup import default_num_buckets, _stable_bucket
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    rows = ngram_doc_rows(docs, text_col=text_col, id_col=id_col, n=n)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bkt", _stable_bucket(batch.column("ghash"), num_buckets))
+
+    def keep_dups(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g["ghash"].map(g["ghash"].value_counts())
+        return g.loc[cnt >= 2, [id_col]]
+
+    survivors = (rows.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                 .groupby("_bkt").map_groups(keep_dups,
+                                             batch_format="pandas"))
+
+    def cnt_batch(batch: pa.Table) -> pa.Table:
+        # map-side combine: one (doc_id, partial_n) row per doc per batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({id_col: pa.array(u.astype(np.int64)),
+                         "n_dup_ngrams": pa.array(c.astype(np.int64))})
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, sort=True, as_index=False)[
+            "n_dup_ngrams"].sum()
+        return out.drop(columns="_bkt", errors="ignore")
+
+    partial = survivors.map_batches(cnt_batch, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bkt", _stable_bucket(batch.column(id_col), num_buckets))
+
+    return (partial.map_batches(add_doc_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_bkt").map_groups(sum_bucket, batch_format="pandas"))

@@ -73,3 +73,70 @@ def md5_hash_sample(ds: "ray.data.Dataset", key_col: str,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def floor_threshold(fraction: float) -> str:
+    """Lowercase 8-hex threshold with FLOOR semantics: keep iff
+    md5_prefix < floor(fraction * 16^8).
+
+    Unlike ``fraction_threshold`` (round-half), floor is bit-identical
+    between numpy/python and SQL doubles — ``round()`` is banker's in
+    Python and half-away in DuckDB, so a computed (not hand-chosen)
+    fraction landing on .5 would silently shift the threshold by one in
+    exactly one engine. Stratified/mixture rates are computed from
+    counts, so they take the floor convention.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(min(int(np.floor(fraction * _HEX_SPACE)),
+                      _HEX_SPACE - 1), "08x")
+
+
+def stratified_hash_sample(ds: "ray.data.Dataset", key_col: str,
+                           strata_col: str,
+                           rates: dict) -> "ray.data.Dataset":
+    """Per-stratum deterministic hash sampling: keep a row iff
+    md5(str(key)) 8-hex prefix < floor_threshold(rates[stratum]).
+
+    The training-data mixture primitive: up/down-weight domains,
+    languages or quality tiers to a target composition without an RNG —
+    membership depends only on (key, stratum rate), so the sample is
+    stable under repartitioning, resumable, referentially consistent
+    across tables sharing the key, and reproducible in SQL (DuckDB
+    ``md5(CAST(k AS VARCHAR)) < CASE stratum WHEN ... THEN
+    '<lower(lpad(to_hex(floor(rate*4294967296)),8,'0'))>' ...``).
+
+    Strata missing from ``rates`` are dropped (rate 0); rate >= 1.0
+    keeps the whole stratum. Pure per-batch filter — no shuffle; the
+    rates dict is bounded (|strata| entries) and ships in the task
+    closure once.
+    """
+    thresholds = {s: ("~" if r >= 1.0 else floor_threshold(r))
+                  for s, r in rates.items()}
+    # '~' sorts above every hex char: prefix < '~' is always true.
+
+    def keep(batch: pa.Table) -> pa.Table:
+        prefixes = md5_prefixes(batch.column(key_col).to_pylist())
+        strata = batch.column(strata_col).to_pylist()
+        th = np.array([thresholds.get(s, "") for s in strata])
+        # '' never admits anything (no hex prefix < '').
+        return batch.filter(pa.array(prefixes < th))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def uniform_mixture_rates(counts: dict) -> dict:
+    """Rates that resample strata toward a UNIFORM target composition:
+    rate_s = min(1, (total/|strata|) / count_s) — downsample
+    over-represented strata to the mean stratum size, keep the rest.
+
+    ``counts`` comes from a small groupby().count() (metadata-sized);
+    the division order is pinned (total/|strata| first, then /count) so
+    SQL doubles reproduce it bit-for-bit.
+    """
+    if not counts:
+        return {}
+    total = float(sum(counts.values()))
+    target = total / len(counts)
+    return {s: min(1.0, target / c) for s, c in counts.items() if c}

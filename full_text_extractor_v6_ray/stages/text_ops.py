@@ -329,3 +329,52 @@ class RepetitionBatch:
         batch = batch.append_column("top_bigram_frac",
                                     pa.array(big_f, pa.float64()))
         return batch
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: drop docs containing any needle substring
+# ---------------------------------------------------------------------------
+
+class DecontaminateBatch:
+    """Filter out documents whose text contains ANY benchmark needle.
+
+    The standard eval-decontamination step of a training-data pipeline:
+    the benchmark set is tiny (thousands of prompts), the corpus is not —
+    so the needles are broadcast ONCE (``ray.put`` on the driver, read per
+    actor in ``__init__``) and membership is a pure per-batch filter: no
+    shuffle, no state, composes with read-side column pruning.
+
+    Matching is vectorized per needle (``pc.match_substring`` over the
+    whole batch column, O(needles) kernel launches, not O(rows) Python).
+    For needle sets past ~10^4, swap the loop for one Aho-Corasick pass
+    per row inside the same actor contract — the broadcast/filter shape
+    (the part that matters at 100 TB) is unchanged.
+    """
+
+    def __init__(self, needles_ref, text_col: str = "text"):
+        import ray
+        needles = ray.get(needles_ref)  # once per actor
+        # Dedup + drop empties ('' would match everything); sort so the
+        # scan order (and thus timing) is deterministic.
+        self.needles = sorted({n for n in needles if n})
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch.column(self.text_col)
+        bad = np.zeros(len(batch), dtype=bool)
+        for n in self.needles:
+            hit = pc.fill_null(pc.match_substring(col, n), False)
+            bad |= hit.to_numpy(zero_copy_only=False).astype(bool)
+        return batch.filter(pa.array(~bad))
+
+
+def decontaminate(docs: "ray.data.Dataset", needles: list,
+                  text_col: str = "text") -> "ray.data.Dataset":
+    """Drop rows whose ``text_col`` contains any of ``needles``."""
+    import ray
+    ref = ray.put(list(needles))
+    return docs.map_batches(
+        DecontaminateBatch, fn_constructor_kwargs={
+            "needles_ref": ref, "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
