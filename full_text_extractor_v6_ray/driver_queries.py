@@ -2036,6 +2036,56 @@ def q_docs_mixture_resample(sf_dir: str):
     return stratified_hash_sample(ds, "doc_id", "lang", rates)
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase: map-side
+    type prefilter, ONE bucketed user shuffle, vectorized per-bucket
+    step chain (strict '>' between consecutive step times), O(buckets)
+    final fold. Single-row (n_step1, n_step2, n_step3) output."""
+    from .stages.window import funnel_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
+def q_events_type_cms(sf_dir: str):
+    """Count-Min point-frequency estimates for a known candidate set:
+    one streaming pass, per-block grids tree-merged (no shuffle at
+    all). At |keys|=5 << width=1024 the estimate is collision-free, so
+    the DuckDB exact-count oracle pins it; at high cardinality the
+    same code gives the usual (eps, delta) overcount bound (tested)."""
+    from .stages.sketches import cms_counts
+
+    cands = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return cms_counts(ds, "event_type", cands)
+
+
+def q_links_pagerank(sf_dir: str):
+    """PageRank over the extracted hyperlink graph (url -> href edges
+    from the extraction pipeline's links column): 8 damped power
+    iterations, each two bucketed shuffles over slim rows with
+    per-round lineage rebasing; dangling mass redistributed. The
+    link-authority signal a crawl/quality pipeline weights by.
+    Rows-only: iterative fixpoint, not SQL-expressible."""
+    import pyarrow.compute as pc
+
+    from .stages.links import explode_links_column
+    from .stages.pagerank import pagerank
+
+    pages = pages_dataset_from_documents(sf_dir)
+    links = explode_links_column(extract_pages(pages))
+    edges = links.map_batches(
+        lambda b: pa.table({"src": b.column("url"),
+                            "dst": b.column("link_url")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ranks = pagerank(edges, n_iter=8)
+    return ranks.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("rank"), "rank",
+                               pc.round(b.column("rank"), ndigits=9)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
     # extraction family (golden-fixture verified; driver rows-only check)
     "extract": q_extract,
@@ -2157,6 +2207,9 @@ QUERIES = {
     "docs_dup_ngrams": q_docs_dup_ngrams,
     "events_stratified_sample": q_events_stratified_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
+    "events_funnel": q_events_funnel,
+    "events_type_cms": q_events_type_cms,
+    "links_pagerank": q_links_pagerank,
 }
 
 
@@ -2968,5 +3021,34 @@ ORACLES = {
         SELECT d.doc_id, d.lang
         FROM documents d JOIN r USING (lang)
         WHERE md5(CAST(d.doc_id AS VARCHAR)) < r.th
+    """,
+    "events_funnel": """
+        -- correlated MIN chain: first view, first click strictly after
+        -- it, first purchase strictly after that — per user, counted
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM s1) AS n_step1,
+               (SELECT COUNT(*) FROM s2) AS n_step2,
+               (SELECT COUNT(*) FROM s3) AS n_step3
+    """,
+    "events_type_cms": """
+        -- exact counts: the CMS estimate is collision-free at 5 keys
+        -- vs width 1024 (any error needs a full-depth hash collision)
+        SELECT event_type, COUNT(*) AS est_count FROM events
+        WHERE event_type IN
+              ('click', 'error', 'purchase', 'signup', 'view')
+        GROUP BY event_type
     """,
 }

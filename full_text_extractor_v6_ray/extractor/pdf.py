@@ -58,7 +58,15 @@ except Exception:  # pragma: no cover
 
 from .normalize import normalize_text
 
-_BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# BT..ET block scan. The block body consumes literal strings ATOMICALLY
+# (same escape grammar as _LIT_RE) so an 'ET' INSIDE shown text — e.g. a
+# paragraph that is literally "(ET) Tj" — cannot terminate the block
+# early (hypothesis-found); the lookarounds keep ET/BT from matching
+# inside longer names. Hex strings can't contain 'T', so only literals
+# need the atomic skip.
+_BT_ET = re.compile(
+    rb"(?<![A-Za-z])BT((?:\((?:[^()\\]|\\.)*\)|[^(])*?)"
+    rb"(?<![A-Za-z])ET(?![A-Za-z])", re.DOTALL)
 _URI = re.compile(rb"/URI\s*\(((?:[^()\\]|\\.)*)\)")
 _STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _TEXT_URL = re.compile(r"https?://[^\s<>()\"']+")

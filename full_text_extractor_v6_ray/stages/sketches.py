@@ -349,3 +349,100 @@ def grouped_approx_quantiles(ds: "ray.data.Dataset", key: str, col: str,
                          zero_copy_batch=True)
             .groupby(key)
             .map_groups(merge_group, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency estimates under a fixed budget)
+# ---------------------------------------------------------------------------
+# Completes the sketch family (HLL = distinct, Misra-Gries = top-k,
+# quantile sketch = order statistics, CMS = point frequencies): a
+# depth x width counter grid; each key increments one counter per row
+# (depth independent hashes), a query reads the MIN over its cells.
+# Estimates never undercount and overcount by <= 2N/width with
+# probability 1 - 2^-depth. Partials are plain int64 grids that merge
+# by elementwise addition in ANY order — the streaming/distributed
+# property Misra-Gries only has approximately. Grid rows are merged in
+# a TREE (map-side batches of sketches collapse 32 -> 1) so the driver
+# sees O(blocks/32) grids, each depth*width*8 bytes.
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+_CMS_ROW_SEEDS = np.uint64([0xA076_1D64_78BD_642F, 0xE703_7ED1_A0B4_28DB,
+                            0x8EBC_6AF0_9C88_C6E3, 0x5898_99E3_5DAB_BB37])
+
+
+def _cms_positions(values, width: int, depth: int) -> np.ndarray:
+    """(depth, n) column indices — one independent hash per grid row
+    (splitmix of the pinned hash64 XOR a per-row seed constant)."""
+    from .hashing import hash64, splitmix64
+
+    h = hash64(values)
+    return np.stack([
+        splitmix64(h ^ _CMS_ROW_SEEDS[d]) % np.uint64(width)
+        for d in range(depth)
+    ])
+
+
+def cms_partial(values, width: int = CMS_WIDTH,
+                depth: int = CMS_DEPTH) -> np.ndarray:
+    """(depth, width) int64 grid counting one batch's values."""
+    grid = np.zeros((depth, width), dtype=np.int64)
+    if len(values) == 0:
+        return grid
+    pos = _cms_positions(values, width, depth)
+    for d in range(depth):
+        np.add.at(grid[d], pos[d].astype(np.int64), 1)
+    return grid
+
+
+def cms_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros_like(parts[0])
+    for p in parts:
+        out += p
+    return out
+
+
+def cms_query(grid: np.ndarray, values) -> np.ndarray:
+    """Estimated count per queried value: min over the grid rows."""
+    depth, width = grid.shape
+    pos = _cms_positions(values, width, depth)
+    est = grid[0][pos[0].astype(np.int64)]
+    for d in range(1, depth):
+        est = np.minimum(est, grid[d][pos[d].astype(np.int64)])
+    return est
+
+
+def cms_counts(ds: "ray.data.Dataset", col: str, candidates: list,
+               width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> pa.Table:
+    """(value, est_count) for each candidate, from ONE streaming pass.
+
+    No shuffle at any scale: per-block grids tree-merge (32 -> 1 via a
+    second map_batches over sketch rows) before the driver's final
+    fold. ``candidates`` is a bounded list the caller already knows
+    (heavy-hitter output, a fixed vocabulary, alert keys) — CMS answers
+    point queries, it does not enumerate keys. With distinct keys <<
+    width the estimate is exact with overwhelming probability (any
+    error needs a full-depth collision, p <= (k/width)^depth), and the
+    hashes are pinned constants — so low-cardinality counts are
+    deterministic and DuckDB-oracle-checkable; at high cardinality the
+    usual (eps, delta) guarantees apply instead.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        grid = cms_partial(batch.column(col), width, depth)
+        return pa.table({"g": pa.array([grid.tobytes()], pa.binary())})
+
+    def tree_merge(batch: pa.Table) -> pa.Table:
+        grids = [np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+                 for b in batch.column("g").to_pylist()]
+        return pa.table({"g": pa.array([cms_merge(grids).tobytes()],
+                                       pa.binary())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .map_batches(tree_merge, batch_format="pyarrow",
+                          batch_size=32).take_all())
+    grid = cms_merge([np.frombuffer(p["g"], dtype=np.int64)
+                      .reshape(depth, width) for p in parts])
+    est = cms_query(grid, pa.array(candidates))
+    return pa.table({col: pa.array(candidates),
+                     "est_count": pa.array(est.astype(np.int64))})

@@ -512,3 +512,58 @@ def grouped_rank(ds: "ray.data.Dataset", key: str, order_col: str,
     return (_bucketed(ds, key, num_buckets)
             .groupby(_BUCKET).map_groups(rk_bucket,
                                          batch_format="pandas"))
+
+
+def funnel_counts(ds: "ray.data.Dataset", user_col: str, ts_col: str,
+                  type_col: str, steps: list[str],
+                  num_buckets: int | None = None) -> pa.Table:
+    """Ordered-funnel analysis: how many users completed step 1, then
+    step 2 STRICTLY after their step-1 time, then step 3 after step 2,
+    ... (the product-analytics conversion funnel).
+
+    Scale shape: rows are filtered to the funnel's event types at the
+    map side (everything else never enters the shuffle), ONE bucketed
+    user shuffle co-locates each user's funnel events, and each bucket
+    reduces — fully vectorized groupby-min / merge per step, no
+    per-user Python — to a single row of per-step counts. The final
+    fold sums O(buckets) rows. Strict '>' between consecutive steps
+    matches the SQL oracle's correlated MIN-chain semantics.
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    step_list = list(steps)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch.column(type_col),
+                                     value_set=pa.array(step_list)))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        prev = None  # Series: user -> first time reaching previous step
+        counts = []
+        for step in step_list:
+            s = g[g[type_col] == step]
+            if prev is not None:
+                # vectorized decorate: users absent from prev map to NaT
+                # and NaT > cmp is False, so they drop — exactly the
+                # "never reached the previous step" semantics
+                reached = s[user_col].map(prev)
+                s = s[s[ts_col].to_numpy() > reached.to_numpy()]
+            prev = s.groupby(user_col)[ts_col].min()
+            counts.append(len(prev))
+        return pd.DataFrame({f"n_step{i + 1}": [c]
+                             for i, c in enumerate(counts)})
+
+    per_bucket = (_bucketed(ds.map_batches(prefilter,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                            user_col, num_buckets)
+                  .groupby(_BUCKET)
+                  .map_groups(bucket_counts, batch_format="pandas"))
+    cols = [f"n_step{i + 1}" for i in range(len(step_list))]
+    totals = per_bucket.sum(cols) or {}
+    if not isinstance(totals, dict):  # single-col sum returns a scalar
+        totals = {f"sum({cols[0]})": totals}
+    return pa.table({c: pa.array([int(totals.get(f"sum({c})") or 0)],
+                                 pa.int64())
+                     for c in cols})

@@ -205,3 +205,107 @@ def test_uniform_mixture_rates():
     assert rates["de"] == 1.0 and rates["fr"] == 1.0
     assert abs(rates["en"] - (500 / 3) / 300) < 1e-12
     assert uniform_mixture_rates({}) == {}
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_exact_at_low_cardinality_and_merge_order():
+    from full_text_extractor_v6_ray.stages.sketches import (
+        cms_merge, cms_partial, cms_query)
+
+    rng = np.random.RandomState(5)
+    keys = np.array(["a", "b", "c", "d", "e"])
+    data = keys[rng.randint(0, 5, size=5000)]
+    true = {k: int((data == k).sum()) for k in keys}
+    chunks = np.array_split(data, 7)
+    parts = [cms_partial(pa.array(list(c))) for c in chunks]
+    g1 = cms_merge(parts)
+    g2 = cms_merge(parts[::-1])
+    assert np.array_equal(g1, g2)  # merge order free
+    est = cms_query(g1, pa.array(list(keys)))
+    assert {k: int(e) for k, e in zip(keys, est)} == true
+
+
+def test_cms_never_undercounts_and_bounded_overcount():
+    from full_text_extractor_v6_ray.stages.sketches import (
+        cms_partial, cms_query)
+
+    rng = np.random.RandomState(9)
+    n = 20000
+    data = rng.zipf(1.5, size=n) % 5000          # many keys, skewed
+    vals = pa.array([f"k{v}" for v in data])
+    grid = cms_partial(vals, width=256, depth=4)
+    probe = [f"k{v}" for v in range(50)]
+    true = np.array([(data == v).sum() for v in range(50)])
+    est = cms_query(grid, pa.array(probe))
+    assert (est >= true).all()                    # never undercounts
+    # standard bound: overcount <= 2N/width whp
+    assert (est - true <= 2 * n / 256 * 4).all()
+
+
+def test_cms_counts_dataset_matches_exact(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.sketches import cms_counts
+
+    rng = np.random.RandomState(3)
+    keys = ["x", "y", "z"]
+    col = [keys[i] for i in rng.randint(0, 3, size=3000)]
+    tbl = pa.table({"t": pa.array(col)})
+    out = cms_counts(ray.data.from_arrow(tbl), "t", keys).to_pandas()
+    got = dict(zip(out["t"], out["est_count"]))
+    assert got == {k: col.count(k) for k in keys}
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+def _ev(user, ts, typ):
+    return {"user_id": user, "ts": np.datetime64(ts, "us"), "event_type": typ}
+
+
+def test_funnel_strict_ordering(ray_session):
+    import pandas as pd
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import funnel_counts
+
+    rows = [
+        # u1: full funnel in order
+        _ev(1, "2024-01-01T00:00", "view"),
+        _ev(1, "2024-01-01T01:00", "click"),
+        _ev(1, "2024-01-01T02:00", "purchase"),
+        # u2: click BEFORE view -> stops at step1
+        _ev(2, "2024-01-01T01:00", "click"),
+        _ev(2, "2024-01-01T02:00", "view"),
+        # u3: click at the SAME ts as view -> strict '>' rejects it
+        _ev(3, "2024-01-01T00:00", "view"),
+        _ev(3, "2024-01-01T00:00", "click"),
+        # u4: view+click, purchase before click -> step2 only
+        _ev(4, "2024-01-01T00:00", "purchase"),
+        _ev(4, "2024-01-01T01:00", "view"),
+        _ev(4, "2024-01-01T02:00", "click"),
+        # u5: no view at all -> never enters
+        _ev(5, "2024-01-01T00:00", "click"),
+        _ev(5, "2024-01-01T01:00", "purchase"),
+        # noise type is prefiltered
+        _ev(1, "2024-01-01T03:00", "error"),
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = funnel_counts(ds, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"]).to_pandas()
+    assert out.iloc[0].to_dict() == {"n_step1": 4, "n_step2": 2,
+                                     "n_step3": 1}
+
+
+def test_funnel_empty_and_single_step(ray_session):
+    import pandas as pd
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import funnel_counts
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [_ev(1, "2024-01-01T00:00", "view")]))
+    out = funnel_counts(ds, "user_id", "ts", "event_type",
+                        ["signup", "purchase"]).to_pandas()
+    assert out.iloc[0].to_dict() == {"n_step1": 0, "n_step2": 0}
