@@ -3052,3 +3052,254 @@ ORACLES = {
         GROUP BY event_type
     """,
 }
+
+
+def q_events_user_entropy(sf_dir: str):
+    """Shannon entropy (log2) of each user's event-type mix — the
+    behavioral-diversity signal (two combiner-compressed shuffles:
+    (user, type) counts, then per-user Σ c·log2 c partials; raw rows
+    never cross the wire). SQL entropy() aggregate."""
+    from .stages.stats import grouped_entropy
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_entropy(ds, "user_id", "event_type",
+                           out_col="etype_entropy")
+
+
+def q_lineitem_covar(sf_dir: str):
+    """COVAR_SAMP / COVAR_POP per return flag of extended price vs
+    discounted revenue (sufficient-stats combiner — one tiny row per
+    key per block through the shuffle). Rounded to 2 digits: the
+    covariance magnitude (~1e8) leaves < 8 float64 decimals, so a
+    6-digit contract would sit at the ulp boundary across engines."""
+    from .stages.stats import grouped_covar
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return batch.append_column("rev", rev)
+
+    ds = ds.map_batches(add_rev, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return grouped_covar(ds, "l_returnflag", "l_extendedprice", "rev",
+                         ndigits=2)
+
+
+def q_lineitem_geomean(sf_dir: str):
+    """Geometric mean of extended price per return flag, computed in
+    log space (Σ ln x partials — overflow-free where a product()
+    aggregate would saturate float64 within one block at corpus
+    scale)."""
+    from .stages.stats import grouped_geomean
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    return grouped_geomean(ds, "l_returnflag", "l_extendedprice",
+                           out_col="geomean_price")
+
+
+def q_orders_price_median_disc(sf_dir: str):
+    """Exact PERCENTILE_DISC(0.5) of order price per status — the
+    smallest actual price with CDF ≥ 0.5 (inverted-CDF pick inside one
+    bucketed shuffle; returns a real data value, so the contract is
+    exact equality, no float rounding)."""
+    from .stages.stats import grouped_quantile_disc
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_totalprice"])
+    return grouped_quantile_disc(ds, "o_orderstatus", "o_totalprice",
+                                 0.5, out_col="median_price")
+
+
+def q_events_range_1h_sum(sf_dir: str):
+    """Time-based window frame: per user, SUM(value) over RANGE
+    INTERVAL 1 HOUR PRECEDING — value-bounded, peer-inclusive frames
+    (vs the row-offset frames of events_rolling_mean). One bucketed
+    shuffle; cython time-rolling over per-(user, ts) collapsed sums."""
+    from .stages.window import grouped_time_range_sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_time_range_sum(ds, "user_id", "ts", "value",
+                                 window="1h", out_col="range_sum")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "range_sum": pc.round(batch.column("range_sum"), ndigits=6),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_lineitem_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((flag), (status), ()) — arbitrary
+    subtotal sets from ONE finest shuffle (the general form of the
+    cube/rollup queries; each set re-aggregates the dimension-sized
+    finest table, never the raw rows)."""
+    from .stages.cube import grouping_sets_agg
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouping_sets_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_quantity", sum_alias="sum_qty", count_alias="n")
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-table join (customer ⋈ orders ⋈ lineitem)
+    with selective date/segment predicates, revenue aggregation, top
+    10. Scale plan: date filters pushed into both parquet reads;
+    BUILDING customer keys broadcast once (ray.put + np.isin semi
+    filter — the small side never shuffles); lineitem revenue
+    partial-aggregated per orderkey map-side BEFORE the one bucketed
+    join; final groupby is per-orderkey-sized; sort+limit on the
+    aggregated (small) table."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import bucket_hash_join
+
+    cutoff = datetime.datetime(1998, 6, 30)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    seg = np.asarray(cust["c_mktsegment"].to_pylist())
+    building = np.sort(keys[seg == "BUILDING"])
+    ref = ray.put(building)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff)
+
+    class SemiBuilding:
+        def __init__(self, ref):
+            self.incl = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            keep = np.isin(ck, self.incl, assume_unique=False)
+            return batch.filter(pa.array(keep)).drop_columns(["o_custkey"])
+
+    orders = orders.map_batches(SemiBuilding,
+                                fn_constructor_kwargs={"ref": ref},
+                                batch_format="pyarrow", concurrency=2)
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff)
+
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "rev": rev})
+        df = t.to_pandas().groupby("l_orderkey", sort=False)["rev"].sum()
+        return pa.table({
+            "l_orderkey": pa.array(df.index.to_numpy(), pa.int64()),
+            "rev": pa.array(df.to_numpy(), pa.float64())})
+
+    li_partial = li.map_batches(partial_rev, batch_format="pyarrow",
+                                batch_size=4096)
+    joined = bucket_hash_join(li_partial, orders,
+                              "l_orderkey", "o_orderkey", num_buckets=16)
+    agg = (joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("rev", alias_name="revenue")))
+
+    def round_rev(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("revenue")
+        return batch.set_column(i, "revenue",
+                                pc.round(batch.column("revenue"),
+                                         ndigits=2))
+
+    return (agg.map_batches(round_rev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort(["revenue", "o_orderdate", "l_orderkey"],
+                  descending=[True, False, False])
+            .limit(10))
+
+
+QUERIES.update({
+    "events_user_entropy": q_events_user_entropy,
+    "lineitem_covar": q_lineitem_covar,
+    "lineitem_geomean": q_lineitem_geomean,
+    "orders_price_median_disc": q_orders_price_median_disc,
+    "events_range_1h_sum": q_events_range_1h_sum,
+    "lineitem_grouping_sets": q_lineitem_grouping_sets,
+    "q3_shipping_priority": q3_shipping_priority,
+})
+
+ORACLES.update({
+    "events_user_entropy": """
+        SELECT user_id, CAST(COUNT(event_type) AS BIGINT) AS n,
+               ROUND(entropy(event_type), 6) AS etype_entropy
+        FROM events GROUP BY user_id
+    """,
+    "lineitem_covar": """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(COVAR_SAMP(l_extendedprice,
+                                l_extendedprice * (1 - l_discount)), 2)
+                   AS covar_samp,
+               ROUND(COVAR_POP(l_extendedprice,
+                               l_extendedprice * (1 - l_discount)), 2)
+                   AS covar_pop
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "lineitem_geomean": """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(EXP(AVG(LN(l_extendedprice))), 6) AS geomean_price
+        FROM lineitem
+        WHERE l_extendedprice > 0 GROUP BY l_returnflag
+    """,
+    "orders_price_median_disc": """
+        SELECT o_orderstatus,
+               quantile_disc(o_totalprice, 0.5) AS median_price,
+               CAST(COUNT(o_totalprice) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "events_range_1h_sum": """
+        SELECT event_id, user_id, ts,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW), 6) AS range_sum
+        FROM events
+    """,
+    "lineitem_grouping_sets": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               o_orderdate, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-30'
+          AND l_shipdate > TIMESTAMP '1998-06-30'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+})

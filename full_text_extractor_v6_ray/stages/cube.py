@@ -267,3 +267,48 @@ def fixed_width_histogram(ds: "ray.data.Dataset", value_col: str,
             .groupby("bin")
             .aggregate(Sum("__s", alias_name=sum_alias),
                        Sum("__n", alias_name=count_alias)))
+
+
+def grouping_sets_agg(ds: "ray.data.Dataset", keys: list[str],
+                      sets: list[list[str]], value_col: str,
+                      sum_alias: str = "sum_v", count_alias: str = "n",
+                      all_label: str = "ALL") -> pa.Table:
+    """GROUP BY GROUPING SETS(sets): SUM + COUNT at each requested
+    subset of ``keys`` — the general form of which ROLLUP (prefixes)
+    and CUBE (all subsets) are special cases.
+
+    Same one-finest-shuffle shape as ``cube_agg``: the raw rows are
+    grouped ONCE at the union granularity of all requested sets; every
+    set is then a re-aggregation of that dimension-sized finest table
+    (driver-side pandas on |finest combos| rows — never the raw data).
+    Columns absent from a set are emitted as ``all_label`` (the
+    COALESCE(k, 'ALL') presentation the oracles use); null key values
+    merge into ``all_label`` first (see ``_coalesce_null_keys``)."""
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s} not within keys: {unknown}")
+    finest = (ds.select_columns(keys + [value_col])
+              .groupby(keys)
+              .aggregate(Sum(value_col, alias_name=sum_alias),
+                         Count(alias_name=count_alias))
+              .to_pandas())
+    finest = _coalesce_null_keys(finest, keys, [sum_alias, count_alias],
+                                 all_label)
+
+    frames = []
+    for s in sets:
+        kept = [k for k in keys if k in s]
+        if len(kept) == len(keys):
+            frames.append(finest.copy())
+            continue
+        g = (finest.groupby(kept, dropna=False)[[sum_alias, count_alias]]
+             .sum().reset_index() if kept else
+             pd.DataFrame([finest[[sum_alias, count_alias]].sum()]))
+        for k in keys:
+            if k not in kept:
+                g[k] = all_label
+        frames.append(g[keys + [sum_alias, count_alias]])
+    out = pd.concat(frames, ignore_index=True)
+    out[count_alias] = out[count_alias].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -547,3 +547,184 @@ def grouped_first_last(ds: "ray.data.Dataset", key: str, order_col: str,
                 .map_batches(partial, batch_format="pandas"))
     return (partials.repartition(1)
             .map_batches(final_reduce, batch_format="pandas"))
+
+
+def grouped_entropy(ds: "ray.data.Dataset", key: str, value_col: str,
+                    out_col: str = "entropy", ndigits: int = 6,
+                    count_alias: str = "n") -> "ray.data.Dataset":
+    """Shannon entropy (log2) of ``value_col``'s distribution per ``key``
+    — SQL ``entropy(x)`` (DuckDB semantics: −Σ p·log2 p over the value
+    frequencies, nulls dropped).
+
+    Fully distributive two-shuffle shape: (1) per-batch (key, value)
+    count partials → one (key, value) groupby holding exact counts c;
+    (2) per-batch per-key partials (Σc, Σ c·log2 c) → one key groupby;
+    finish with H = log2(N) − (Σ c·log2 c)/N. Both shuffles move
+    combiner-compressed rows only — never raw rows — so a 10^12-row
+    table with dimension-cardinality (key, value) pairs reduces to
+    |pairs| rows after the first map side."""
+    from ray.data.aggregate import Sum
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], "_v": batch[value_col]})
+        t = t.filter(pc.is_valid(t["_v"]))
+        g = t.group_by([key, "_v"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "_v", "_c"])
+
+    def key_partials(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch["_c"], pa.float64())
+        clog = pc.multiply(c, pc.log2(c))
+        t = pa.table({key: batch[key], "_sc": c, "_sclog": clog})
+        g = t.group_by(key).aggregate([("_sc", "sum"), ("_sclog", "sum")])
+        return g.rename_columns([key, "_sc", "_sclog"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["_sc"]
+        ent = pc.subtract(pc.log2(n), pc.divide(batch["_sclog"], n))
+        return pa.table({
+            key: batch[key],
+            count_alias: pc.cast(n, pa.int64()),
+            out_col: pc.round(ent, ndigits=ndigits),
+        })
+
+    pairs = (ds.select_columns([key, value_col])
+             .map_batches(pair_counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([key, "_v"])
+             .aggregate(Sum("_c", alias_name="_c")))
+    per_key = (pairs.map_batches(key_partials, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .groupby(key)
+               .aggregate(Sum("_sc", alias_name="_sc"),
+                          Sum("_sclog", alias_name="_sclog")))
+    return per_key.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def grouped_covar(ds: "ray.data.Dataset", key: str, x: str, y: str,
+                  samp_col: str = "covar_samp", pop_col: str = "covar_pop",
+                  ndigits: int = 6,
+                  count_alias: str = "n") -> "ray.data.Dataset":
+    """COVAR_SAMP / COVAR_POP of (x, y) per ``key`` from the same
+    sufficient-statistic combiner as ``grouped_corr`` (Σx, Σy, Σxy, n —
+    one tiny row per key per block through the shuffle):
+    pop = (Σxy − ΣxΣy/n)/n, samp = ·/(n−1) (NULL when n < 2).
+    Null rows in either column are dropped (SQL pairwise semantics)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = pc.cast(batch[x], pa.float64())
+        yv = pc.cast(batch[y], pa.float64())
+        keep = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        t = pa.table({key: batch[key], "_x": xv, "_y": yv}).filter(keep)
+        prod = pa.table({
+            key: t[key], "_sx": t["_x"], "_sy": t["_y"],
+            "_sxy": pc.multiply(t["_x"], t["_y"]),
+        })
+        g = prod.group_by(key).aggregate(
+            [("_sx", "sum"), ("_sy", "sum"), ("_sxy", "sum"),
+             ([], "count_all")])
+        return g.rename_columns([key, "_sx", "_sy", "_sxy", "_n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["_n"], pa.float64())
+        cross = pc.subtract(batch["_sxy"],
+                            pc.divide(pc.multiply(batch["_sx"],
+                                                  batch["_sy"]), n))
+        pop = pc.divide(cross, n)
+        samp = pc.if_else(pc.greater(n, 1.0),
+                          pc.divide(cross, pc.subtract(n, 1.0)), None)
+        return pa.table({
+            key: batch[key],
+            count_alias: pc.cast(batch["_n"], pa.int64()),
+            samp_col: pc.round(samp, ndigits=ndigits),
+            pop_col: pc.round(pop, ndigits=ndigits),
+        })
+
+    combined = (ds.select_columns([key, x, y])
+                .map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(key)
+                .aggregate(Sum("_sx", alias_name="_sx"),
+                           Sum("_sy", alias_name="_sy"),
+                           Sum("_sxy", alias_name="_sxy"),
+                           Sum("_n", alias_name="_n")))
+    return combined.map_batches(finish, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def grouped_geomean(ds: "ray.data.Dataset", key: str, col: str,
+                    out_col: str = "geomean", ndigits: int = 6,
+                    count_alias: str = "n") -> "ray.data.Dataset":
+    """Geometric mean of a positive column per ``key`` in log space —
+    exp(avg(ln x)), the overflow-free form (a raw ``product()`` of 10^9
+    prices overflows float64 range almost immediately; Σ ln x never
+    does). Partial = (key, Σ ln x, n) per batch; one tiny-row shuffle.
+    Non-positive / null values are dropped (ln-domain semantics,
+    matching the SQL oracle's WHERE x > 0 filter)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[col], pa.float64())
+        keep = pc.and_(pc.is_valid(v), pc.greater(v, 0.0))
+        t = pa.table({key: batch[key], "_v": v}).filter(keep)
+        lo = pa.table({key: t[key], "_sln": pc.ln(t["_v"])})
+        g = lo.group_by(key).aggregate([("_sln", "sum"), ([], "count_all")])
+        return g.rename_columns([key, "_sln", "_n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["_n"], pa.float64())
+        gm = pc.exp(pc.divide(batch["_sln"], n))
+        return pa.table({
+            key: batch[key],
+            count_alias: pc.cast(batch["_n"], pa.int64()),
+            out_col: pc.round(gm, ndigits=ndigits),
+        })
+
+    combined = (ds.select_columns([key, col])
+                .map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(key)
+                .aggregate(Sum("_sln", alias_name="_sln"),
+                           Sum("_n", alias_name="_n")))
+    return combined.map_batches(finish, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def grouped_quantile_disc(ds: "ray.data.Dataset", key: str, col: str,
+                          q: float, out_col: str = "qval",
+                          num_buckets: int | None = None
+                          ) -> "ray.data.Dataset":
+    """Exact PERCENTILE_DISC(q): the smallest actual value whose CDF ≥ q
+    per key (inverted-CDF index ceil(q·n)−1 — DuckDB ``quantile_disc``).
+
+    One bucketed shuffle co-locates equal keys; inside each bucket a
+    single vectorized pass (sort by (key, value), group offsets via
+    cumsum, one fancy-index take) — no per-key Python loop. Exact
+    discrete quantiles need all of a key's values on one node by
+    definition; for the mergeable-sketch approximation at 10^12 rows
+    use stages/sketches.py instead."""
+    import math as _math
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_qbucket", _stable_bucket(batch.column(key), num_buckets))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[col]).sort_values([key, col], kind="mergesort")
+        sizes = g.groupby(key, sort=False)[col].size()
+        starts = np.concatenate(([0], np.cumsum(sizes.to_numpy())[:-1]))
+        idx = starts + np.maximum(
+            np.ceil(q * sizes.to_numpy()).astype(np.int64) - 1, 0)
+        vals = g[col].to_numpy()[idx]
+        return pd.DataFrame({key: sizes.index, out_col: vals,
+                             "n": sizes.to_numpy().astype("int64")})
+
+    return (ds.select_columns([key, col])
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_qbucket")
+            .map_groups(pick, batch_format="pandas"))

@@ -567,3 +567,41 @@ def funnel_counts(ds: "ray.data.Dataset", user_col: str, ts_col: str,
     return pa.table({c: pa.array([int(totals.get(f"sum({c})") or 0)],
                                  pa.int64())
                      for c in cols})
+
+
+def grouped_time_range_sum(ds: "ray.data.Dataset", key: str, ts_col: str,
+                           value_col: str, window: str = "1h",
+                           out_col: str = "range_sum",
+                           num_buckets: int | None = None
+                           ) -> "ray.data.Dataset":
+    """Per-``key`` time-based frame sum: SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts
+    RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW)``.
+
+    A RANGE frame is bounded by VALUES, not row offsets — every row
+    whose ts lies in [cur_ts − w, cur_ts] contributes, and peer rows
+    (equal ts) all share one frame regardless of physical order. To get
+    those peer semantics deterministically, each bucket first collapses
+    to per-(key, ts) sums, runs a cython time-based rolling sum over
+    the collapsed series (``rolling(window, closed="both")`` — closed on
+    both ends matches the SQL inclusive frame), then decorates the
+    original rows back by (key, ts) merge. One bucketed shuffle; all
+    post-shuffle work is vectorized pandas."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    w = pd.Timedelta(window)
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=_BUCKET)
+        ded = (g.groupby([key, ts_col], sort=True)[value_col]
+               .sum().reset_index())
+        rolled = (ded.groupby(key, sort=False)
+                  .rolling(w, on=ts_col, closed="both")[value_col]
+                  .sum().reset_index(drop=True))
+        ded[out_col] = rolled.to_numpy()
+        return g.merge(ded[[key, ts_col, out_col]], on=[key, ts_col],
+                       how="left")
+
+    return (_bucketed(ds, key, num_buckets)
+            .groupby(_BUCKET).map_groups(roll_bucket,
+                                         batch_format="pandas"))
