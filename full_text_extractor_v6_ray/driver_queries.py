@@ -3303,3 +3303,71 @@ ORACLES.update({
         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
     """,
 })
+
+
+def q_docs_paragraph_dedup(sf_dir: str):
+    """CCNet-style corpus-wide paragraph dedup (keep globally-first
+    occurrence, reassemble survivors in order). The synthetic docs
+    carry no paragraph breaks, so paragraphs are deterministic 10-word
+    chunks — a real web corpus passes sep="\\n\\n" instead. md5-keyed
+    keeper election + bucketed join + per-doc ordered reassembly."""
+    from .stages.text_ops import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return paragraph_dedup(ds, "doc_id", "text", chunk_words=10)
+
+
+def q_docs_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 adjacent word pairs (map-side bigram
+    combiner; the shuffle carries one row per distinct bigram per
+    batch, the sort+limit runs on the vocab²-bounded aggregate)."""
+    from .stages.text_ops import top_bigrams
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return top_bigrams(ds, "text", k=20)
+
+
+QUERIES.update({
+    "docs_paragraph_dedup": q_docs_paragraph_dedup,
+    "docs_top_bigrams": q_docs_top_bigrams,
+})
+
+ORACLES.update({
+    "docs_paragraph_dedup": """
+        WITH words AS (
+            SELECT doc_id, generate_subscripts(w, 1) - 1 AS wi,
+                   unnest(w) AS word
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(text, '\\s+') AS w
+                  FROM documents)
+        ), chunks AS (
+            SELECT doc_id, wi // 10 AS idx,
+                   string_agg(word, ' ' ORDER BY wi) AS para
+            FROM words GROUP BY doc_id, wi // 10
+        ), ranked AS (
+            SELECT doc_id, idx, para,
+                   ROW_NUMBER() OVER (PARTITION BY para
+                                      ORDER BY doc_id, idx) AS rn
+            FROM chunks
+        )
+        SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """,
+    "docs_top_bigrams": """
+        WITH words AS (
+            SELECT doc_id, generate_subscripts(w, 1) AS wi,
+                   unnest(w) AS word
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(text, '\\s+') AS w
+                  FROM documents)
+        ), big AS (
+            SELECT word || ' ' ||
+                   LEAD(word) OVER (PARTITION BY doc_id ORDER BY wi)
+                       AS bigram
+            FROM words
+        )
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM big WHERE bigram IS NOT NULL
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+})

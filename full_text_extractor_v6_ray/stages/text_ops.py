@@ -15,6 +15,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
 # Language ID: stopword-profile n-gram heuristic
@@ -378,3 +379,133 @@ def decontaminate(docs: "ray.data.Dataset", needles: list,
         DecontaminateBatch, fn_constructor_kwargs={
             "needles_ref": ref, "text_col": text_col},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup (CCNet-style) + corpus n-gram counts
+# ---------------------------------------------------------------------------
+
+
+def explode_paragraphs(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                       text_col: str = "text", sep: str | None = None,
+                       chunk_words: int | None = None
+                       ) -> "ray.data.Dataset":
+    """(doc, text) → (doc, idx, para): one row per paragraph with its
+    0-based position. ``sep`` splits on a literal separator (real web
+    corpora: ``"\\n\\n"``); ``chunk_words`` instead derives fixed-size
+    word-chunk pseudo-paragraphs (the deterministic stand-in for the
+    synthetic tables, which carry no paragraph structure). Per-row
+    string splitting is inherently per-string work (same regime as
+    ``vocab_stats``); everything downstream is columnar."""
+    if (sep is None) == (chunk_words is None):
+        raise ValueError("exactly one of sep / chunk_words required")
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids, idxs, paras = [], [], []
+        for did, s in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            if sep is not None:
+                parts = [p for p in (s or "").split(sep) if p]
+            else:
+                toks = (s or "").split()
+                parts = [" ".join(toks[i:i + chunk_words])
+                         for i in range(0, len(toks), chunk_words)]
+            ids.extend([did] * len(parts))
+            idxs.extend(range(len(parts)))
+            paras.extend(parts)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "idx": pa.array(idxs, pa.int64()),
+            "para": pa.array(paras, pa.string()),
+        })
+
+    return docs.map_batches(split, batch_format="pyarrow", batch_size=512)
+
+
+def paragraph_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                    text_col: str = "text", sep: str | None = None,
+                    chunk_words: int | None = None,
+                    join_sep: str = " ",
+                    num_buckets: int | None = None
+                    ) -> "ray.data.Dataset":
+    """Corpus-wide paragraph dedup, keep-FIRST occurrence (CCNet's
+    paragraph hashing step: boilerplate paragraphs repeated across
+    pages survive exactly once, at their globally-first (doc, idx)
+    position), then order-preserving reassembly of each doc's
+    surviving paragraphs. Docs whose every paragraph was a later
+    duplicate disappear.
+
+    Scale shape: paragraphs are keyed by md5 (128-bit — a 64-bit key
+    has birthday collisions at 10^12-paragraph scale) and the keeper
+    election groups on the 32-hex digest, not the text; the winner is
+    MIN(doc_id·2^32 + idx) — one packed-int64 argmin through the
+    combiner-compressed shuffle (idx < 2^32 per doc, doc_id < 2^31
+    documented bound). The paragraph text itself crosses the wire
+    twice and only twice: once into the keeper join's buckets, once
+    into the per-doc reassembly shuffle."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    from .joins import bucket_hash_join
+    from .window import grouped_string_agg
+
+    paras = explode_paragraphs(docs, id_col, text_col, sep=sep,
+                               chunk_words=chunk_words)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(p.encode()).hexdigest()
+             for p in batch.column("para").to_pylist()]
+        packed = pc.add(
+            pc.multiply(batch.column(id_col), pa.scalar(1 << 32)),
+            batch.column("idx"))
+        return (batch.append_column("phash", pa.array(h, pa.string()))
+                .append_column("packed", packed))
+
+    hashed = paras.map_batches(add_hash, batch_format="pyarrow",
+                               batch_size=1024)
+    keeper = (hashed.select_columns(["phash", "packed"])
+              .groupby("phash")
+              .aggregate(Min("packed", alias_name="keep_packed")))
+    joined = bucket_hash_join(hashed, keeper, "phash", "phash",
+                              num_buckets=num_buckets)
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("packed"), batch.column("keep_packed"))
+        return batch.filter(m).select([id_col, "idx", "para"])
+
+    kept = joined.map_batches(keep_winners, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = grouped_string_agg(kept, id_col, "para", order_cols=["idx"],
+                             sep=join_sep, out_col=text_col,
+                             num_buckets=num_buckets)
+    return out
+
+
+def top_bigrams(docs: "ray.data.Dataset", text_col: str = "text",
+                k: int = 20) -> "ray.data.Dataset":
+    """Corpus-wide top-k adjacent word pairs. Map-side combiner: one
+    (bigram, n) row per DISTINCT bigram per batch crosses the shuffle
+    (never per occurrence); the groupby output is vocab²-bounded and
+    the final sort+limit runs on that small table. Deterministic
+    tiebreak: count desc, bigram asc."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in batch.column(text_col).to_pylist():
+            toks = (s or "").split()
+            c.update(" ".join(p) for p in zip(toks, toks[1:]))
+        keys = list(c.keys())
+        return pa.table({
+            "bigram": pa.array(keys, pa.string()),
+            "n": pa.array([c[b] for b in keys], pa.int64()),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=512)
+            .groupby("bigram")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "bigram"], descending=[True, False])
+            .limit(k))

@@ -1,0 +1,70 @@
+"""CCNet-style paragraph dedup: keep-first election, order-preserving
+reassembly, full-doc disappearance, and the bigram combiner."""
+
+import pandas as pd
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"alpha beta\n\n{boiler}\n\ngamma delta",
+            f"{boiler}\n\nunique one",      # boiler is a LATER dup here
+            f"{boiler}",                    # only-dup doc: disappears
+            "standalone text",
+        ],
+    })
+    got = (paragraph_dedup(ray.data.from_pandas(docs), "doc_id", "text",
+                           sep="\n\n", join_sep="\n\n", num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 3]
+    # doc 0 holds the first occurrence -> keeps boiler, order preserved
+    assert got.loc[0, "text"] == f"alpha beta\n\n{boiler}\n\ngamma delta"
+    assert got.loc[1, "text"] == "unique one"
+    assert got.loc[2, "text"] == "standalone text"
+
+
+def test_paragraph_dedup_dup_within_one_doc(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import paragraph_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [7],
+        "text": ["same para\n\nsame para\n\nother"],
+    })
+    got = paragraph_dedup(ray.data.from_pandas(docs), "doc_id", "text",
+                          sep="\n\n", join_sep="\n\n",
+                          num_buckets=4).to_pandas()
+    assert got.loc[0, "text"] == "same para\n\nother"
+
+
+def test_chunk_words_explode_positions(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import (
+        explode_paragraphs)
+
+    docs = pd.DataFrame({"doc_id": [5],
+                         "text": ["a b c d e f g"]})
+    got = (explode_paragraphs(ray.data.from_pandas(docs), "doc_id",
+                              "text", chunk_words=3)
+           .to_pandas().sort_values("idx").reset_index(drop=True))
+    assert got["para"].tolist() == ["a b c", "d e f", "g"]
+    assert got["idx"].tolist() == [0, 1, 2]
+
+
+def test_top_bigrams_counts_and_tiebreak(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import top_bigrams
+
+    docs = pd.DataFrame({
+        "text": ["x y x y z", "x y q", "a a a"],
+    })
+    got = top_bigrams(ray.data.from_pandas(docs), "text", k=3).to_pandas()
+    # "x y" appears 3x (twice in doc0 via overlap, once in doc1);
+    # "a a" twice; ties broken by bigram asc
+    assert got.iloc[0].tolist() == ["x y", 3]
+    assert got.iloc[1].tolist() == ["a a", 2]
