@@ -3371,3 +3371,59 @@ ORACLES.update({
         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
     """,
 })
+
+
+def q_events_weighted_sample(sf_dir: str):
+    """Weighted sample w/o replacement, k=50, weight = event value —
+    A-ES order sampling with the md5-uniform (engine-portable, so the
+    EXACT row set is oracle-checkable; seeded-RNG samples are not).
+    Per-batch scoring + local top-k prune; global sort sees k rows per
+    batch."""
+    from .stages.sampling import weighted_hash_topk
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    out = weighted_hash_topk(ds, "event_id", "value", k=50)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("score")
+        return batch.set_column(i, "score",
+                                pc.round(batch.column("score"),
+                                         ndigits=6))
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+QUERIES.update({"events_weighted_sample": q_events_weighted_sample})
+
+ORACLES.update({
+    "events_weighted_sample": """
+        WITH s AS (
+            SELECT event_id, value,
+                   POW((CAST(CONCAT('0x',
+                            substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0,
+                       1.0 / value) AS score
+            FROM events WHERE value > 0
+        )
+        SELECT event_id, value, ROUND(score, 6) AS score
+        FROM s ORDER BY score DESC, event_id LIMIT 50
+    """,
+})
+
+
+def q_extract_host_cap(sf_dir: str):
+    """Per-host page budget over the deduped extraction output: at most
+    3 pages per hostname, highest quality_score first (FineWeb-style
+    domain cap — keeps one crawl-heavy host from dominating the
+    corpus). Extraction family: rows-only check (the extracted
+    quality signal is not SQL-expressible)."""
+    from .stages.topk import per_host_cap
+
+    ds = extraction_pipeline(sf_dir, dedup=True)
+    capped = per_host_cap(ds, "url", "quality_score", cap=3)
+    return capped.select_columns(["host", "url", "warc_ts",
+                                  "quality_score", "rn"])
+
+
+QUERIES.update({"extract_host_cap": q_extract_host_cap})

@@ -140,3 +140,54 @@ def uniform_mixture_rates(counts: dict) -> dict:
     total = float(sum(counts.values()))
     target = total / len(counts)
     return {s: min(1.0, target / c) for s, c in counts.items() if c}
+
+
+def md5_prefix_ints(values: list) -> np.ndarray:
+    """First 8 md5 hex chars of str(value) as uint32-range int64s
+    (nulls -> -1, never selected)."""
+    return np.array([
+        int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16)
+        if v is not None else -1
+        for v in values
+    ], dtype=np.int64)
+
+
+def weighted_hash_topk(ds: "ray.data.Dataset", key_col: str,
+                       weight_col: str, k: int,
+                       score_col: str = "score"
+                       ) -> "ray.data.Dataset":
+    """Weighted sample WITHOUT replacement of size k — the A-ES
+    (Efraimidis–Spirakis) order-sampling scheme with the RNG replaced
+    by the engine-portable md5 uniform: u = (md5_int(key)+0.5)/16^8,
+    score = u^(1/w), keep the k largest scores. Inclusion probability
+    is proportional to weight (in the order-sampling sense); rows with
+    weight <= 0 or null key never qualify.
+
+    Same portability contract as ``md5_hash_sample``: DuckDB selects
+    the identical row set via POW/md5 SQL, so the sample is
+    oracle-checkable and stable under repartitioning, retries and
+    cluster resize. Scale shape: per-batch vectorized scoring + LOCAL
+    top-k prune (argpartition), so the global sort sees k rows per
+    batch, never the corpus."""
+    def score_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        h = md5_prefix_ints(batch.column(key_col).to_pylist())
+        ok = (h >= 0) & np.isfinite(w) & (w > 0)
+        u = (h + 0.5) / float(_HEX_SPACE)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(ok, np.power(u, 1.0 / np.where(ok, w, 1.0)),
+                         -1.0)
+        t = batch.append_column(score_col, pa.array(s, pa.float64()))
+        t = t.filter(pa.array(ok))
+        if t.num_rows > k:
+            sv = t.column(score_col).to_numpy()
+            top = np.argpartition(sv, len(sv) - k)[len(sv) - k:]
+            t = t.take(pa.array(np.sort(top)))
+        return t
+
+    return (ds.map_batches(score_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort([score_col, key_col], descending=[True, False])
+            .limit(k))

@@ -47,3 +47,37 @@ def grouped_top_k(ds: "ray.data.Dataset", key: str, order_col: str,
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby(_BUCKET).map_groups(bucket_top, batch_format="pandas"))
+
+
+def per_host_cap(ds: "ray.data.Dataset", url_col: str = "url",
+                 quality_col: str = "quality_score", cap: int = 5,
+                 host_col: str = "host",
+                 num_buckets: int | None = None) -> "ray.data.Dataset":
+    """FineWeb-style per-host page cap: keep at most ``cap`` pages per
+    hostname, best ``quality_col`` first (ties broken by url asc for
+    determinism). Guards the corpus against any single crawl-heavy
+    domain dominating the token budget — the output-side dual of
+    salting hot hosts on the shuffle side.
+
+    Host extraction is one vectorized ``pc.extract_regex`` over the
+    scheme://host/ prefix (rows without a parseable host are dropped —
+    they cannot be budgeted); the cap itself is grouped_row_number's
+    one bucketed shuffle with the limit pushed into the bucket pass, so
+    only surviving rows leave the shuffle task."""
+    import pyarrow.compute as pc
+
+    from .window import grouped_row_number
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column(url_col),
+                             r"^[a-z][a-z0-9+.-]*://(?P<h>[^/]+)")
+        host = pc.struct_field(m, "h")
+        t = batch.append_column(host_col, host)
+        return t.filter(pc.is_valid(host))
+
+    with_host = ds.map_batches(add_host, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return grouped_row_number(with_host, host_col,
+                              [quality_col, url_col],
+                              ascending=[False, True], out_col="rn",
+                              limit=cap, num_buckets=num_buckets)
