@@ -435,16 +435,18 @@ def paragraph_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id",
     surviving paragraphs. Docs whose every paragraph was a later
     duplicate disappear.
 
-    Scale shape: paragraphs are keyed by md5 (128-bit — a 64-bit key
-    has birthday collisions at 10^12-paragraph scale) and the keeper
-    election groups on the 32-hex digest, not the text; the winner is
-    MIN(doc_id·2^32 + idx) — one packed-int64 argmin through the
-    combiner-compressed shuffle (idx < 2^32 per doc, doc_id < 2^31
-    documented bound). The paragraph text itself crosses the wire
-    twice and only twice: once into the keeper join's buckets, once
-    into the per-doc reassembly shuffle."""
-    import hashlib
-
+    Scale shape: the keeper election groups and joins on the paragraph
+    TEXT itself — exact identity, zero collision risk at any scale (a
+    64-bit digest has birthday collisions at 10^12 paragraphs, and a
+    128-bit one costs a per-row Python md5 loop in the hot path; the
+    raw text is barely wider than a 32-hex digest and rides the same
+    vectorized hash64 bucketing). The winner is MIN(doc_id·2^32 + idx)
+    — one packed-int64 argmin through the combiner-compressed shuffle
+    (idx < 2^32 per doc, doc_id < 2^31 documented bound). Paragraph
+    text crosses the wire twice and only twice: once into the keeper
+    join's buckets, once into the per-doc reassembly shuffle; the
+    election shuffle moves one (para, packed) row per distinct
+    paragraph per block."""
     from ray.data.aggregate import Min
 
     from .joins import bucket_hash_join
@@ -453,21 +455,27 @@ def paragraph_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id",
     paras = explode_paragraphs(docs, id_col, text_col, sep=sep,
                                chunk_words=chunk_words)
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = [hashlib.md5(p.encode()).hexdigest()
-             for p in batch.column("para").to_pylist()]
+    def add_packed(batch: pa.Table) -> pa.Table:
         packed = pc.add(
             pc.multiply(batch.column(id_col), pa.scalar(1 << 32)),
             batch.column("idx"))
-        return (batch.append_column("phash", pa.array(h, pa.string()))
-                .append_column("packed", packed))
+        return batch.append_column("packed", packed)
 
-    hashed = paras.map_batches(add_hash, batch_format="pyarrow",
-                               batch_size=1024)
-    keeper = (hashed.select_columns(["phash", "packed"])
-              .groupby("phash")
-              .aggregate(Min("packed", alias_name="keep_packed")))
-    joined = bucket_hash_join(hashed, keeper, "phash", "phash",
+    def elect_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["para", "packed"]).group_by("para").aggregate(
+            [("packed", "min")])
+        return g.rename_columns(["para", "packed"])
+
+    hashed = paras.map_batches(add_packed, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    keeper = (hashed.map_batches(elect_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .groupby("para")
+              .aggregate(Min("packed", alias_name="keep_packed"))
+              .map_batches(lambda b: b.rename_columns(["kpara",
+                                                       "keep_packed"]),
+                           batch_format="pyarrow", zero_copy_batch=True))
+    joined = bucket_hash_join(hashed, keeper, "para", "kpara",
                               num_buckets=num_buckets)
     def keep_winners(batch: pa.Table) -> pa.Table:
         m = pc.equal(batch.column("packed"), batch.column("keep_packed"))
