@@ -3427,3 +3427,44 @@ def q_extract_host_cap(sf_dir: str):
 
 
 QUERIES.update({"extract_host_cap": q_extract_host_cap})
+
+
+def q_docs_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail LM split: self-trained unigram LM
+    (vocab_stats combiner shuffle) broadcast once; per-doc mean token
+    logprob; exact PERCENTILE_DISC tertile cutoffs; bucket assignment
+    per batch. Scores rounded to 6 before the cutoff election so the
+    assignment is engine-portable."""
+    from .stages.text_ops import perplexity_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return perplexity_buckets(ds, "doc_id", "text", n_buckets=3)
+
+
+QUERIES.update({"docs_perplexity_buckets": q_docs_perplexity_buckets})
+
+ORACLES.update({
+    "docs_perplexity_buckets": """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents
+        ), tf AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        tot AS (SELECT SUM(c) AS t FROM tf),
+        lp AS (SELECT w, LN(c / t) AS lp FROM tf, tot),
+        doc AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(lp), 6) AS avg_logprob
+            FROM words JOIN lp USING (w) GROUP BY doc_id
+        ), cuts AS (
+            SELECT quantile_disc(avg_logprob, 1.0/3) AS c1,
+                   quantile_disc(avg_logprob, 2.0/3) AS c2
+            FROM doc
+        )
+        SELECT doc_id, n_tokens, avg_logprob,
+               CAST(3 - CAST(avg_logprob > c1 AS INT)
+                      - CAST(avg_logprob > c2 AS INT) AS BIGINT)
+                   AS bucket
+        FROM doc, cuts
+    """,
+})

@@ -517,3 +517,106 @@ def top_bigrams(docs: "ray.data.Dataset", text_col: str = "text",
             .aggregate(Sum("n", alias_name="n"))
             .sort(["n", "bigram"], descending=[True, False])
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity bucketing (CCNet's head/middle/tail split)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                       text_col: str = "text", n_buckets: int = 3,
+                       score_ndigits: int = 6) -> "ray.data.Dataset":
+    """CCNet-style LM bucketing with a self-trained unigram LM: score
+    every doc by mean token log-probability under the corpus's own
+    unigram distribution, then split the corpus into ``n_buckets``
+    equal-population quality tiers (head/middle/tail for 3) at exact
+    PERCENTILE_DISC cutoffs.
+
+    Pipeline shape (all stages streaming):
+      1. unigram tf via ``vocab_stats`` (map-side combiner shuffle);
+      2. token→ln(tf/total) table broadcast ONCE via ``ray.put`` —
+         sound for real-corpus vocabularies (1e6–1e8 entries); beyond
+         that swap for a bucketed token join (the tfidf_top_terms
+         shape);
+      3. per-batch vectorized doc scoring (one Counter pass per doc,
+         numpy dot against the lookup);
+      4. exact cutoffs via the PERCENTILE_DISC machinery over the slim
+         (score) projection — cutoffs are actual data values, so the
+         bucket assignment is engine-portable; scores are rounded to
+         ``score_ndigits`` BEFORE the cutoff election so both engines
+         compare identical doubles;
+      5. broadcast the (n_buckets-1) cutoffs, assign
+         bucket = 1 + Σ (score > cutoff) per batch.
+
+    Every token of the scored corpus is in-vocab by construction
+    (same corpus trains and scores); foreign tokens would score with
+    the minimum observed logprob."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .stats import grouped_quantile_disc
+
+    vocab = vocab_stats(docs, text_col=text_col)
+    vt = vocab.select_columns(["token", "tf"]).to_pandas()
+    total = float(vt["tf"].sum())
+    lp = dict(zip(vt["token"], np.log(vt["tf"].to_numpy() / total)))
+    floor_lp = float(min(lp.values())) if lp else 0.0
+    lp_ref = ray.put((lp, floor_lp))
+
+    class ScoreBatch:
+        def __init__(self, ref):
+            self.lp, self.floor = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            n_toks, scores = [], []
+            for s in batch.column(text_col).to_pylist():
+                toks = (s or "").split()
+                n_toks.append(len(toks))
+                if toks:
+                    g = self.lp.get
+                    scores.append(
+                        sum(g(t, self.floor) for t in toks) / len(toks))
+                else:
+                    scores.append(self.floor)
+            sc = np.round(np.array(scores, dtype=np.float64),
+                          score_ndigits)
+            return pa.table({
+                id_col: ids,
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "avg_logprob": pa.array(sc, pa.float64()),
+            })
+
+    scored = docs.map_batches(ScoreBatch,
+                              fn_constructor_kwargs={"ref": lp_ref},
+                              batch_format="pyarrow", concurrency=2,
+                              batch_size=512)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_one": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            "avg_logprob": batch.column("avg_logprob"),
+        })
+
+    cuts = []
+    slim_ds = scored.map_batches(slim, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    for i in range(1, n_buckets):
+        q = i / n_buckets
+        t = grouped_quantile_disc(slim_ds, "_one", "avg_logprob", q,
+                                  out_col="c").to_pandas()
+        cuts.append(float(t["c"].iloc[0]))
+    cuts_arr = np.array(cuts, dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        # bucket 1 = head (highest mean logprob / lowest perplexity),
+        # bucket n = tail — the CCNet orientation
+        s = batch.column("avg_logprob").to_numpy(zero_copy_only=False)
+        b = n_buckets - (s[:, None] > cuts_arr[None, :]).sum(axis=1)
+        return batch.append_column("bucket",
+                                   pa.array(b.astype(np.int64)))
+
+    return scored.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
