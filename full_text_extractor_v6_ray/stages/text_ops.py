@@ -404,6 +404,8 @@ def explode_paragraphs(docs: "ray.data.Dataset", id_col: str = "doc_id",
         ids, idxs, paras = [], [], []
         for did, s in zip(batch.column(id_col).to_pylist(),
                           batch.column(text_col).to_pylist()):
+            if did is None:
+                continue  # a null id can't win or lose a keeper election
             if sep is not None:
                 parts = [p for p in (s or "").split(sep) if p]
             else:

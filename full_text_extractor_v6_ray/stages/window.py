@@ -593,6 +593,13 @@ def grouped_time_range_sum(ds: "ray.data.Dataset", key: str, ts_col: str,
 
     def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=_BUCKET)
+        # a null ts has no place on a value-bounded axis: drop explicitly
+        # (pandas time-rolling would otherwise raise mid-task on NaT)
+        g = g[g[ts_col].notna() & g[key].notna()]
+        if g.empty:
+            out = g.copy()
+            out[out_col] = pd.Series(dtype="float64")
+            return out
         ded = (g.groupby([key, ts_col], sort=True)[value_col]
                .sum().reset_index())
         rolled = (ded.groupby(key, sort=False)

@@ -179,3 +179,37 @@ def test_grouping_sets_rejects_unknown_key(ray_session):
     df = pd.DataFrame({"a": ["p"], "v": [1.0]})
     with pytest.raises(ValueError):
         grouping_sets_agg(ray.data.from_pandas(df), ["a"], [["zz"]], "v")
+
+
+def test_time_range_sum_drops_null_ts_and_key(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.window import (
+        grouped_time_range_sum)
+
+    df = pd.DataFrame({
+        "k": [1, 1, None, 1],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:30",
+                              "2024-01-01 01:00", None]),
+        "v": [1.0, 2.0, 4.0, 8.0],
+    })
+    got = (grouped_time_range_sum(ray.data.from_pandas(df), "k", "ts",
+                                  "v", window="1h", out_col="rs",
+                                  num_buckets=2)
+           .to_pandas().sort_values("ts").reset_index(drop=True))
+    # null-key and null-ts rows dropped; the two valid rows window over
+    # each other only
+    assert len(got) == 2
+    assert got["rs"].tolist() == [1.0, 3.0]
+
+
+def test_paragraph_explode_skips_null_ids(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import (
+        explode_paragraphs)
+
+    df = pd.DataFrame({"doc_id": pd.array([1, None], dtype="Int64"),
+                       "text": ["a b", "c d"]})
+    got = explode_paragraphs(ray.data.from_pandas(df), "doc_id", "text",
+                             chunk_words=1).to_pandas()
+    assert set(got["doc_id"]) == {1}
+    assert len(got) == 2
