@@ -185,6 +185,37 @@ def run_bench() -> dict:
         queries["corpus_prep_docs"] = round(time.perf_counter() - t, 3)
         shutil.rmtree(docs_dir, ignore_errors=True)
 
+    # -- paragraph-level dedup at scale (env-gated) -------------------------
+    # GRAFT_BENCH_PARA_REPLICATE=R expands documents with the same
+    # planted dup mix and times paragraph_dedup (explode -> keep-first
+    # election -> bucketed join -> ordered reassembly) end-to-end; the
+    # planted exact/near dups guarantee real duplicate paragraphs.
+    para_rep = int(os.environ.get("GRAFT_BENCH_PARA_REPLICATE", "0"))
+    para_rows = None
+    if para_rep:
+        from full_text_extractor_v6_ray.sources.docs_gen import (
+            DocVariantsBatch,
+        )
+        from full_text_extractor_v6_ray.stages.text_ops import (
+            paragraph_dedup,
+        )
+
+        docs_dir = f"{out_base}/bench_para_docs_{NUM_CPUS}"
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        import ray.data as rd
+        (rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+         .map_batches(DocVariantsBatch(para_rep),
+                      batch_format="pyarrow", zero_copy_batch=True)
+         .write_parquet(docs_dir))
+        t = time.perf_counter()
+        para_rows = paragraph_dedup(
+            rd.read_parquet(docs_dir), "doc_id", "text",
+            chunk_words=10,
+            num_buckets=max(32, 4 * NUM_CPUS)).count()
+        queries["paragraph_dedup_docs"] = round(time.perf_counter() - t, 3)
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
     headline = queries["extract_dedup_write"]
     docs_per_sec = round(n_pages / queries["extract"], 1)
 
@@ -249,6 +280,9 @@ def run_bench() -> dict:
     if corpus_rows is not None:
         out["corpus_prep_rows"] = corpus_rows
         out["corpus_replicate"] = corpus_rep
+    if para_rows is not None:
+        out["paragraph_dedup_rows"] = para_rows
+        out["para_replicate"] = para_rep
     return out
 
 

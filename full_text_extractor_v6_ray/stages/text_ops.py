@@ -443,8 +443,20 @@ def paragraph_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id",
     128-bit one costs a per-row Python md5 loop in the hot path; the
     raw text is barely wider than a 32-hex digest and rides the same
     vectorized hash64 bucketing). The winner is MIN(doc_id·2^32 + idx)
-    — one packed-int64 argmin through the combiner-compressed shuffle
-    (idx < 2^32 per doc, doc_id < 2^31 documented bound). Paragraph
+    — one packed-int64 argmin through the combiner-compressed shuffle.
+    The pack is computed in uint64 (injective and order-preserving for
+    idx < 2^32 per doc and doc_id < 2^32, the documented bounds) then
+    mapped to int64 by flipping the sign bit — the standard
+    order-preserving bijection — because Ray's Min reduce rebuilds its
+    output from Python ints via ``pa.array`` (int64 inference): a raw
+    uint64 ≥ 2^63 overflows there into a pickled-object column, while
+    every int64 min stays exact (no float round-trip). The packed key
+    never crosses the bucketed JOIN, though: that join's per-bucket
+    pandas merge round-trips null-padded ints through float64
+    (joins.py module caveat), which collapses adjacent 2^63-magnitude
+    values (float64 spacing there is 2048). The keeper side instead
+    unpacks the winner back into (keep_doc, keep_idx) — each < 2^32,
+    float64-exact — and the post-join filter compares those. Paragraph
     text crosses the wire twice and only twice: once into the keeper
     join's buckets, once into the per-doc reassembly shuffle; the
     election shuffle moves one (para, packed) row per distinct
@@ -458,10 +470,14 @@ def paragraph_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id",
                                chunk_words=chunk_words)
 
     def add_packed(batch: pa.Table) -> pa.Table:
-        packed = pc.add(
-            pc.multiply(batch.column(id_col), pa.scalar(1 << 32)),
-            batch.column("idx"))
-        return batch.append_column("packed", packed)
+        did = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        idx = batch.column("idx").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        packed = ((did << np.uint64(32)) | idx) ^ np.uint64(1 << 63)
+        return batch.append_column("packed",
+                                   pa.array(packed.view(np.int64),
+                                            pa.int64()))
 
     def elect_partial(batch: pa.Table) -> pa.Table:
         g = batch.select(["para", "packed"]).group_by("para").aggregate(
@@ -470,17 +486,32 @@ def paragraph_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id",
 
     hashed = paras.map_batches(add_packed, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+    def unpack_keeper(batch: pa.Table) -> pa.Table:
+        u = batch.column("keep_packed").to_numpy(
+            zero_copy_only=False).view(np.uint64) ^ np.uint64(1 << 63)
+        return pa.table({
+            "kpara": batch.column("para"),
+            "keep_doc": pa.array(
+                (u >> np.uint64(32)).astype(np.int64), pa.int64()),
+            "keep_idx": pa.array(
+                (u & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+        })
+
     keeper = (hashed.map_batches(elect_partial, batch_format="pyarrow",
                                  zero_copy_batch=True)
               .groupby("para")
               .aggregate(Min("packed", alias_name="keep_packed"))
-              .map_batches(lambda b: b.rename_columns(["kpara",
-                                                       "keep_packed"]),
-                           batch_format="pyarrow", zero_copy_batch=True))
-    joined = bucket_hash_join(hashed, keeper, "para", "kpara",
+              .map_batches(unpack_keeper, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    joined = bucket_hash_join(paras, keeper, "para", "kpara",
                               num_buckets=num_buckets)
+
     def keep_winners(batch: pa.Table) -> pa.Table:
-        m = pc.equal(batch.column("packed"), batch.column("keep_packed"))
+        m = pc.and_(pc.equal(batch.column(id_col),
+                             batch.column("keep_doc")),
+                    pc.equal(batch.column("idx"),
+                             batch.column("keep_idx")))
         return batch.filter(m).select([id_col, "idx", "para"])
 
     kept = joined.map_batches(keep_winners, batch_format="pyarrow",

@@ -56,6 +56,29 @@ def test_chunk_words_explode_positions(ray_session):
     assert got["idx"].tolist() == [0, 1, 2]
 
 
+def test_paragraph_dedup_doc_ids_above_2_31(ray_session):
+    """Packed election keys beyond int64<<32 territory: doc_id ≥ 2^31
+    makes the uint64 pack ≥ 2^63, which must survive Ray's Min reduce
+    exactly (sign-bit-flip bijection into int64 — a raw uint64 would
+    overflow pa.array's int64 inference, a float64 round-trip would
+    merge adjacent ids above 2^53)."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import paragraph_dedup
+
+    lo, hi = (1 << 31) + 5, (1 << 32) - 2  # both past the old bound
+    docs = pd.DataFrame({
+        "doc_id": [hi, lo],
+        "text": ["shared para\n\nonly in hi", "shared para\n\nonly in lo"],
+    })
+    got = (paragraph_dedup(ray.data.from_pandas(docs), "doc_id", "text",
+                           sep="\n\n", join_sep="\n\n", num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [lo, hi]
+    # keep-FIRST = smaller (doc_id, idx): lo wins the shared paragraph
+    assert got.loc[0, "text"] == "shared para\n\nonly in lo"
+    assert got.loc[1, "text"] == "only in hi"
+
+
 def test_top_bigrams_counts_and_tiebreak(ray_session):
     import ray.data
     from full_text_extractor_v6_ray.stages.text_ops import top_bigrams
