@@ -3468,3 +3468,170 @@ ORACLES.update({
         FROM doc, cuts
     """,
 })
+
+
+def q_docs_bm25_top10(sf_dir: str):
+    """Okapi BM25 top-10 docs for query {hash, join, scan}: query-term
+    df + corpus stats combine map-side into a ≤|query|+1-row broadcast;
+    scoring is one streaming pass with a batch-local top-k prune, so
+    the global sort sees O(k x batches) rows."""
+    from .stages.retrieval import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "join", "scan"], k=10)
+
+
+def q_docs_inverted_index(sf_dir: str):
+    """Inverted index (term -> sorted doc-id postings + tfs): tf rows
+    through ONE term-key bucketed shuffle; posting lists assemble
+    zero-copy from run offsets (no Python loop over terms). Postings
+    project to CSV strings here only for the hash compare — the real
+    sink keeps the list<int64> columns."""
+    from .stages.retrieval import inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = inverted_index(ds, "doc_id", "text")
+
+    def to_csv(batch: pa.Table) -> pa.Table:
+        post = pc.binary_join(
+            pc.cast(batch.column("postings"), pa.list_(pa.string())), ",")
+        tfs = pc.binary_join(
+            pc.cast(batch.column("tfs"), pa.list_(pa.string())), ",")
+        return pa.table({"term": batch.column("term"),
+                         "df": batch.column("df"),
+                         "postings": post, "tfs": tfs})
+
+    return idx.map_batches(to_csv, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_docs_chunk_assignment(sf_dir: str):
+    """GPT-style concat-and-chunk packing into 128-token context
+    windows: distributed prefix sum over doc_id order (range partials
+    -> driver cumsum of O(ranges) offsets -> one bucketed shuffle),
+    then pure arithmetic per doc."""
+    from .stages.packing import chunk_assignment
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_assignment(ds, "doc_id", "text", ctx=128)
+
+
+def q_docs_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights toward the English subcorpus:
+    unigram log-ratio of add-one-smoothed target vs raw LMs (both from
+    the vocab_stats map-side combiner), token->ratio table broadcast
+    once, one streaming scoring pass."""
+    from .stages.text_ops import dsir_log_ratio
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": batch.column("text"),
+            "is_target": pc.equal(batch.column("lang"), "en"),
+        })
+
+    marked = ds.map_batches(mark, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return dsir_log_ratio(marked, "doc_id", "text", "is_target")
+
+
+QUERIES.update({
+    "docs_bm25_top10": q_docs_bm25_top10,
+    "docs_inverted_index": q_docs_inverted_index,
+    "docs_chunk_assignment": q_docs_chunk_assignment,
+    "docs_dsir_weights": q_docs_dsir_weights,
+})
+
+ORACLES.update({
+    "docs_bm25_top10": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS term
+            FROM documents
+        ), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+        consts AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                          (SELECT COUNT(*) FROM tok2) AS toks),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+               WHERE term IN ('hash', 'join', 'scan')
+               GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2
+               WHERE term IN ('hash', 'join', 'scan') GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id,
+                   SUM(LN(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                              / (CAST(c.toks AS DOUBLE) / c.n))))
+                       AS score
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN consts c
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, ROUND(score, 6) AS score FROM scored
+        ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10
+    """,
+    "docs_inverted_index": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT term, doc_id, COUNT(*) AS tf FROM tok
+            WHERE term <> '' GROUP BY term, doc_id
+        )
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id) AS postings,
+               string_agg(CAST(tf AS VARCHAR), ','
+                          ORDER BY doc_id) AS tfs
+        FROM tf GROUP BY term
+    """,
+    "docs_chunk_assignment": """
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS start_tok
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(start_tok // 128 AS BIGINT) AS chunk_id,
+               CAST(CASE WHEN n_tok = 0 THEN 0
+                    ELSE ((start_tok + n_tok - 1) // 128)
+                         - (start_tok // 128) + 1 END AS BIGINT)
+                   AS n_chunks
+        FROM c
+    """,
+    "docs_dsir_weights": """
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS t
+            FROM documents
+        ), tok2 AS (SELECT * FROM tok WHERE t <> ''),
+        raw AS (SELECT t, COUNT(*) AS c FROM tok2 GROUP BY t),
+        tgt AS (SELECT t, COUNT(*) AS c FROM tok2
+                WHERE lang = 'en' GROUP BY t),
+        consts AS (SELECT (SELECT COUNT(*) FROM raw) AS v,
+                          (SELECT SUM(c) FROM raw) AS t_raw,
+                          (SELECT COALESCE(SUM(c), 0) FROM tgt) AS t_tgt),
+        ratio AS (
+            SELECT raw.t,
+                   LN(COALESCE(tgt.c, 0) + 1) - LN(c.t_tgt + c.v)
+                   - LN(raw.c + 1) + LN(c.t_raw + c.v) AS lr
+            FROM raw LEFT JOIN tgt ON raw.t = tgt.t CROSS JOIN consts c
+        )
+        SELECT d.doc_id, ROUND(COALESCE(s.w, 0), 6) AS log_ratio
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, SUM(lr) AS w FROM tok2
+            JOIN ratio ON tok2.t = ratio.t GROUP BY doc_id
+        ) s USING (doc_id)
+    """,
+})

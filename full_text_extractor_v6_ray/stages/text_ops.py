@@ -653,3 +653,68 @@ def perplexity_buckets(docs: "ray.data.Dataset", id_col: str = "doc_id",
 
     return scored.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def dsir_log_ratio(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                   text_col: str = "text",
+                   target_col: str = "is_target",
+                   ndigits: int = 6) -> "ray.data.Dataset":
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    via Importance Resampling"): weight each document by
+    Σ_tokens [ln p̂_target(tok) − ln p̂_raw(tok)] under add-one-smoothed
+    unigram LMs — the target LM trained on the rows where
+    ``target_col`` is true, the raw LM on the whole corpus. High-weight
+    docs look like the target domain; resample by weight to shift the
+    corpus mixture. (DSIR proper uses hashed n-gram features; the
+    unigram form keeps the weights engine-portable / SQL-oracle-able —
+    swap the token stream for hashed n-grams to get the paper's
+    estimator.)
+
+    Smoothing is over the RAW corpus vocabulary V (the target is a
+    subset, so every scored token is raw-known):
+    p̂(t) = (c(t)+1) / (T+V). Scale shape mirrors
+    ``perplexity_buckets``: both count tables come from the map-side
+    ``vocab_stats`` combiner; the token→log-ratio table broadcasts
+    ONCE via ``ray.put`` (sound for 1e6–1e8-entry real vocabularies;
+    beyond that use a bucketed token join, the tfidf_top_terms shape);
+    scoring is one streaming Counter pass per batch."""
+    import ray
+
+    raw = vocab_stats(docs, text_col=text_col).select_columns(
+        ["token", "tf"]).to_pandas()
+    tgt_docs = docs.map_batches(
+        lambda b: b.filter(pc.equal(b[target_col], True)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tgt = vocab_stats(tgt_docs, text_col=text_col).select_columns(
+        ["token", "tf"]).to_pandas()
+
+    v = float(len(raw))
+    t_raw = float(raw["tf"].sum())
+    t_tgt = float(tgt["tf"].sum())
+    tgt_c = dict(zip(tgt["token"], tgt["tf"].astype(float)))
+    raw_tok = raw["token"].to_numpy()
+    raw_c = raw["tf"].to_numpy(dtype=np.float64)
+    tgt_arr = np.array([tgt_c.get(t, 0.0) for t in raw_tok])
+    lr = (np.log(tgt_arr + 1.0) - np.log(t_tgt + v)
+          - np.log(raw_c + 1.0) + np.log(t_raw + v))
+    lr_ref = ray.put(dict(zip(raw_tok, lr)))
+
+    class Score:
+        def __init__(self, ref):
+            self.lr = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ws = []
+            g = self.lr.get
+            for s in batch.column(text_col).to_pylist():
+                toks = (s or "").split()
+                ws.append(float(sum(g(t, 0.0) for t in toks)))
+            return pa.table({
+                id_col: batch.column(id_col),
+                "log_ratio": pa.array(
+                    np.round(np.array(ws, dtype=np.float64), ndigits)),
+            })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        Score, fn_constructor_kwargs={"ref": lr_ref},
+        batch_format="pyarrow", concurrency=2, batch_size=512)

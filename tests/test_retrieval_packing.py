@@ -1,0 +1,148 @@
+"""BM25 top-k, inverted index, distributed prefix-sum / chunk packing,
+and DSIR importance weights."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_bm25_topk_matches_reference_formula(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.retrieval import bm25_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "apple banana apple",          # tf(apple)=2, dl=3
+            "apple cherry",                # tf(apple)=1, dl=2
+            "banana banana banana banana", # no query term
+            "apple apple apple apple apple apple",  # tf=6, dl=6
+        ],
+    })
+    got = bm25_topk(ray.data.from_pandas(docs), ["apple"], k=3,
+                    k1=1.2, b=0.75).to_pandas()
+
+    n, df = 4, 3
+    avgdl = (3 + 2 + 4 + 6) / 4
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def s(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75
+                                                   + 0.75 * dl / avgdl)), 6)
+
+    expect = sorted([(1, s(2, 3)), (2, s(1, 2)), (4, s(6, 6))],
+                    key=lambda r: (-r[1], r[0]))
+    assert [(int(d), round(float(v), 6)) for d, v in
+            got[["doc_id", "score"]].to_numpy()] == expect
+
+
+def test_bm25_no_match_docs_never_surface(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.retrieval import bm25_topk
+
+    docs = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["only noise here", "zebra yak"]})
+    got = bm25_topk(ray.data.from_pandas(docs), ["apple"],
+                    k=5).to_pandas()
+    assert len(got) == 0
+
+
+def test_inverted_index_postings_sorted_and_df(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.retrieval import inverted_index
+
+    docs = pd.DataFrame({
+        "doc_id": [10, 3, 7],
+        "text": ["a b a", "b c", "a c c"],
+    })
+    got = (inverted_index(ray.data.from_pandas(docs))
+           .to_pandas().set_index("term").sort_index())
+    assert got.loc["a", "df"] == 2
+    # postings sorted by doc_id, tfs aligned
+    assert list(got.loc["a", "postings"]) == [7, 10]
+    assert list(got.loc["a", "tfs"]) == [1, 2]
+    assert list(got.loc["b", "postings"]) == [3, 10]
+    assert list(got.loc["c", "postings"]) == [3, 7]
+    assert list(got.loc["c", "tfs"]) == [1, 2]
+
+
+def test_inverted_index_min_df_prunes_hapax(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.retrieval import inverted_index
+
+    docs = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["shared rare1", "shared rare2"]})
+    got = inverted_index(ray.data.from_pandas(docs),
+                         min_df=2).to_pandas()
+    assert got["term"].tolist() == ["shared"]
+
+
+def test_ordered_prefix_sum_inclusive_exclusive(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.packing import (
+        ordered_prefix_sum)
+
+    # ids deliberately unsorted across blocks, sparse, many ranges
+    ids = [50, 3, 99, 7, 20, 41]
+    vals = [5.0, 1.0, 2.0, 3.0, 4.0, 6.0]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": ids, "v": vals})).repartition(3)
+    got = (ordered_prefix_sum(ds, "k", "v", out_col="run",
+                              num_ranges=4)
+           .to_pandas().sort_values("k"))
+    order = np.argsort(ids)
+    expect = np.cumsum(np.array(vals)[order])
+    assert np.allclose(got["run"].to_numpy(), expect)
+
+    got_ex = (ordered_prefix_sum(ds, "k", "v", out_col="run",
+                                 exclusive=True, num_ranges=4)
+              .to_pandas().sort_values("k"))
+    assert np.allclose(got_ex["run"].to_numpy(),
+                       expect - np.array(vals)[order])
+
+
+def test_chunk_assignment_spans_windows(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.packing import chunk_assignment
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["w " * 5, "w " * 3, "", "w " * 10],
+    })
+    got = (chunk_assignment(ray.data.from_pandas(docs), ctx=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # stream: doc1 tokens [0,5) -> chunks 0-1; doc2 [5,8) -> chunk 1;
+    # doc3 empty at 8; doc4 [8,18) -> chunks 2-4
+    assert got["start_tok"].tolist() == [0, 5, 8, 8]
+    assert got["chunk_id"].tolist() == [0, 1, 2, 2]
+    assert got["n_chunks"].tolist() == [2, 1, 0, 3]
+
+
+def test_dsir_log_ratio_prefers_target_like_docs(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import dsir_log_ratio
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["code code function", "code function",
+                 "weather rain sun", "rain sun cloud"],
+        "is_target": [True, True, False, False],
+    })
+    got = (dsir_log_ratio(ray.data.from_pandas(docs))
+           .to_pandas().set_index("doc_id"))
+    # target-vocab docs weigh higher than off-target docs
+    assert got.loc[1, "log_ratio"] > got.loc[3, "log_ratio"]
+    assert got.loc[2, "log_ratio"] > got.loc[4, "log_ratio"]
+
+    # exact value check for doc 3 under add-one smoothing
+    raw = {"code": 3, "function": 2, "weather": 1, "rain": 2,
+           "sun": 2, "cloud": 1}
+    tgt = {"code": 3, "function": 2}
+    v, t_raw, t_tgt = len(raw), sum(raw.values()), sum(tgt.values())
+    lr = {t: (math.log(tgt.get(t, 0) + 1) - math.log(t_tgt + v)
+              - math.log(c + 1) + math.log(t_raw + v))
+          for t, c in raw.items()}
+    expect3 = round(lr["weather"] + lr["rain"] + lr["sun"], 6)
+    assert abs(got.loc[3, "log_ratio"] - expect3) < 1e-6
