@@ -3635,3 +3635,65 @@ ORACLES.update({
         ) s USING (doc_id)
     """,
 })
+
+
+def q_docs_chunk_slices(sf_dir: str):
+    """Training-loader packing manifest: one row per (context window,
+    doc slice) at ctx=128, exploded vectorized from chunk_assignment
+    (O(total_tokens/ctx) rows)."""
+    from .stages.packing import chunk_slices
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_slices(ds, "doc_id", "text", ctx=128)
+
+
+def q_docs_first_fit_pack(sf_dir: str):
+    """First-fit-decreasing whole-document bin packing at ctx=128,
+    bins scoped per hash partition (FFD is sequential; partitioning
+    bounds the loop to a bucket). Rows-only: capacity-state greedy
+    assignment is not SQL-expressible; invariants are test-pinned
+    (every doc exactly once, bin loads <= ctx, oversize isolation,
+    determinism)."""
+    from .stages.packing import first_fit_pack
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return first_fit_pack(ds, "doc_id", "text", ctx=128)
+
+
+QUERIES.update({
+    "docs_chunk_slices": q_docs_chunk_slices,
+    "docs_first_fit_pack": q_docs_first_fit_pack,
+})
+
+ORACLES.update({
+    "docs_chunk_slices": """
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS start_tok
+            FROM t
+        ), s AS (
+            SELECT doc_id, n_tok, start_tok,
+                   unnest(generate_series(
+                          CAST(start_tok // 128 AS BIGINT),
+                          CAST((start_tok + n_tok - 1) // 128 AS BIGINT)))
+                       AS chunk_id
+            FROM c WHERE n_tok > 0
+        )
+        SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+               CAST(GREATEST(start_tok, chunk_id * 128)
+                    - start_tok AS BIGINT) AS doc_from,
+               CAST(LEAST(start_tok + n_tok, (chunk_id + 1) * 128)
+                    - start_tok AS BIGINT) AS doc_to,
+               CAST(GREATEST(start_tok, chunk_id * 128)
+                    - chunk_id * 128 AS BIGINT) AS off_in_chunk,
+               CAST(LEAST(start_tok + n_tok, (chunk_id + 1) * 128)
+                    - chunk_id * 128 AS BIGINT) AS end_in_chunk
+        FROM s
+    """,
+})

@@ -159,3 +159,130 @@ def chunk_assignment(docs: "ray.data.Dataset", id_col: str = "doc_id",
 
     return started.map_batches(finish, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def chunk_slices(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                 text_col: str = "text", ctx: int = 2048,
+                 num_ranges: int | None = None) -> "ray.data.Dataset":
+    """The packer output a training data-loader actually consumes: one
+    row per (context window, document slice) — which token range of
+    which document fills which part of window ``chunk_id``. Empty docs
+    contribute nothing. Columns: chunk_id, doc_id, ``doc_from``/
+    ``doc_to`` (token range within the doc, half-open) and
+    ``off_in_chunk``/``end_in_chunk`` (position within the window).
+
+    Built by exploding ``chunk_assignment`` rows over their spanned
+    windows — vectorized repeat/arange, one output row per (doc,
+    window) incidence; a doc appears in ceil-ish (n_tok/ctx)+1 windows,
+    so the explode is O(total_tokens/ctx) rows, far below token
+    scale."""
+
+    assigned = chunk_assignment(docs, id_col, text_col, ctx=ctx,
+                                num_ranges=num_ranges)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        start = batch.column("start_tok").to_numpy(zero_copy_only=False)
+        n = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        first = batch.column("chunk_id").to_numpy(zero_copy_only=False)
+        reps = batch.column("n_chunks").to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(batch.num_rows), reps)
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table({
+                "chunk_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "doc_from": pa.array([], pa.int64()),
+                "doc_to": pa.array([], pa.int64()),
+                "off_in_chunk": pa.array([], pa.int64()),
+                "end_in_chunk": pa.array([], pa.int64()),
+            })
+        run_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        j = np.arange(total) - run_starts[parents]
+        chunk = first[parents] + j
+        lo = np.maximum(start[parents], chunk * ctx)
+        hi = np.minimum(start[parents] + n[parents], (chunk + 1) * ctx)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "chunk_id": pa.array(chunk.astype(np.int64)),
+            id_col: pa.array(ids[parents].astype(np.int64)),
+            "doc_from": pa.array((lo - start[parents]).astype(np.int64)),
+            "doc_to": pa.array((hi - start[parents]).astype(np.int64)),
+            "off_in_chunk": pa.array((lo - chunk * ctx).astype(np.int64)),
+            "end_in_chunk": pa.array((hi - chunk * ctx).astype(np.int64)),
+        })
+
+    return assigned.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def first_fit_pack(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                   text_col: str = "text", ctx: int = 2048,
+                   num_buckets: int | None = None) -> "ray.data.Dataset":
+    """First-fit-decreasing bin packing of whole documents into
+    ``ctx``-token bins — the no-document-splitting packing flavor
+    (contrast ``chunk_assignment``, which concatenates and cuts).
+    Output: (doc_id, n_tok, bin_id, oversize) — ``oversize`` docs
+    (n_tok > ctx) get a dedicated bin each.
+
+    FFD is inherently sequential, so bins are scoped PER HASH
+    PARTITION: docs hash-bucket on id (one shuffle), each bucket packs
+    independently with FFD, and bin ids namespace as
+    bucket·2^40 + local_bin. Packing quality equals single-node FFD
+    within each bucket (≥ (11/9)OPT per bucket); global bin count is
+    at most ``num_buckets``−1 bins worse than packing the whole corpus
+    in one sequence — the price of parallelism, documented. The
+    per-doc Python loop is confined to bucket tasks (the operator is a
+    combinatorial assignment, not a numeric kernel)."""
+    from .dedup import _stable_bucket
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.cast(batch.column(text_col), pa.string()), pattern=r"\S+")
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "n_tok": pc.cast(n, pa.int64()),
+        })
+        return t.append_column(
+            "_pbucket", _stable_bucket(t.column(id_col), num_buckets))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["_pbucket"].iloc[0])
+        base = bucket << 40
+        g = g.sort_values(["n_tok", id_col], ascending=[False, True],
+                          kind="mergesort")
+        n = g["n_tok"].to_numpy()
+        bins_rem: list[int] = []   # remaining capacity of open bins
+        bin_ids: list[int] = []    # their local ids
+        assign = np.empty(len(g), dtype=np.int64)
+        oversize = n > ctx
+        next_bin = 0
+        for i, tok in enumerate(n):
+            if tok > ctx:
+                assign[i] = next_bin
+                next_bin += 1
+                continue
+            for bi, rem in enumerate(bins_rem):
+                if rem >= tok:
+                    bins_rem[bi] = rem - tok
+                    assign[i] = bin_ids[bi]
+                    break
+            else:
+                bins_rem.append(ctx - tok)
+                bin_ids.append(next_bin)
+                assign[i] = next_bin
+                next_bin += 1
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_tok": n,
+            "bin_id": base + assign,
+            "oversize": oversize,
+        })
+
+    return (docs.select_columns([id_col, text_col])
+            .map_batches(count_tokens, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_pbucket")
+            .map_groups(pack, batch_format="pandas"))

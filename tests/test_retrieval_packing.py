@@ -120,6 +120,67 @@ def test_chunk_assignment_spans_windows(ray_session):
     assert got["n_chunks"].tolist() == [2, 1, 0, 3]
 
 
+def test_chunk_slices_cover_every_token_once(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.packing import chunk_slices
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["w " * 5, "w " * 3, "", "w " * 10],
+    })
+    got = (chunk_slices(ray.data.from_pandas(docs), ctx=4)
+           .to_pandas().sort_values(["chunk_id", "doc_id"])
+           .reset_index(drop=True))
+    # stream: doc1 [0,5) doc2 [5,8) doc4 [8,18); windows of 4
+    expect = [
+        # (chunk, doc, doc_from, doc_to, off_in_chunk, end_in_chunk)
+        (0, 1, 0, 4, 0, 4),
+        (1, 1, 4, 5, 0, 1),
+        (1, 2, 0, 3, 1, 4),
+        (2, 4, 0, 4, 0, 4),
+        (3, 4, 4, 8, 0, 4),
+        (4, 4, 8, 10, 0, 2),
+    ]
+    assert [tuple(r) for r in got.to_numpy()] == expect
+    # every document token lands in exactly one slice
+    per_doc = got.groupby("doc_id").apply(
+        lambda g: (g["doc_to"] - g["doc_from"]).sum())
+    assert per_doc.to_dict() == {1: 5, 2: 3, 4: 10}
+    # slices tile each window without overlap
+    for _, g in got.groupby("chunk_id"):
+        g = g.sort_values("off_in_chunk")
+        assert (g["end_in_chunk"].to_numpy()[:-1]
+                == g["off_in_chunk"].to_numpy()[1:]).all()
+
+
+def test_first_fit_pack_invariants(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.packing import first_fit_pack
+
+    rng = np.random.RandomState(7)
+    sizes = rng.randint(1, 120, size=60).tolist() + [300, 250]  # oversize
+    docs = pd.DataFrame({
+        "doc_id": range(len(sizes)),
+        "text": ["t " * s for s in sizes],
+    })
+    got = first_fit_pack(ray.data.from_pandas(docs), ctx=128,
+                         num_buckets=4).to_pandas()
+    assert len(got) == len(sizes)                    # every doc once
+    assert got["doc_id"].is_unique
+    assert (got.loc[got["oversize"], "n_tok"] > 128).all()
+    assert (got.loc[~got["oversize"], "n_tok"] <= 128).all()
+    loads = got[~got["oversize"]].groupby("bin_id")["n_tok"].sum()
+    assert (loads <= 128).all()                      # capacity respected
+    over_bins = got.loc[got["oversize"], "bin_id"]
+    assert not set(over_bins) & set(loads.index)     # dedicated bins
+    # deterministic
+    again = first_fit_pack(ray.data.from_pandas(docs), ctx=128,
+                           num_buckets=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
 def test_dsir_log_ratio_prefers_target_like_docs(ray_session):
     import ray.data
     from full_text_extractor_v6_ray.stages.text_ops import dsir_log_ratio
