@@ -3697,3 +3697,88 @@ ORACLES.update({
         FROM s
     """,
 })
+
+
+def q_docs_normalized_dedup(sf_dir: str):
+    """Exact dedup on CCNet-normalized text (lowercase, digits->0,
+    punctuation stripped, whitespace collapsed): case/format variants
+    collapse to the lowest-doc_id survivor. keyed_keep_one on the
+    normalized key — map-side combine, one bucketed shuffle."""
+    from .stages.text_ops import normalized_keep_first
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalized_keep_first(ds, "doc_id", "text")
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6: pushdown-pruned scan, per-batch vectorized filter +
+    partial sum (one float per batch through the shuffle)."""
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"),
+                                 pa.scalar(datetime(1997, 1, 1))),
+                pc.less(batch.column("l_shipdate"),
+                        pa.scalar(datetime(1998, 1, 1)))),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch.column("l_discount"), 0.05),
+                    pc.less_equal(batch.column("l_discount"), 0.07)),
+                pc.less(batch.column("l_quantity"), 24.0)))
+        t = batch.filter(m)
+        rev = pc.sum(pc.multiply(t.column("l_extendedprice"),
+                                 t.column("l_discount"))).as_py()
+        return pa.table({"_one": pa.array([0], pa.int64()),
+                         "_rev": pa.array([rev or 0.0], pa.float64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("_one").aggregate(Sum("_rev", alias_name="_rev")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"revenue": pc.round(batch.column("_rev"),
+                                             ndigits=2)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+QUERIES.update({
+    "docs_normalized_dedup": q_docs_normalized_dedup,
+    "q6_forecast_revenue": q6_forecast_revenue,
+})
+
+ORACLES.update({
+    "docs_normalized_dedup": """
+        WITH n AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       lower(COALESCE(text, '')),
+                       '\\d', '0', 'g'), '[^\\w\\s]', '', 'g'),
+                       '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        ), r AS (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY norm
+                                      ORDER BY doc_id) AS rn
+            FROM n
+        )
+        SELECT doc_id, text FROM r WHERE rn = 1
+    """,
+    "q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+})

@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -213,11 +214,22 @@ def grouped_string_agg(ds: "ray.data.Dataset", key: str, value_col: str,
     order_cols = order_cols or [value_col]
 
     def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized join: one ListArray built from key-run offsets +
+        # one binary_join kernel — the per-key Python lambda this
+        # replaces dominated the 2M-doc paragraph-reassembly bench
         g = g.sort_values([key] + order_cols, kind="mergesort")
-        out = (g.groupby(key, sort=False)[value_col]
-               .agg(lambda s: sep.join(str(v) for v in s))
-               .reset_index(name=out_col))
-        return out
+        vals = pa.array(g[value_col].astype(str), pa.string())
+        k = g[key].to_numpy()
+        if len(k) == 0:
+            return pd.DataFrame({key: k, out_col: []})
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        starts = np.flatnonzero(first)
+        offsets = pa.array(
+            np.concatenate((starts, [len(k)])).astype(np.int32))
+        joined = pc.binary_join(pa.ListArray.from_arrays(offsets, vals),
+                                sep)
+        return pd.DataFrame({key: k[starts],
+                             out_col: joined.to_pandas()})
 
     return (_bucketed(ds, key, num_buckets)
             .groupby(_BUCKET).map_groups(agg_bucket,

@@ -181,6 +181,26 @@ def test_first_fit_pack_invariants(ray_session):
         again.sort_values("doc_id").reset_index(drop=True))
 
 
+def test_normalized_keep_first_collapses_variants(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.text_ops import (
+        normalized_keep_first)
+
+    docs = pd.DataFrame({
+        "doc_id": [5, 2, 9, 1],
+        "text": [
+            "Hello,  World! 42",
+            "hello world 99",      # same after digits->0 + punct strip
+            "HELLO WORLD 00",      # same again
+            "different entirely",
+        ],
+    })
+    got = (normalized_keep_first(ray.data.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 2]
+    assert got.loc[1, "text"] == "hello world 99"  # lowest id wins
+
+
 def test_dsir_log_ratio_prefers_target_like_docs(ray_session):
     import ray.data
     from full_text_extractor_v6_ray.stages.text_ops import dsir_log_ratio
