@@ -770,13 +770,13 @@ def q_diagram_scores(sf_dir: str):
 
 def q_orders_customer_hashjoin(sf_dir: str):
     """Explicit partitioned hash join (both sides shuffled once by key)."""
-    from .stages.joins import bucket_hash_join
+    from .stages.joins import lookup_hash_join
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_name", "c_mktsegment"])
-    joined = bucket_hash_join(orders, cust, "o_custkey", "c_custkey",
+    joined = lookup_hash_join(orders, cust, "o_custkey", "c_custkey",
                               num_buckets=16)
     return joined.select_columns(["o_orderkey", "o_custkey", "o_totalprice",
                                   "c_name", "c_mktsegment"])
@@ -799,7 +799,7 @@ def q_returned_revenue_topk(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    from .stages.joins import bucket_hash_join
+    from .stages.joins import lookup_hash_join
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -818,7 +818,7 @@ def q_returned_revenue_topk(sf_dir: str):
     li_partial = li.map_batches(partial_rev, batch_format="pyarrow",
                                 batch_size=4096)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = bucket_hash_join(li_partial, orders, "l_orderkey", "o_orderkey",
+    joined = lookup_hash_join(li_partial, orders, "l_orderkey", "o_orderkey",
                               num_buckets=16)
     by_cust = (joined.select_columns(["o_custkey", "rev"])
                .groupby("o_custkey")
@@ -1665,7 +1665,7 @@ def q_orders_left_join_coverage(sf_dir: str):
     coverage per order status — per-batch partials, tiny groupby-sum."""
     from ray.data.aggregate import Sum
 
-    from .stages.joins import bucket_hash_join
+    from .stages.joins import lookup_hash_join
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderstatus"])
@@ -1677,7 +1677,7 @@ def q_orders_left_join_coverage(sf_dir: str):
 
     cust = cust.map_batches(near_nations, batch_format="pyarrow",
                             zero_copy_batch=True)
-    joined = bucket_hash_join(orders, cust, "o_custkey", "c_custkey",
+    joined = lookup_hash_join(orders, cust, "o_custkey", "c_custkey",
                               how="left")
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -3169,7 +3169,7 @@ def q3_shipping_priority(sf_dir: str):
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    from .stages.joins import bucket_hash_join
+    from .stages.joins import lookup_hash_join
 
     cutoff = datetime.datetime(1998, 6, 30)
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
@@ -3217,7 +3217,7 @@ def q3_shipping_priority(sf_dir: str):
 
     li_partial = li.map_batches(partial_rev, batch_format="pyarrow",
                                 batch_size=4096)
-    joined = bucket_hash_join(li_partial, orders,
+    joined = lookup_hash_join(li_partial, orders,
                               "l_orderkey", "o_orderkey", num_buckets=16)
     agg = (joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
            .aggregate(Sum("rev", alias_name="revenue")))

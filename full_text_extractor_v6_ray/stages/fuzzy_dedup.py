@@ -198,7 +198,7 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
     the signature ONCE per doc — vs round 1's once per doc PER BAND.
     """
     from .dedup import materialize_rebased
-    from .joins import bucket_hash_join
+    from .joins import lookup_hash_join
 
     sigs = docs.map_batches(
         MinHashBatch, fn_constructor_kwargs={
@@ -240,10 +240,10 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
     sb = sig_cols.map_batches(lambda b: b.rename_columns(["doc_id", "sig_b"]),
                               batch_format="pyarrow")
     j1 = materialize_rebased(
-        bucket_hash_join(pairs, sa, "doc_a", "doc_id",
+        lookup_hash_join(pairs, sa, "doc_a", "doc_id",
                          num_buckets=num_buckets), num_buckets,
         spill_dir=spill_dir)
-    j2 = bucket_hash_join(j1, sb, "doc_b", "doc_id", num_buckets=num_buckets)
+    j2 = lookup_hash_join(j1, sb, "doc_b", "doc_id", num_buckets=num_buckets)
 
     def score(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -425,7 +425,7 @@ def jaccard_verified_pairs(docs: "ray.data.Dataset",
     unique arrays (np.intersect1d assume_unique, C-speed).
     """
     from .dedup import materialize_rebased
-    from .joins import bucket_hash_join
+    from .joins import lookup_hash_join
 
     cands = minhash_dup_pairs(docs, text_col=text_col,
                               threshold=candidate_threshold,
@@ -443,10 +443,10 @@ def jaccard_verified_pairs(docs: "ray.data.Dataset",
     sb = sh.map_batches(lambda b: b.rename_columns(["doc_id", "sh_b"]),
                         batch_format="pyarrow")
     j1 = materialize_rebased(
-        bucket_hash_join(pairs, sa, "doc_a", "doc_id",
+        lookup_hash_join(pairs, sa, "doc_a", "doc_id",
                          num_buckets=num_buckets), num_buckets,
         spill_dir=spill_dir)
-    j2 = bucket_hash_join(j1, sb, "doc_b", "doc_id", num_buckets=num_buckets)
+    j2 = lookup_hash_join(j1, sb, "doc_b", "doc_id", num_buckets=num_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -506,7 +506,7 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
     """
     from ray.data.aggregate import Min, Sum
 
-    from .joins import bucket_hash_join
+    from .joins import lookup_hash_join
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
@@ -568,7 +568,7 @@ def dup_components_ds(pairs: "ray.data.Dataset", num_buckets: int = 32,
         })
 
     for _ in range(max_iters):
-        neighbor = bucket_hash_join(edges, labels, "src", "node",
+        neighbor = lookup_hash_join(edges, labels, "src", "node",
                                     num_buckets=num_buckets)
 
         def as_candidate(batch: pa.Table) -> pa.Table:

@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -200,6 +201,77 @@ def bucket_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return lt.union(rt).groupby(_BUCKET).map_groups(join_bucket,
                                                     batch_format="pandas")
+
+
+def lookup_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                     left_key: str, right_key: str,
+                     num_buckets: int | None = None,
+                     how: str = "inner",
+                     left_schema: pa.Schema | None = None,
+                     right_schema: pa.Schema | None = None
+                     ) -> "ray.data.Dataset":
+    """Join where the right side's key is UNIQUE (a lookup / decorate
+    join: one row per key on the build side — keeper elections,
+    per-term df tables, per-node rank/degree states, dimension
+    lookups). All-Arrow per-bucket probe: ``pc.index_in`` + ``take`` —
+    no pandas round-trip, so (a) string/list-heavy payloads skip
+    object boxing (the pandas merge was the measured hot stage of the
+    2M-doc paragraph dedup) and (b) every dtype survives exactly (the
+    module-caveat float64 null-padding corruption cannot occur).
+    ``how``: "inner" drops unmatched left rows; "left" keeps them with
+    null right columns (``take`` on a null index IS null — no extra
+    work).
+
+    If the right key is NOT unique this silently joins each left row
+    to ONE arbitrary match (``index_in`` first-hit) — use
+    ``bucket_hash_join`` for general many-to-many joins. Same shuffle
+    shape: both sides pad to the union schema, ONE bucketed exchange.
+
+    ``left_schema``/``right_schema``: pass ``pa.schema(...)`` to skip
+    the ``ds.schema()`` probe. The probe triggers PARTIAL EXECUTION of
+    a lazy input — and when that input's lineage ends in an aggregate
+    (a keeper election, a df table), "partial" means the WHOLE
+    upstream shuffle runs once just for the schema and again for the
+    join (measured: ~25% of the 2M-doc paragraph-dedup wall time).
+    Always pass schemas when the input is shuffle-derived.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("lookup_hash_join supports how='inner'|'left'")
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+    ls = left_schema if left_schema is not None \
+        else left.schema().base_schema
+    rs = right_schema if right_schema is not None \
+        else right.schema().base_schema
+    lcols, rcols = list(ls.names), list(rs.names)
+    rvals = [n for n in rcols if n != right_key]
+    rtypes = dict(_fields(rs))
+    lt = _prep_side(left, left_key, 0, num_buckets, ls, rs)
+    rt = _prep_side(right, right_key, 1, num_buckets, rs, ls)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g.column(_SIDE), 0)
+        lg = g.filter(lmask).select(lcols)
+        rg = g.filter(pc.invert(lmask)).select(rcols)
+        rkeys = rg.column(right_key).combine_chunks()
+        idx = pc.index_in(lg.column(left_key), value_set=rkeys)
+        out = lg
+        if how == "inner":
+            keep = pc.is_valid(idx)
+            out = out.filter(keep)
+            idx = idx.filter(keep)
+        for c in rvals:
+            if len(rg) == 0:
+                # take on an empty array errors for non-null idx and
+                # loses the dtype: emit typed nulls directly
+                out = out.append_column(
+                    c, pa.nulls(out.num_rows, rtypes[c]))
+            else:
+                out = out.append_column(c, pc.take(rg.column(c), idx))
+        return out
+
+    return lt.union(rt).groupby(_BUCKET).map_groups(
+        join_bucket, batch_format="pyarrow")
 
 
 def _stable_bucket_multi(batch: pa.Table, keys: list[str],

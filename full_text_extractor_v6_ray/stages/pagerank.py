@@ -73,7 +73,7 @@ def pagerank(edges: "ray.data.Dataset", src_col: str = "src",
     edges count once each (multigraph semantics, like repeated anchors
     on a page).
     """
-    from .joins import bucket_hash_join
+    from .joins import lookup_hash_join
 
     if num_buckets is None:
         num_buckets = default_num_buckets(32)
@@ -119,7 +119,7 @@ def pagerank(edges: "ray.data.Dataset", src_col: str = "src",
     r0 = round(1.0 / n_nodes, 12)
 
     # rank state: (node, rank, outdeg); outdeg 0 for sink-only nodes
-    ranks = bucket_hash_join(nodes, outdeg, "node", "node2",
+    ranks = lookup_hash_join(nodes, outdeg, "node", "node2",
                              num_buckets=num_buckets, how="left")
 
     def init_rank(batch: pa.Table) -> pa.Table:
@@ -146,7 +146,7 @@ def pagerank(edges: "ray.data.Dataset", src_col: str = "src",
             batch_format="pyarrow").sum("d") or 0.0
         spread = damping * dang / n_nodes
 
-        contribs = bucket_hash_join(
+        contribs = lookup_hash_join(
             e, ranks, "src", "node", num_buckets=num_buckets)
 
         def contrib_partial(batch: pa.Table) -> pa.Table:
@@ -172,7 +172,7 @@ def pagerank(edges: "ray.data.Dataset", src_col: str = "src",
                  .groupby(_BUCKET).map_groups(in_reduce,
                                               batch_format="pandas"))
 
-        joined = bucket_hash_join(ranks, insum, "node", "dst",
+        joined = lookup_hash_join(ranks, insum, "node", "dst",
                                   num_buckets=num_buckets, how="left")
 
         def update(batch: pa.Table) -> pa.Table:

@@ -200,10 +200,13 @@ def grouped_string_agg(ds: "ray.data.Dataset", key: str, value_col: str,
                        num_buckets: int | None = None
                        ) -> "ray.data.Dataset":
     """Per-``key`` ordered string concatenation (STRING_AGG / the
-    collect_list shape): one bucketed shuffle, then one vectorized
-    pandas join per bucket. ``order_cols`` pins element order (required
-    for deterministic output); values are stringified with ``str()``
-    (ints format identically to SQL CAST AS VARCHAR).
+    collect_list shape): one bucketed shuffle, then all-Arrow per-bucket
+    assembly — sort, key-run offsets, ONE ``binary_join`` kernel. No
+    pandas round-trip anywhere (string payloads skip object boxing; a
+    per-key Python lambda here dominated the 2M-doc paragraph
+    reassembly bench before). ``order_cols`` pins element order
+    (required for deterministic output); values stringify with Arrow
+    ``cast`` (ints format identically to SQL CAST AS VARCHAR).
 
     Scale note: output rows are one per key and can be wide for hot
     keys — the collect-style aggregate is for bounded group sizes
@@ -213,27 +216,30 @@ def grouped_string_agg(ds: "ray.data.Dataset", key: str, value_col: str,
         num_buckets = default_num_buckets(32)
     order_cols = order_cols or [value_col]
 
-    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized join: one ListArray built from key-run offsets +
-        # one binary_join kernel — the per-key Python lambda this
-        # replaces dominated the 2M-doc paragraph-reassembly bench
-        g = g.sort_values([key] + order_cols, kind="mergesort")
-        vals = pa.array(g[value_col].astype(str), pa.string())
-        k = g[key].to_numpy()
-        if len(k) == 0:
-            return pd.DataFrame({key: k, out_col: []})
-        first = np.concatenate(([True], k[1:] != k[:-1]))
+    def agg_bucket(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            (c, "ascending") for c in [key] + order_cols])
+        t = g.take(idx)
+        k = t.column(key).combine_chunks()
+        n = len(k)
+        if n == 0:
+            return pa.table({key: k, out_col: pa.array([], pa.string())})
+        vals = pc.cast(t.column(value_col), pa.string()).combine_chunks()
+        first = np.concatenate(([True], pc.not_equal(
+            k.slice(1), k.slice(0, n - 1))
+            .to_numpy(zero_copy_only=False))) if n > 1 else \
+            np.array([True])
         starts = np.flatnonzero(first)
         offsets = pa.array(
-            np.concatenate((starts, [len(k)])).astype(np.int32))
+            np.concatenate((starts, [n])).astype(np.int32))
         joined = pc.binary_join(pa.ListArray.from_arrays(offsets, vals),
                                 sep)
-        return pd.DataFrame({key: k[starts],
-                             out_col: joined.to_pandas()})
+        return pa.table({key: k.take(pa.array(starts)),
+                         out_col: joined})
 
     return (_bucketed(ds, key, num_buckets)
             .groupby(_BUCKET).map_groups(agg_bucket,
-                                         batch_format="pandas")
+                                         batch_format="pyarrow")
             .select_columns([key, out_col]))
 
 

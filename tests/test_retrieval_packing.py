@@ -181,6 +181,53 @@ def test_first_fit_pack_invariants(ray_session):
         again.sort_values("doc_id").reset_index(drop=True))
 
 
+def test_lookup_hash_join_matches_bucket_hash_join(ray_session):
+    """All-Arrow unique-build-key lookup join == general pandas-merge
+    join on the same inputs (string and int keys, exact dtypes)."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import (
+        bucket_hash_join, lookup_hash_join)
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({
+        "k": [f"key{int(i)}" for i in rng.randint(0, 40, 200)],
+        "payload": rng.randint(0, 10**9, 200),
+    })
+    right = pd.DataFrame({
+        "rk": [f"key{i}" for i in range(0, 50, 2)],   # unique, partial
+        "val": np.arange(25) * 7,
+    })
+    a = (lookup_hash_join(ray.data.from_pandas(left),
+                          ray.data.from_pandas(right), "k", "rk",
+                          num_buckets=8)
+         .to_pandas().sort_values(["k", "payload"])
+         .reset_index(drop=True))
+    b = (bucket_hash_join(ray.data.from_pandas(left),
+                          ray.data.from_pandas(right), "k", "rk",
+                          num_buckets=8)
+         .to_pandas().sort_values(["k", "payload"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_lookup_hash_join_preserves_int64_extremes(ray_session):
+    """Values near ±2^63 survive exactly (the pandas-merge float64
+    round-trip caveat cannot occur on the Arrow path)."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.joins import lookup_hash_join
+
+    big = [(1 << 62) + 1, (1 << 62) + 2, -(1 << 62) - 3]
+    left = pd.DataFrame({"k": ["a", "b", "c"], "payload": big})
+    right = pd.DataFrame({"rk": ["a", "b", "c"],
+                          "val": [b + 1 for b in big]})
+    got = (lookup_hash_join(ray.data.from_pandas(left),
+                            ray.data.from_pandas(right), "k", "rk",
+                            num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["payload"].tolist() == big
+    assert got["val"].tolist() == [b + 1 for b in big]
+
+
 def test_normalized_keep_first_collapses_variants(ray_session):
     import ray.data
     from full_text_extractor_v6_ray.stages.text_ops import (
