@@ -3782,3 +3782,51 @@ ORACLES.update({
           AND l_quantity < 24
     """,
 })
+
+
+def q_docs_bigram_logprob(sf_dir: str):
+    """Interpolated bigram-LM doc scoring with a DISTRIBUTED LM: the
+    vocab²-scale bigram table is never broadcast — conditional
+    probabilities decorate via unique-key lookup joins and document
+    pairs meet them through one token-scale lookup join (the honest
+    KenLM-at-100GB path). λ=0.7 bigram / 0.3 unigram."""
+    from .stages.lm import bigram_logprob
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_logprob(ds, "doc_id", "text", lam=0.7)
+
+
+QUERIES.update({"docs_bigram_logprob": q_docs_bigram_logprob})
+
+ORACLES.update({
+    "docs_bigram_logprob": """
+        WITH tok AS (
+            SELECT doc_id, generate_subscripts(w, 1) AS wi,
+                   unnest(w) AS word
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(text, '\\s+') AS w
+                  FROM documents)
+        ), pairs AS (
+            SELECT doc_id, word AS w1,
+                   LEAD(word) OVER (PARTITION BY doc_id
+                                    ORDER BY wi) AS w2
+            FROM tok
+        ), p2 AS (SELECT * FROM pairs WHERE w2 IS NOT NULL),
+        bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM p2 GROUP BY w1, w2),
+        uni AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+        tot AS (SELECT SUM(c) AS t FROM uni),
+        s AS (
+            SELECT p.doc_id,
+                   LN(0.7 * bi.c12 / u1.c
+                      + 0.3 * u2.c / tot.t) AS lp
+            FROM p2 p
+            JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+            JOIN uni u1 ON u1.word = p.w1
+            JOIN uni u2 ON u2.word = p.w2
+            CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(SUM(lp) / COUNT(*), 6) AS avg_logprob
+        FROM s GROUP BY doc_id
+    """,
+})
