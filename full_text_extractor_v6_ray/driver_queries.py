@@ -3830,3 +3830,30 @@ ORACLES.update({
         FROM s GROUP BY doc_id
     """,
 })
+
+
+def q_docs_neardup_dedup_quality(sf_dir: str):
+    """Quality-aware near-dup removal: per dup component keep the
+    HIGHEST-quality member (here: n_chars, i.e. keep-longest; tie ->
+    min id) instead of the min-id root. Label map + score table stay
+    thin; keeper election is one keyed_keep_one shuffle; the payload
+    leaves via the size-dispatched remove_keys tail. Near-dup family:
+    rows-only."""
+    from .stages.fuzzy_dedup import (
+        dup_components_ds,
+        minhash_dup_pairs,
+        remove_neardup_members_by_quality,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    comp = dup_components_ds(minhash_dup_pairs(docs, threshold=0.7))
+    kept = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "n_chars"])
+    scores = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return remove_neardup_members_by_quality(
+        kept, comp, scores, key="doc_id", score_col="n_chars")
+
+
+QUERIES.update({
+    "docs_neardup_dedup_quality": q_docs_neardup_dedup_quality,
+})

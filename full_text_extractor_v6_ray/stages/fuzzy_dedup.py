@@ -785,11 +785,7 @@ def remove_neardup_members(ds: "ray.data.Dataset",
         ONE payload shuffle of ``ds``, keys-only right side, vectorized
         per-bucket isin. Nothing ever materializes on the driver.
     """
-    import ray
-
     import pyarrow.compute as pc
-
-    from .joins import bucket_anti_join
 
     def non_canonical(batch: pa.Table) -> pa.Table:
         keep = pc.not_equal(batch.column("doc_id"),
@@ -799,6 +795,22 @@ def remove_neardup_members(ds: "ray.data.Dataset",
 
     drop_ds = comp.map_batches(non_canonical, batch_format="pyarrow",
                                zero_copy_batch=True)
+    return remove_keys(ds, drop_ds, key, max_broadcast=max_broadcast,
+                       num_buckets=num_buckets)
+
+
+def remove_keys(ds: "ray.data.Dataset", drop_ds: "ray.data.Dataset",
+                key: str, max_broadcast: int = 1_000_000,
+                num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Size-dispatched key removal (the shared tail of every dedup
+    flavor): count the drop keys first; broadcast a sorted int64 array
+    via ray.put + np.isin only when provably small, else ONE
+    distributed ``bucket_anti_join`` payload shuffle. Nothing
+    data-scale ever materializes on the driver."""
+    import ray
+
+    from .joins import bucket_anti_join
+
     n_drop = drop_ds.count()
     if n_drop == 0:
         return ds
@@ -820,6 +832,64 @@ def remove_neardup_members(ds: "ray.data.Dataset",
 
     return ds.map_batches(DropMembers, batch_format="pyarrow",
                           batch_size=1024, concurrency=(1, 2))
+
+
+def remove_neardup_members_by_quality(ds: "ray.data.Dataset",
+                                      comp: "ray.data.Dataset",
+                                      scores: "ray.data.Dataset",
+                                      key: str = "doc_id",
+                                      score_col: str = "score",
+                                      max_broadcast: int = 1_000_000,
+                                      num_buckets: int | None = None
+                                      ) -> "ray.data.Dataset":
+    """FineWeb-style quality-aware near-dup removal: per dup component
+    keep the HIGHEST-``score_col`` member (tie → lowest id) instead of
+    the min-id root; non-dup rows pass through untouched.
+
+    ``comp`` is the (doc_id, component) label map; ``scores`` holds one
+    (doc_id, score) row per doc (at least the members). Shape: ONE
+    thin lookup join decorates members with their score, a
+    ``keyed_keep_one`` election (map-side combine + one bucketed
+    shuffle over member-count rows) picks each component's keeper, a
+    thin anti-join derives the drop keys, and the payload leaves via
+    the same size-dispatched ``remove_keys`` tail. The document
+    payload moves at most once; everything before it is label-map /
+    score-table scale."""
+    import pyarrow.compute as pc
+
+    from .dedup import keyed_keep_one
+    from .joins import bucket_anti_join, lookup_hash_join
+
+    sid = scores.map_batches(
+        lambda b: pa.table({"_sid": pc.cast(b.column(key), pa.int64()),
+                            "_score": pc.cast(b.column(score_col),
+                                              pa.float64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    comp64 = comp.map_batches(
+        lambda b: pa.table({key: pc.cast(b.column("doc_id"), pa.int64()),
+                            "component": pc.cast(b.column("component"),
+                                                 pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    decorated = lookup_hash_join(
+        comp64, sid, key, "_sid", num_buckets=num_buckets,
+        left_schema=pa.schema([(key, pa.int64()),
+                               ("component", pa.int64())]),
+        right_schema=pa.schema([("_sid", pa.int64()),
+                                ("_score", pa.float64())]))
+    keepers = keyed_keep_one(decorated, "component",
+                             [("_score", "descending"),
+                              (key, "ascending")],
+                             num_buckets=num_buckets)
+    keeper_ids = keepers.map_batches(
+        lambda b: pa.table({"_kid": b.column(key)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    member_ids = comp64.map_batches(
+        lambda b: pa.table({key: b.column(key)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    drop_ds = bucket_anti_join(member_ids, keeper_ids, key, "_kid",
+                               num_buckets=num_buckets)
+    return remove_keys(ds, drop_ds, key, max_broadcast=max_broadcast,
+                       num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------

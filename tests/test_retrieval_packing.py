@@ -274,3 +274,40 @@ def test_dsir_log_ratio_prefers_target_like_docs(ray_session):
           for t, c in raw.items()}
     expect3 = round(lr["weather"] + lr["rain"] + lr["sun"], 6)
     assert abs(got.loc[3, "log_ratio"] - expect3) < 1e-6
+
+
+def test_quality_aware_neardup_keeper(ray_session):
+    """Per dup component the highest-score member survives (tie -> min
+    id); non-members pass through; equal scores reduce to the min-id
+    canonical behavior."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        remove_neardup_members, remove_neardup_members_by_quality)
+
+    comp = pd.DataFrame({          # cluster A {1,2,3}, cluster B {7,9}
+        "doc_id": [1, 2, 3, 7, 9],
+        "component": [1, 1, 1, 7, 7],
+    })
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 7, 9],
+                         "payload": list("abcdefg")})
+    scores = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 7, 9],
+        "score": [0.1, 0.9, 0.5, 0.0, 0.0, 0.3, 0.3],  # B ties
+    })
+    got = (remove_neardup_members_by_quality(
+        ray.data.from_pandas(docs), ray.data.from_pandas(comp),
+        ray.data.from_pandas(scores), num_buckets=4)
+        .to_pandas().sort_values("doc_id"))
+    # A keeps 2 (best score); B keeps 7 (tie -> min id); 4,5 untouched
+    assert got["doc_id"].tolist() == [2, 4, 5, 7]
+
+    # equal scores everywhere == min-id canonical removal
+    eq = scores.assign(score=1.0)
+    a = (remove_neardup_members_by_quality(
+        ray.data.from_pandas(docs), ray.data.from_pandas(comp),
+        ray.data.from_pandas(eq), num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (remove_neardup_members(
+        ray.data.from_pandas(docs), ray.data.from_pandas(comp))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
