@@ -1970,6 +1970,19 @@ def q_embeddings_kmeans(sf_dir: str):
     return kmeans_assign(ds, cent)
 
 
+def q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup —
+    within-cluster cosine >= 0.92 pairs form components, min-id member
+    survives. Rows-only: k-means bucketing isn't SQL-expressible;
+    planted-twin recovery pinned by unit test. Output = surviving
+    (vec_id) rows, sorted."""
+    from .stages.embed import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, k=8, threshold=0.92, n_iter=10).select_columns(
+        ["vec_id"])
+
+
 def q_docs_decontaminated(sf_dir: str):
     """Benchmark decontamination: drop every document whose text
     contains the 40-char prefix of any 'benchmark' doc (deterministic
@@ -2203,6 +2216,7 @@ QUERIES = {
     "lineitem_self_composite": q_lineitem_self_composite,
     "events_user_value_quantiles": q_events_user_value_quantiles,
     "embeddings_kmeans": q_embeddings_kmeans,
+    "embeddings_semdedup": q_embeddings_semdedup,
     "docs_decontaminated": q_docs_decontaminated,
     "docs_dup_ngrams": q_docs_dup_ngrams,
     "events_stratified_sample": q_events_stratified_sample,

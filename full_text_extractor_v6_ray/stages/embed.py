@@ -603,3 +603,65 @@ def kmeans_assign(embeddings: "ray.data.Dataset", centroids: np.ndarray,
 
     return embeddings.map_batches(fn, batch_format="pyarrow",
                                   zero_copy_batch=True, batch_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication")
+# ---------------------------------------------------------------------------
+
+def semdedup(embeddings: "ray.data.Dataset", k: int = 8,
+             threshold: float = 0.95, emb_col: str = "embedding",
+             id_col: str = "vec_id", n_iter: int = 10,
+             num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Semantic dedup: k-means clusters bound the pairwise cosine
+    search (the paper's core trick — within-cluster comparisons only,
+    never corpus all-pairs), pairs >= ``threshold`` form components,
+    the min-id member of each component survives. Returns the
+    surviving (id, embedding) rows.
+
+    Scale shape: the Dataset-scale k-means (``kmeans_fit_ds`` — k x d
+    driver state, per-batch partial sums), a no-shuffle assignment
+    pass, ONE cluster-key shuffle for the exact pair mining, then the
+    shared component/removal machinery (iterative label propagation,
+    size-dispatched drop). Partitioning assumption: one cluster's rows
+    fit a task — raise ``k`` with the corpus (the paper uses 50k
+    clusters at LAION scale); in-cluster work is O(m²) vectorized
+    matmul, the accepted SemDeDup cost."""
+    from .fuzzy_dedup import dup_components_ds, remove_neardup_members
+
+    slim = embeddings.select_columns([id_col, emb_col])
+    C = kmeans_fit_ds(slim, k=k, n_iter=n_iter, emb_col=emb_col,
+                      id_col=id_col)
+    cref = ray.put(np.asarray(C, dtype=np.float64))
+
+    def attach_cluster(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        M = _to_matrix(batch.column(emb_col)).astype(np.float64)
+        return batch.append_column(
+            "cluster", pa.array(_assign(M, cent).astype(np.int64)))
+
+    # Assignment rides the same pass that feeds the groupby — no join,
+    # the embedding payload crosses exactly ONE shuffle.
+    joined = slim.map_batches(attach_cluster, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=1024)
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(g.column(emb_col)))
+        ids = g.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = len(ids)
+        if m < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        scores = vecs @ vecs.T
+        ia, ib = np.nonzero(np.triu(scores >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        return pa.table({"doc_a": pa.array(np.minimum(a, b)),
+                         "doc_b": pa.array(np.maximum(a, b))})
+
+    pairs = joined.groupby("cluster").map_groups(per_cluster,
+                                                 batch_format="pyarrow")
+    comp = dup_components_ds(pairs)
+    return remove_neardup_members(embeddings, comp, key=id_col,
+                                  num_buckets=num_buckets)

@@ -311,3 +311,25 @@ def test_quality_aware_neardup_keeper(ray_session):
         ray.data.from_pandas(docs), ray.data.from_pandas(comp))
         .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_semdedup_within_cluster_pruning(ray_session):
+    """Planted semantic twins collapse to the min id; distinct
+    directions and singleton clusters survive untouched."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.embed import semdedup
+
+    rng = np.random.RandomState(11)
+    base1 = rng.standard_normal(16)
+    base2 = rng.standard_normal(16)
+    base3 = rng.standard_normal(16)
+    rows = []
+    for i, v in [(1, base1), (2, base1 * 1.001 + 1e-4),  # twins
+                 (5, base1 * 0.999 - 1e-4),
+                 (3, base2), (9, base2 * 1.002),          # twins
+                 (7, base3)]:                             # singleton
+        rows.append({"vec_id": i, "embedding": list(map(float, v))})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = (semdedup(ds, k=3, threshold=0.95, n_iter=5, num_buckets=4)
+           .to_pandas().sort_values("vec_id"))
+    assert got["vec_id"].tolist() == [1, 3, 7]
