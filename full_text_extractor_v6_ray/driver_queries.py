@@ -2002,6 +2002,19 @@ def q_docs_decontaminated(sf_dir: str):
     return decontaminate(ds, needles).select_columns(["doc_id", "lang"])
 
 
+def q_docs_exact_substring_dedup(sf_dir: str):
+    """ExactSubstr rewrite (Lee et al. 2022): every duplicated word
+    8-gram span is removed from every document (all occurrences,
+    overlaps merged into maximal spans via interval cover); output one
+    row per doc with the cleaned text and the removed-token count.
+    Token-scale slim explode + two 16/24-byte-row shuffles; the text
+    payload moves exactly once (the final lookup decorate join)."""
+    from .stages.fuzzy_dedup import exact_substring_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substring_dedup(ds, "text", "doc_id", n=8)
+
+
 def q_docs_dup_ngrams(sf_dir: str):
     """Exact duplicate word-8-gram spans across documents (the n-gram
     approximation of suffix-array substring dedup): slim (ghash,
@@ -2219,6 +2232,7 @@ QUERIES = {
     "embeddings_semdedup": q_embeddings_semdedup,
     "docs_decontaminated": q_docs_decontaminated,
     "docs_dup_ngrams": q_docs_dup_ngrams,
+    "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
     "events_stratified_sample": q_events_stratified_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
     "events_funnel": q_events_funnel,
@@ -2980,6 +2994,48 @@ ORACLES = {
             SELECT 1 FROM documents b
             WHERE b.doc_id % 97 = 0 AND length(b.text) >= 40
               AND contains(d.text, substr(b.text, 1, 40)))
+    """,
+    "docs_exact_substring_dedup": """
+        -- ExactSubstr rewrite: a token (1-based index i) is removed
+        -- when some word-8-gram occurrence at p (same doc) with
+        -- corpus-wide occurrence count >= 2 covers it (p <= i < p+8);
+        -- kept tokens rejoin with single spaces. Mirrors
+        -- exact_substring_dedup tokenization (single-space split,
+        -- empties dropped) and all-occurrence removal semantics.
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, i AS p,
+                   array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+                  FROM tok WHERE len(ws) >= 8)
+        ), dup AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+        ), dpos AS (
+            SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)
+        ), toki AS (
+            SELECT doc_id, unnest(ws) AS w,
+                   unnest(range(1, len(ws) + 1)) AS i
+            FROM tok
+        ), kept AS (
+            SELECT t.doc_id, t.w, t.i FROM toki t
+            WHERE NOT EXISTS (SELECT 1 FROM dpos d
+                              WHERE d.doc_id = t.doc_id
+                                AND d.p <= t.i AND t.i < d.p + 8)
+        ), agg AS (
+            SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(len(t.ws) - COALESCE(a.n_kept, 0) AS BIGINT)
+                   AS n_removed
+        FROM documents d
+        JOIN tok t USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
     """,
     "docs_dup_ngrams": """
         -- distinct word-8-grams per doc (single-space split, empties

@@ -999,3 +999,150 @@ def dup_ngram_counts(docs: "ray.data.Dataset", text_col: str = "text",
     return (partial.map_batches(add_doc_bucket, batch_format="pyarrow",
                                 zero_copy_batch=True)
             .groupby("_bkt").map_groups(sum_bucket, batch_format="pandas"))
+
+
+def ngram_pos_rows(docs: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 8) -> "ray.data.Dataset":
+    """(ghash uint64, doc_id, pos) — one row per n-gram OCCURRENCE
+    (``pos`` = 0-based index of the gram's first token). The
+    occurrence-level sibling of ``ngram_doc_rows`` (same tokenization
+    and hash identity, no per-doc ``unique``): ExactSubstr needs every
+    position so within-doc repeats count as duplicates and spans can
+    be reconstructed. Shuffle payload is 24 B/row; gram strings never
+    leave the map task."""
+    from .text_ops import token_hashes
+
+    mult = np.uint64(1099511628211)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out_h: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for did, t in zip(ids, texts):
+            toks = [x for x in (t or "").split(" ") if x]
+            if len(toks) < n:
+                continue
+            th = token_hashes(toks)
+            g = th[: len(th) - n + 1].copy()
+            with np.errstate(over="ignore"):
+                for i in range(1, n):
+                    g = g * mult + th[i: len(th) - n + 1 + i]
+            out_h.append(g)
+            out_d.append(np.full(len(g), did, dtype=np.int64))
+            out_p.append(np.arange(len(g), dtype=np.int64))
+        if not out_h:
+            return pa.table({"ghash": pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({"ghash": pa.array(np.concatenate(out_h)),
+                         id_col: pa.array(np.concatenate(out_d)),
+                         "pos": pa.array(np.concatenate(out_p))})
+
+    return docs.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def exact_substring_dedup(docs: "ray.data.Dataset",
+                          text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8,
+                          num_buckets: int | None = None
+                          ) -> "ray.data.Dataset":
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): REWRITE each document with
+    every duplicated n-token span removed. A token span is duplicated
+    when the n-gram starting there occurs >= 2 times anywhere in the
+    corpus (other docs OR elsewhere in the same doc); overlapping dup
+    grams merge into maximal spans by construction (interval cover).
+    Removes ALL occurrences (the conservative reproduction of the
+    paper's suffix-array variant, with n tokens as the minimum match
+    length instead of 50 BPE tokens). Output: one row per input doc —
+    (doc_id, clean_text, n_removed); untouched docs pass through with
+    n_removed = 0, fully-duplicated docs come back as ''.
+
+    Scale shape: token-scale (ghash, doc, pos) explode -> ONE
+    ghash-bucket shuffle keeping occurrences with count >= 2
+    (vectorized value_counts per bucket) -> doc-bucket shuffle packs
+    the surviving positions into per-doc list rows (dup-only, usually
+    a small fraction of docs) -> lookup join decorates the corpus with
+    its dup-position lists (text moves exactly once). Tokenization is
+    single-space split with empties dropped — reproducible in SQL, so
+    the whole rewrite is DuckDB-oracle-checkable."""
+    from .dedup import default_num_buckets, _stable_bucket
+    from .joins import lookup_hash_join
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    rows = ngram_pos_rows(docs, text_col=text_col, id_col=id_col, n=n)
+
+    def add_gbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bkt", _stable_bucket(batch.column("ghash"), num_buckets))
+
+    def keep_dups(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g["ghash"].map(g["ghash"].value_counts())
+        return g.loc[cnt >= 2, [id_col, "pos"]]
+
+    dup_pos = (rows.map_batches(add_gbucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .groupby("_bkt").map_groups(keep_dups,
+                                           batch_format="pandas"))
+
+    def add_dbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bkt", _stable_bucket(batch.column(id_col), num_buckets))
+
+    def pack_lists(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        u, counts = np.unique(ids, return_counts=True)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        return pa.table({
+            id_col: pa.array(u.astype(np.int64)),
+            "_dup_pos": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(pos.astype(np.int64))),
+        })
+
+    pos_lists = (dup_pos.map_batches(add_dbucket, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                 .groupby("_bkt").map_groups(pack_lists,
+                                             batch_format="pyarrow"))
+
+    joined = lookup_hash_join(
+        docs.select_columns([id_col, text_col]), pos_lists,
+        id_col, id_col, num_buckets=num_buckets, how="left",
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                ("_dup_pos", pa.list_(pa.int64()))]))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        plists = batch.column("_dup_pos").to_pylist()
+        clean: list[str] = []
+        removed = np.zeros(len(texts), dtype=np.int64)
+        for i, (t, ps) in enumerate(zip(texts, plists)):
+            toks = [x for x in (t or "").split(" ") if x]
+            if not ps:
+                clean.append(" ".join(toks))
+                continue
+            L = len(toks)
+            diff = np.zeros(L + 1, dtype=np.int64)
+            p = np.asarray(ps, dtype=np.int64)
+            np.add.at(diff, p, 1)
+            np.add.at(diff, np.minimum(p + n, L), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            removed[i] = int(covered.sum())
+            clean.append(" ".join(
+                tok for tok, c in zip(toks, covered) if not c))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "clean_text": pa.array(clean, pa.string()),
+            "n_removed": pa.array(removed),
+        })
+
+    return joined.map_batches(rewrite, batch_format="pyarrow",
+                              zero_copy_batch=True)

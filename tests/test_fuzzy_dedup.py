@@ -322,3 +322,38 @@ def test_jaccard_verified_pairs_exact_values(ray_session):
     assert by[(1, 101)] == true_jac(1, 101)
     assert (2, 102) not in by          # 40 edits: true jaccard < 0.6
     assert all(j >= 0.6 for j in got["jaccard"])
+
+
+def test_exact_substring_dedup_rewrite(ray_session):
+    """Planted dup spans: cross-doc shared 8-gram removed from BOTH
+    docs, a within-doc repeat removed at both positions, overlapping
+    dup grams merge into one maximal span, clean docs untouched."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        exact_substring_dedup)
+
+    shared = "a b c d e f g h"          # 8 tokens, appears in docs 1+2
+    docs = [
+        {"doc_id": 1, "text": f"x1 y1 {shared} z1"},
+        {"doc_id": 2, "text": f"{shared} q2 r2"},
+        # within-doc repeat: the same 8-gram twice in one doc
+        {"doc_id": 3, "text": f"m n o p q r s t u m n o p q r s t"},
+        {"doc_id": 4, "text": "totally unique little document here"},
+        {"doc_id": 5, "text": ""},
+    ]
+    got = (exact_substring_dedup(ray.data.from_items(docs),
+                                 "text", "doc_id", n=8, num_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert got.loc[1, "clean_text"] == "x1 y1 z1"
+    assert got.loc[1, "n_removed"] == 8
+    assert got.loc[2, "clean_text"] == "q2 r2"
+    assert got.loc[2, "n_removed"] == 8
+    # doc 3: tokens = m n o p q r s t u m n o p q r s t (17 tokens);
+    # "m n o p q r s t" occurs at pos 0 and pos 9 -> both removed,
+    # 'u' (pos 8) survives
+    assert got.loc[3, "clean_text"] == "u"
+    assert got.loc[3, "n_removed"] == 16
+    assert got.loc[4, "clean_text"] == "totally unique little document here"
+    assert got.loc[4, "n_removed"] == 0
+    assert got.loc[5, "clean_text"] == ""
+    assert got.loc[5, "n_removed"] == 0
