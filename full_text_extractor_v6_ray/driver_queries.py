@@ -3717,6 +3717,17 @@ def q_docs_chunk_slices(sf_dir: str):
     return chunk_slices(ds, "doc_id", "text", ctx=128)
 
 
+def q_docs_packed_chunks(sf_dir: str):
+    """Materialized training chunks at ctx=128: the chunk_slices
+    manifest lookup-joined to the corpus (text crosses the exchange
+    once), each slice cut to its token range in-task, windows
+    assembled by one chunk-bucket groupby (vectorized per bucket)."""
+    from .stages.packing import packed_chunk_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return packed_chunk_text(ds, "doc_id", "text", ctx=128)
+
+
 def q_docs_first_fit_pack(sf_dir: str):
     """First-fit-decreasing whole-document bin packing at ctx=128,
     bins scoped per hash partition (FFD is sequential; partitioning
@@ -3732,10 +3743,49 @@ def q_docs_first_fit_pack(sf_dir: str):
 
 QUERIES.update({
     "docs_chunk_slices": q_docs_chunk_slices,
+    "docs_packed_chunks": q_docs_packed_chunks,
     "docs_first_fit_pack": q_docs_first_fit_pack,
 })
 
 ORACLES.update({
+    "docs_packed_chunks": """
+        -- chunk_slices manifest (same CTE as docs_chunk_slices) joined
+        -- to per-doc token lists; window text = doc token slices
+        -- concatenated in off_in_chunk order, single-space joined
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, ws, n_tok,
+                   COALESCE(SUM(n_tok) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS start_tok
+            FROM t
+        ), s AS (
+            SELECT doc_id, ws, n_tok, start_tok,
+                   unnest(generate_series(
+                          CAST(start_tok // 128 AS BIGINT),
+                          CAST((start_tok + n_tok - 1) // 128 AS BIGINT)))
+                       AS chunk_id
+            FROM c WHERE n_tok > 0
+        ), sl AS (
+            SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id, ws,
+                   CAST(GREATEST(start_tok, chunk_id * 128)
+                        - start_tok AS BIGINT) AS doc_from,
+                   CAST(LEAST(start_tok + n_tok, (chunk_id + 1) * 128)
+                        - start_tok AS BIGINT) AS doc_to,
+                   CAST(GREATEST(start_tok, chunk_id * 128)
+                        - chunk_id * 128 AS BIGINT) AS off_in_chunk
+            FROM s
+        )
+        SELECT chunk_id,
+               string_agg(array_to_string(
+                   list_slice(ws, doc_from + 1, doc_to), ' '),
+                   ' ' ORDER BY off_in_chunk) AS text,
+               CAST(SUM(doc_to - doc_from) AS BIGINT) AS n_tok
+        FROM sl GROUP BY chunk_id
+    """,
     "docs_chunk_slices": """
         WITH t AS (
             SELECT doc_id,

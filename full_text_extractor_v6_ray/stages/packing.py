@@ -286,3 +286,79 @@ def first_fit_pack(docs: "ray.data.Dataset", id_col: str = "doc_id",
                          zero_copy_batch=True)
             .groupby("_pbucket")
             .map_groups(pack, batch_format="pandas"))
+
+
+def packed_chunk_text(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                      text_col: str = "text", ctx: int = 2048,
+                      num_ranges: int | None = None,
+                      num_buckets: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Materialize the packed training chunks themselves: one row per
+    context window — (chunk_id, text, n_tok) — where ``text`` is the
+    window's token stream (documents laid end-to-end in id order, cut
+    every ``ctx`` tokens, tokens rejoined with single spaces across
+    doc boundaries). The loader contract on top of ``chunk_slices``:
+    the manifest says WHICH doc slices fill which window; this stage
+    fetches and concatenates them.
+
+    Scale shape: the slices manifest (O(total_tokens/ctx) rows, no
+    text) lookup-joins against the corpus — each doc's text crosses
+    the exchange ONCE and is sliced to tokens [doc_from, doc_to)
+    in-task; the window assembly is one groupby over slice rows whose
+    payload is already cut down to exactly the tokens that survive.
+    Every window except the last has exactly ``ctx`` tokens."""
+    import re
+
+    from .joins import lookup_hash_join
+
+    slices = chunk_slices(docs, id_col, text_col, ctx=ctx,
+                          num_ranges=num_ranges)
+    joined = lookup_hash_join(
+        slices, docs.select_columns([id_col, text_col]),
+        id_col, id_col, num_buckets=num_buckets,
+        left_schema=pa.schema([("chunk_id", pa.int64()),
+                               (id_col, pa.int64()),
+                               ("doc_from", pa.int64()),
+                               ("doc_to", pa.int64()),
+                               ("off_in_chunk", pa.int64()),
+                               ("end_in_chunk", pa.int64())]))
+
+    tok_re = re.compile(r"\S+")
+
+    def cut(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        lo = batch.column("doc_from").to_numpy(zero_copy_only=False)
+        hi = batch.column("doc_to").to_numpy(zero_copy_only=False)
+        out = [" ".join(tok_re.findall(t or "")[int(a):int(b)])
+               for t, a, b in zip(texts, lo, hi)]
+        return pa.table({
+            "chunk_id": batch.column("chunk_id"),
+            "off_in_chunk": batch.column("off_in_chunk"),
+            "_slice_text": pa.array(out, pa.string()),
+            "_slice_tok": pa.array((hi - lo).astype(np.int64)),
+        })
+
+    from .dedup import _stable_bucket
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bkt", _stable_bucket(batch.column("chunk_id"), num_buckets))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pandas groupby per BUCKET (not per chunk):
+        # O(buckets) python frames, O(chunks) cheap str joins
+        g = g.sort_values(["chunk_id", "off_in_chunk"], kind="mergesort")
+        return (g.groupby("chunk_id", sort=True)
+                .agg(text=("_slice_text", " ".join),
+                     n_tok=("_slice_tok", "sum"))
+                .reset_index()[["chunk_id", "text", "n_tok"]])
+
+    return (joined.map_batches(cut, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_bkt")
+            .map_groups(assemble, batch_format="pandas"))

@@ -333,3 +333,22 @@ def test_semdedup_within_cluster_pruning(ray_session):
     got = (semdedup(ds, k=3, threshold=0.95, n_iter=5, num_buckets=4)
            .to_pandas().sort_values("vec_id"))
     assert got["vec_id"].tolist() == [1, 3, 7]
+
+
+def test_packed_chunk_text_materialization(ray_session):
+    """Windows are exactly ctx tokens except the last; the
+    concatenated stream equals the docs laid end-to-end in id order."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.packing import packed_chunk_text
+
+    docs = [{"doc_id": i, "text": " ".join(
+        f"d{i}t{j}" for j in range(7 + (i % 5)))} for i in range(20)]
+    got = (packed_chunk_text(ray.data.from_items(docs), "doc_id",
+                             "text", ctx=16, num_buckets=4)
+           .to_pandas().sort_values("chunk_id").reset_index(drop=True))
+    stream = " ".join(d["text"] for d in docs).split(" ")
+    assert got["chunk_id"].tolist() == list(range(len(got)))
+    assert got["n_tok"].iloc[:-1].eq(16).all()
+    assert got["n_tok"].sum() == len(stream)
+    rebuilt = " ".join(got["text"]).split(" ")
+    assert rebuilt == stream
