@@ -216,6 +216,63 @@ def run_bench() -> dict:
         queries["paragraph_dedup_docs"] = round(time.perf_counter() - t, 3)
         shutil.rmtree(docs_dir, ignore_errors=True)
 
+    # GRAFT_BENCH_LM_REPLICATE=R expands documents and times
+    # bigram_logprob end-to-end (bigram LM train + distributed score
+    # table + token-scale pair explode + lookup joins) — the stage
+    # whose shuffle carries one row per distinct corpus bigram.
+    lm_rep = int(os.environ.get("GRAFT_BENCH_LM_REPLICATE", "0"))
+    lm_rows = None
+    if lm_rep:
+        from full_text_extractor_v6_ray.sources.docs_gen import (
+            DocVariantsBatch,
+        )
+        from full_text_extractor_v6_ray.stages.lm import bigram_logprob
+
+        docs_dir = f"{out_base}/bench_lm_docs_{NUM_CPUS}"
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        import ray.data as rd
+        (rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+         .map_batches(DocVariantsBatch(lm_rep),
+                      batch_format="pyarrow", zero_copy_batch=True)
+         .write_parquet(docs_dir))
+        t = time.perf_counter()
+        lm_rows = bigram_logprob(
+            rd.read_parquet(docs_dir), "doc_id", "text",
+            num_buckets=max(32, 4 * NUM_CPUS)).count()
+        queries["bigram_lm_docs"] = round(time.perf_counter() - t, 3)
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
+    # GRAFT_BENCH_EXSUB_REPLICATE=R expands documents and times
+    # exact_substring_dedup end-to-end (token-scale occurrence explode
+    # -> dup-gram shuffle -> per-doc span rewrite; the replicated docs
+    # are ~100% duplicated, the worst case for the dup-position join).
+    exsub_rep = int(os.environ.get("GRAFT_BENCH_EXSUB_REPLICATE", "0"))
+    exsub_rows = None
+    if exsub_rep:
+        from full_text_extractor_v6_ray.sources.docs_gen import (
+            DocVariantsBatch,
+        )
+        from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+            exact_substring_dedup,
+        )
+
+        docs_dir = f"{out_base}/bench_exsub_docs_{NUM_CPUS}"
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        import ray.data as rd
+        (rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+         .map_batches(DocVariantsBatch(exsub_rep),
+                      batch_format="pyarrow", zero_copy_batch=True)
+         .write_parquet(docs_dir))
+        t = time.perf_counter()
+        exsub_rows = exact_substring_dedup(
+            rd.read_parquet(docs_dir), "text", "doc_id", n=8,
+            num_buckets=max(32, 4 * NUM_CPUS)).count()
+        queries["exact_substring_docs"] = round(
+            time.perf_counter() - t, 3)
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
     headline = queries["extract_dedup_write"]
     docs_per_sec = round(n_pages / queries["extract"], 1)
 
@@ -283,6 +340,12 @@ def run_bench() -> dict:
     if para_rows is not None:
         out["paragraph_dedup_rows"] = para_rows
         out["para_replicate"] = para_rep
+    if lm_rows is not None:
+        out["bigram_lm_rows"] = lm_rows
+        out["lm_replicate"] = lm_rep
+    if exsub_rows is not None:
+        out["exact_substring_rows"] = exsub_rows
+        out["exsub_replicate"] = exsub_rep
     return out
 
 
