@@ -2002,6 +2002,25 @@ def q_docs_decontaminated(sf_dir: str):
     return decontaminate(ds, needles).select_columns(["doc_id", "lang"])
 
 
+def q_docs_bpe_token_count(sf_dir: str):
+    """Per-doc LM-token-budget estimate: whitespace tokens vs BPE-ish
+    pre-tokenizer pieces (letter/digit/punct runs, RE2 pattern shared
+    verbatim with the DuckDB oracle). One streaming pass, all-Arrow."""
+    from .functions.text_stats import (bpe_token_count_arrays,
+                                       token_count_arrays)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_ws_tokens": pc.cast(token_count_arrays(texts), pa.int64()),
+            "n_bpe_tokens": bpe_token_count_arrays(texts),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_docs_exact_substring_dedup(sf_dir: str):
     """ExactSubstr rewrite (Lee et al. 2022): every duplicated word
     8-gram span is removed from every document (all occurrences,
@@ -2233,6 +2252,7 @@ QUERIES = {
     "docs_decontaminated": q_docs_decontaminated,
     "docs_dup_ngrams": q_docs_dup_ngrams,
     "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
+    "docs_bpe_token_count": q_docs_bpe_token_count,
     "events_stratified_sample": q_events_stratified_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
     "events_funnel": q_events_funnel,
@@ -2994,6 +3014,17 @@ ORACLES = {
             SELECT 1 FROM documents b
             WHERE b.doc_id % 97 = 0 AND length(b.text) >= 40
               AND contains(d.text, substr(b.text, 1, 40)))
+    """,
+    "docs_bpe_token_count": """
+        -- same RE2 piece pattern as BPE_PIECE_PATTERN, verbatim
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+               END AS n_ws_tokens,
+               len(regexp_extract_all(text,
+                   ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+                   AS n_bpe_tokens
+        FROM documents
     """,
     "docs_exact_substring_dedup": """
         -- ExactSubstr rewrite: a token (1-based index i) is removed

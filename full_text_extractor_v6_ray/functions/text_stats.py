@@ -39,3 +39,20 @@ def add_text_stats(batch: pa.Table, col: str = "text") -> pa.Table:
     batch = batch.append_column("n_chars_calc", pc.cast(n_chars, pa.int64()))
     batch = batch.append_column("avg_token_len", avg_tok)
     return batch
+
+
+# GPT-2-style pre-tokenizer word-piece pattern, simplified to the
+# RE2-compatible subset (no lookahead): a piece is an optional leading
+# space + a letter run, digit run, or punctuation run. Both pyarrow
+# and DuckDB compile RE2, so the SAME pattern string drives the Ray
+# kernel and the SQL oracle.
+BPE_PIECE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count_arrays(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """BPE-ish piece count per string: the LM-token-budget estimator
+    (letters/digits/punctuation split like a byte-pair pre-tokenizer,
+    whitespace folded into the following piece)."""
+    return pc.cast(pc.count_substring_regex(
+        pc.cast(texts, pa.string()), pattern=BPE_PIECE_PATTERN),
+        pa.int64())

@@ -142,3 +142,17 @@ def test_repetition_signals(ray_session):
     # "p q" appears 3 times of 5 bigrams
     assert abs(out.loc[2, "top_bigram_frac"] - 3 / 5) < 1e-12
     assert abs(out.loc[0, "top_bigram_frac"] - 1 / 3) < 1e-12
+
+
+def test_bpe_token_count_pieces():
+    """Piece semantics: optional leading space + letter/digit/punct
+    run; empty and null behave like the SQL oracle."""
+    import pyarrow as pa
+    from full_text_extractor_v6_ray.functions.text_stats import (
+        bpe_token_count_arrays)
+
+    got = bpe_token_count_arrays(pa.array(
+        ["Hello world, 42 times!",   # Hello/ world/,/ 42/ times/!
+         "a-b c_d",                  # a/-/b/ c/_/d
+         "  ", "", None])).to_pylist()
+    assert got == [6, 6, 0, 0, None]
