@@ -3255,6 +3255,39 @@ def q_lineitem_grouping_sets(sf_dir: str):
         "l_quantity", sum_alias="sum_qty", count_alias="n")
 
 
+def q4_late_shipment_priority(sf_dir: str):
+    """TPC-H Q4 shape (adapted to the testdata columns): count orders
+    per priority having EXISTS a lineitem shipped after the order
+    date. Scale plan: the EXISTS collapses map-side to per-order MAX
+    shipdate (keyed_keep_one — in-batch combine, one bucketed
+    shuffle), THEN one unique-key lookup join against orders; the
+    count groupby runs on priority-cardinality rows."""
+    from ray.data.aggregate import Count
+
+    from .stages.dedup import keyed_keep_one
+    from .stages.joins import lookup_hash_join
+
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    maxship = keyed_keep_one(items, "l_orderkey",
+                             [("l_shipdate", "descending")])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = lookup_hash_join(
+        orders, maxship, "o_orderkey", "l_orderkey",
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("l_shipdate", pa.timestamp("us"))]))
+
+    def late_only(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("l_shipdate"),
+                          batch.column("o_orderdate"))
+        return batch.filter(keep).select(["o_orderpriority"])
+
+    return (joined.map_batches(late_only, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_orders")))
+
+
 def q3_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: 3-table join (customer ⋈ orders ⋈ lineitem)
     with selective date/segment predicates, revenue aggregation, top
@@ -3344,6 +3377,7 @@ QUERIES.update({
     "events_range_1h_sum": q_events_range_1h_sum,
     "lineitem_grouping_sets": q_lineitem_grouping_sets,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_late_shipment_priority": q4_late_shipment_priority,
 })
 
 ORACLES.update({
@@ -3388,6 +3422,14 @@ ORACLES.update({
                SUM(l_quantity) AS sum_qty, COUNT(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q4_late_shipment_priority": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey,
