@@ -124,34 +124,59 @@ def bigram_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
                           left_schema=j1_schema, right_schema=uni2_schema)
 
     def score_bigram(batch: pa.Table) -> pa.Table:
+        from .hashing import hash64
+
         c12 = batch.column("c12").to_numpy(zero_copy_only=False)
         c1 = batch.column("c1").to_numpy(zero_copy_only=False)
         c2 = batch.column("c2").to_numpy(zero_copy_only=False)
         p = lam * (c12 / c1) + (1.0 - lam) * (c2 / float(total))
         return pa.table({
-            "kbigram": batch.column("bigram"),
+            "kbhash": pa.array(hash64(batch.column("bigram"))),
             "lp": pa.array(np.log(p)),
         })
 
     scores = j2.map_batches(score_bigram, batch_format="pyarrow",
                             zero_copy_batch=True)
-    score_schema = pa.schema([("kbigram", pa.string()),
+    score_schema = pa.schema([("kbhash", pa.uint64()),
                               ("lp", pa.float64())])
 
-    # 4. token-scale lookup of doc pairs against the score table
-    pairs = slim.map_batches(
-        lambda b: _doc_pairs(b, id_col, text_col),
-        batch_format="pyarrow", zero_copy_batch=True)
+    # 4. token-scale lookup of doc pairs against the score table. Two
+    # measured shuffle cuts vs the naive (doc_id, bigram-string) rows
+    # (840 s -> see BASELINE.md, R=400): (a) the join key is the
+    # 64-bit stable hash of the bigram, so 16 B/row moves instead of a
+    # ~20 B string + offsets and the in-bucket probe compares uint64,
+    # not strings (same collision acceptance as the ngram-dedup
+    # family); (b) repeated in-doc bigrams combine map-side into
+    # (doc, bhash, n) — the join then carries one row per DISTINCT
+    # doc-bigram and the mean weights by n.
+    def pairs_combined(batch: pa.Table) -> pa.Table:
+        from .hashing import hash64
+
+        p = _doc_pairs(batch, id_col, text_col)
+        t = pa.table({id_col: p.column(id_col),
+                      "bhash": pa.array(hash64(p.column("bigram")))})
+        g = t.group_by([id_col, "bhash"]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "bhash", "n"])
+
+    pairs = slim.map_batches(pairs_combined, batch_format="pyarrow",
+                             zero_copy_batch=True)
     pairs_schema = pa.schema([(id_col, pa.int64()),
-                              ("bigram", pa.string())])
-    scored = lookup_hash_join(pairs, scores, "bigram", "kbigram",
+                              ("bhash", pa.uint64()),
+                              ("n", pa.int64())])
+    scored = lookup_hash_join(pairs, scores, "bhash", "kbhash",
                               num_buckets=num_buckets,
                               left_schema=pairs_schema,
                               right_schema=score_schema)
 
     def doc_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select([id_col, "lp"]).group_by(id_col).aggregate(
-            [("lp", "sum"), ([], "count_all")])
+        nf = pc.cast(batch.column("n"), pa.float64())
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "_wlp": pc.multiply(batch.column("lp"), nf),
+            "_n": batch.column("n"),
+        })
+        g = t.group_by(id_col).aggregate([("_wlp", "sum"),
+                                          ("_n", "sum")])
         return g.rename_columns([id_col, "_slp", "_n"])
 
     def finish(batch: pa.Table) -> pa.Table:
