@@ -62,27 +62,35 @@ def _doc_pairs(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
 def bigram_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
                    text_col: str = "text", lam: float = 0.7,
                    ndigits: int = 6,
-                   num_buckets: int | None = None) -> "ray.data.Dataset":
+                   num_buckets: int | None = None,
+                   broadcast_scores_max: int = 4_000_000
+                   ) -> "ray.data.Dataset":
     """(doc_id, n_pairs, avg_logprob): mean interpolated bigram
     log-probability per document. See module docstring for the scale
-    shape (distributed LM, no broadcast)."""
-    from ray.data.aggregate import Sum
-
+    shape (distributed LM — the bigram table is never broadcast
+    UNCONDITIONALLY; when the scored table measures under
+    ``broadcast_scores_max`` rows it ships once as two sorted numpy
+    arrays (16 B/row) and the token-scale exchange disappears, else
+    the bucketed lookup join runs)."""
+    from .dedup import bucketed_group_sum
     from .joins import lookup_hash_join
     from .text_ops import vocab_stats
 
     slim = docs.select_columns([id_col, text_col])
 
-    # 1. corpus bigram counts (map-side combiner, one groupby)
+    # 1. corpus bigram counts: map-side combiner, then the bucketed
+    # reduce (NOT Ray's groupby("bigram") — the sort-based aggregate
+    # on string keys was 65% of pipeline CPU at 2M docs)
     def bi_partial(batch: pa.Table) -> pa.Table:
         p = _doc_pairs(batch, id_col, text_col)
         g = p.select(["bigram"]).group_by("bigram").aggregate(
             [([], "count_all")])
         return g.rename_columns(["bigram", "c12"])
 
-    bi = (slim.map_batches(bi_partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-          .groupby("bigram").aggregate(Sum("c12", alias_name="c12")))
+    bi = bucketed_group_sum(
+        slim.map_batches(bi_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "bigram", ["c12"], num_buckets=num_buckets)
 
     # 2. unigram counts; T is a tiny driver-side reduction. The table
     # is vocab-scale and feeds THREE consumers (total, c1 side, c2
@@ -163,10 +171,45 @@ def bigram_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
     pairs_schema = pa.schema([(id_col, pa.int64()),
                               ("bhash", pa.uint64()),
                               ("n", pa.int64())])
-    scored = lookup_hash_join(pairs, scores, "bhash", "kbhash",
-                              num_buckets=num_buckets,
-                              left_schema=pairs_schema,
-                              right_schema=score_schema)
+
+    # Size dispatch: the scored table is |distinct bigrams| rows —
+    # vocab²-bounded in theory, usually far smaller. Under the
+    # threshold it broadcasts ONCE as two kbhash-sorted numpy arrays
+    # and the scoring is a map-side searchsorted (the token-scale
+    # all-to-all disappears); over it, the bucketed lookup join is
+    # the scale path.
+    import ray as _ray
+
+    scores_mat = scores.materialize()
+    if scores_mat.count() <= broadcast_scores_max:
+        blocks = [t for t in _ray.get(scores_mat.to_arrow_refs())
+                  if t.num_rows > 0]  # empty blocks carry a null schema
+        if blocks:
+            st = pa.concat_tables(blocks).combine_chunks()
+            kh = st.column("kbhash").to_numpy(zero_copy_only=False)
+            lp_all = st.column("lp").to_numpy(zero_copy_only=False)
+        else:
+            kh = np.array([], dtype=np.uint64)
+            lp_all = np.array([], dtype=np.float64)
+        order = np.argsort(kh)
+        ref = _ray.put((kh[order], lp_all[order]))
+
+        def score_map(batch: pa.Table) -> pa.Table:
+            keys, lps = _ray.get(ref)
+            bh = batch.column("bhash").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys, bh)
+            # every doc bigram is in-vocab by construction; clip is a
+            # pure safety net for the impossible miss
+            idx = np.minimum(idx, len(keys) - 1)
+            return batch.append_column("lp", pa.array(lps[idx]))
+
+        scored = pairs.map_batches(score_map, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    else:
+        scored = lookup_hash_join(pairs, scores_mat, "bhash", "kbhash",
+                                  num_buckets=num_buckets,
+                                  left_schema=pairs_schema,
+                                  right_schema=score_schema)
 
     def doc_partial(batch: pa.Table) -> pa.Table:
         nf = pc.cast(batch.column("n"), pa.float64())
@@ -188,10 +231,9 @@ def bigram_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
             "avg_logprob": pc.round(avg, ndigits=ndigits),
         })
 
-    return (scored.map_batches(doc_partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-            .groupby(id_col)
-            .aggregate(Sum("_slp", alias_name="_slp"),
-                       Sum("_n", alias_name="_n"))
+    return (bucketed_group_sum(
+                scored.map_batches(doc_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                id_col, ["_slp", "_n"], num_buckets=num_buckets)
             .map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True))

@@ -223,7 +223,7 @@ def vocab_stats(docs: "ray.data.Dataset",
     """
     from collections import Counter
 
-    from ray.data.aggregate import Sum
+    from .dedup import bucketed_group_sum
 
     def partial(batch: pa.Table) -> pa.Table:
         tf: Counter = Counter()
@@ -239,11 +239,11 @@ def vocab_stats(docs: "ray.data.Dataset",
             "df": pa.array([df[k] for k in keys], pa.int64()),
         })
 
-    out = (docs.map_batches(partial, batch_format="pyarrow", batch_size=512)
-           .groupby("token")
-           .aggregate(Sum("tf", alias_name="tf"),
-                      Sum("df", alias_name="df")))
-    return out
+    # bucketed reduce — Ray's sort-based string-key aggregate is the
+    # measured hot stage at corpus scale (see bucketed_group_sum)
+    return bucketed_group_sum(
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=512),
+        "token", ["tf", "df"])
 
 
 # ---------------------------------------------------------------------------

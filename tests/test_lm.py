@@ -61,3 +61,25 @@ def test_bigram_logprob_dominant_transition_scores_higher(ray_session):
     got = (bigram_logprob(ray.data.from_pandas(docs), num_buckets=8)
            .to_pandas().set_index("doc_id"))
     assert got.loc[0, "avg_logprob"] > got.loc[1, "avg_logprob"]
+
+
+def test_bigram_logprob_dispatch_paths_agree(ray_session):
+    """The broadcast fast path and the bucketed-join scale path are
+    the same function: identical output either side of the
+    broadcast_scores_max dispatch."""
+    import pandas as pd
+    import ray.data
+    from full_text_extractor_v6_ray.stages.lm import bigram_logprob
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat on the mat",
+                 "the cat ran", "a dog sat on a log the cat"],
+    })
+    a = (bigram_logprob(ray.data.from_pandas(docs), num_buckets=8,
+                        broadcast_scores_max=10**6)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (bigram_logprob(ray.data.from_pandas(docs), num_buckets=8,
+                        broadcast_scores_max=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
