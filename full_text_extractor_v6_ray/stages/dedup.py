@@ -276,19 +276,21 @@ def bucketed_intersect(left: "ray.data.Dataset", right: "ray.data.Dataset",
             .map_groups(both_bucket, batch_format="pandas"))
 
 
-def bucketed_group_sum(ds: "ray.data.Dataset", key: str,
-                       sum_cols: list[str],
+def bucketed_group_agg(ds: "ray.data.Dataset", key: str,
+                       aggs: list[tuple[str, str]],
                        num_buckets: int | None = None
                        ) -> "ray.data.Dataset":
-    """SUM ``sum_cols`` per ``key`` without Ray's sort-based aggregate:
-    ONE bucketed shuffle on the stable int hash of ``key`` + a
-    vectorized Arrow hash-aggregate per bucket. For string-ish keys
-    this replaces a full distributed sort of the key column (measured
-    on the 2M-doc bigram LM: the string-key Aggregate was 65% of
-    pipeline CPU) with an int64 bucket exchange; the per-bucket reduce
-    is C++ (``pa.Table.group_by``), O(buckets) Python calls. Inputs
-    should already be map-side partials — this is the reduce half of
-    the combiner pattern."""
+    """Associative aggregate per ``key`` without Ray's sort-based
+    aggregate: ONE bucketed shuffle on the stable int hash of ``key``
+    + a vectorized Arrow hash-aggregate per bucket. For string-ish
+    keys this replaces a full distributed sort of the key column
+    (measured on the 2M-doc bigram LM: the string-key Aggregate was
+    65% of pipeline CPU) with an int64 bucket exchange; the per-bucket
+    reduce is C++ (``pa.Table.group_by``), O(buckets) Python calls.
+    ``aggs`` are (column, op) with op an ASSOCIATIVE pyarrow op
+    ("sum", "min", "max", ...) — inputs should already be map-side
+    partials; this is the reduce half of the combiner pattern. Output
+    columns keep their input names, key first."""
     if num_buckets is None:
         num_buckets = default_num_buckets(32)
 
@@ -297,11 +299,19 @@ def bucketed_group_sum(ds: "ray.data.Dataset", key: str,
             "_bkt", _stable_bucket(batch.column(key), num_buckets))
 
     def reduce_bucket(g: pa.Table) -> pa.Table:
-        a = (g.drop(["_bkt"]).group_by(key)
-             .aggregate([(c, "sum") for c in sum_cols]))
-        return a.rename_columns([key] + list(sum_cols))
+        a = g.drop(["_bkt"]).group_by(key).aggregate(list(aggs))
+        return a.rename_columns([key] + [c for c, _ in aggs])
 
     return (ds.map_batches(add_bkt, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("_bkt")
             .map_groups(reduce_bucket, batch_format="pyarrow"))
+
+
+def bucketed_group_sum(ds: "ray.data.Dataset", key: str,
+                       sum_cols: list[str],
+                       num_buckets: int | None = None
+                       ) -> "ray.data.Dataset":
+    """SUM flavor of ``bucketed_group_agg`` (see its scale notes)."""
+    return bucketed_group_agg(ds, key, [(c, "sum") for c in sum_cols],
+                              num_buckets=num_buckets)

@@ -174,9 +174,14 @@ def tfidf_top_terms(docs: "ray.data.Dataset", doc_col: str = "doc_id",
             [([], "count_all")])
         return g.rename_columns(["term_r", "_df"])
 
-    df = (tf_rows.map_batches(df_partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-          .groupby("term_r").aggregate(Sum("_df", alias_name="df")))
+    from .dedup import bucketed_group_sum
+
+    df = bucketed_group_sum(
+        tf_rows.map_batches(df_partial, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        "term_r", ["_df"]).map_batches(
+            lambda b: b.rename_columns(["term_r", "df"]),
+            batch_format="pyarrow", zero_copy_batch=True)
     if min_df > 1:
         def prune_hapax(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.greater_equal(batch["df"], min_df))

@@ -485,8 +485,6 @@ def paragraph_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id",
     output from Python ints via ``pa.array`` (int64 inference): a raw
     uint64 ≥ 2^63 overflows there into a pickled-object column, while
     every int64 min stays exact (no float round-trip)."""
-    from ray.data.aggregate import Min
-
     from .window import grouped_string_agg
 
     paras = explode_paragraphs(docs, id_col, text_col, sep=sep,
@@ -524,10 +522,15 @@ def paragraph_dedup(docs: "ray.data.Dataset", id_col: str = "doc_id",
             "para": batch.column("para"),
         })
 
-    kept = (hashed.map_batches(elect_partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-            .groupby("para")
-            .aggregate(Min("packed", alias_name="keep_packed"))
+    from .dedup import bucketed_group_agg
+
+    kept = (bucketed_group_agg(
+                hashed.map_batches(elect_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                "para", [("packed", "min")], num_buckets=num_buckets)
+            .map_batches(
+                lambda b: b.rename_columns(["para", "keep_packed"]),
+                batch_format="pyarrow", zero_copy_batch=True)
             .map_batches(unpack_winners, batch_format="pyarrow",
                          zero_copy_batch=True))
     out = grouped_string_agg(kept, id_col, "para", order_cols=["idx"],
@@ -545,8 +548,6 @@ def top_bigrams(docs: "ray.data.Dataset", text_col: str = "text",
     tiebreak: count desc, bigram asc."""
     from collections import Counter
 
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for s in batch.column(text_col).to_pylist():
@@ -558,10 +559,12 @@ def top_bigrams(docs: "ray.data.Dataset", text_col: str = "text",
             "n": pa.array([c[b] for b in keys], pa.int64()),
         })
 
-    return (docs.map_batches(partial, batch_format="pyarrow",
-                             batch_size=512)
-            .groupby("bigram")
-            .aggregate(Sum("n", alias_name="n"))
+    from .dedup import bucketed_group_sum
+
+    return (bucketed_group_sum(
+                docs.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=512),
+                "bigram", ["n"])
             .sort(["n", "bigram"], descending=[True, False])
             .limit(k))
 
