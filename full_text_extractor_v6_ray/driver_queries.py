@@ -2034,6 +2034,18 @@ def q_docs_exact_substring_dedup(sf_dir: str):
     return exact_substring_dedup(ds, "text", "doc_id", n=8)
 
 
+def q_docs_exact_substring_keepfirst(sf_dir: str):
+    """ExactSubstr keep-one rewrite: like docs_exact_substring_dedup
+    but the lexicographically first (doc_id, pos) occurrence of each
+    duplicated 8-gram survives — exactly one copy of a repeated span
+    stays in the corpus (the paper's remove-all-but-one semantic)."""
+    from .stages.fuzzy_dedup import exact_substring_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substring_dedup(ds, "text", "doc_id", n=8,
+                                 keep_first=True)
+
+
 def q_docs_dup_ngrams(sf_dir: str):
     """Exact duplicate word-8-gram spans across documents (the n-gram
     approximation of suffix-array substring dedup): slim (ghash,
@@ -2252,6 +2264,7 @@ QUERIES = {
     "docs_decontaminated": q_docs_decontaminated,
     "docs_dup_ngrams": q_docs_dup_ngrams,
     "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
+    "docs_exact_substring_keepfirst": q_docs_exact_substring_keepfirst,
     "docs_bpe_token_count": q_docs_bpe_token_count,
     "events_stratified_sample": q_events_stratified_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
@@ -3025,6 +3038,48 @@ ORACLES = {
                    ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
                    AS n_bpe_tokens
         FROM documents
+    """,
+    "docs_exact_substring_keepfirst": """
+        -- keep-one ExactSubstr: the first (doc_id, p) occurrence of
+        -- each duplicated 8-gram is NOT a removal position
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, i AS p,
+                   array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+                  FROM tok WHERE len(ws) >= 8)
+        ), ranked AS (
+            SELECT doc_id, p, g,
+                   COUNT(*) OVER (PARTITION BY g) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY doc_id, p) AS rn
+            FROM grams
+        ), dpos AS (
+            SELECT doc_id, p FROM ranked WHERE cnt >= 2 AND rn > 1
+        ), toki AS (
+            SELECT doc_id, unnest(ws) AS w,
+                   unnest(range(1, len(ws) + 1)) AS i
+            FROM tok
+        ), kept AS (
+            SELECT t.doc_id, t.w, t.i FROM toki t
+            WHERE NOT EXISTS (SELECT 1 FROM dpos d
+                              WHERE d.doc_id = t.doc_id
+                                AND d.p <= t.i AND t.i < d.p + 8)
+        ), agg AS (
+            SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(len(t.ws) - COALESCE(a.n_kept, 0) AS BIGINT)
+                   AS n_removed
+        FROM documents d
+        JOIN tok t USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
     """,
     "docs_exact_substring_dedup": """
         -- ExactSubstr rewrite: a token (1-based index i) is removed

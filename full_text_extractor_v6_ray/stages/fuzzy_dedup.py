@@ -1047,7 +1047,8 @@ def ngram_pos_rows(docs: "ray.data.Dataset", text_col: str = "text",
 def exact_substring_dedup(docs: "ray.data.Dataset",
                           text_col: str = "text",
                           id_col: str = "doc_id", n: int = 8,
-                          num_buckets: int | None = None
+                          num_buckets: int | None = None,
+                          keep_first: bool = False
                           ) -> "ray.data.Dataset":
     """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better"): REWRITE each document with
@@ -1055,9 +1056,13 @@ def exact_substring_dedup(docs: "ray.data.Dataset",
     when the n-gram starting there occurs >= 2 times anywhere in the
     corpus (other docs OR elsewhere in the same doc); overlapping dup
     grams merge into maximal spans by construction (interval cover).
-    Removes ALL occurrences (the conservative reproduction of the
-    paper's suffix-array variant, with n tokens as the minimum match
-    length instead of 50 BPE tokens). Output: one row per input doc —
+    ``keep_first=False`` removes ALL occurrences (the conservative
+    reproduction of the paper's suffix-array variant, with n tokens as
+    the minimum match length instead of 50 BPE tokens);
+    ``keep_first=True`` is the paper's keep-one semantic — the
+    lexicographically first (doc_id, pos) occurrence of each
+    duplicated gram stays, so exactly one copy of a repeated span
+    survives (in the lowest doc_id that carries it). Output: one row per input doc —
     (doc_id, clean_text, n_removed); untouched docs pass through with
     n_removed = 0, fully-duplicated docs come back as ''.
 
@@ -1083,7 +1088,14 @@ def exact_substring_dedup(docs: "ray.data.Dataset",
 
     def keep_dups(g: pd.DataFrame) -> pd.DataFrame:
         cnt = g["ghash"].map(g["ghash"].value_counts())
-        return g.loc[cnt >= 2, [id_col, "pos"]]
+        d = g.loc[cnt >= 2]
+        if keep_first:
+            # drop the winning (min doc_id, pos) occurrence per gram —
+            # its tokens stay; everything else is removed
+            d = d.sort_values(["ghash", id_col, "pos"],
+                              kind="mergesort")
+            d = d.loc[d["ghash"].duplicated()]
+        return d[[id_col, "pos"]]
 
     dup_pos = (rows.map_batches(add_gbucket, batch_format="pyarrow",
                                 zero_copy_batch=True)

@@ -357,3 +357,29 @@ def test_exact_substring_dedup_rewrite(ray_session):
     assert got.loc[4, "n_removed"] == 0
     assert got.loc[5, "clean_text"] == ""
     assert got.loc[5, "n_removed"] == 0
+
+
+def test_exact_substring_keepfirst(ray_session):
+    """keep_first: the min-(doc,pos) occurrence of each dup gram
+    survives — one copy of a repeated span stays in the corpus."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        exact_substring_dedup)
+
+    shared = "a b c d e f g h"
+    docs = [
+        {"doc_id": 1, "text": f"x1 {shared}"},   # first occurrence wins
+        {"doc_id": 2, "text": f"{shared} q2"},
+        {"doc_id": 3, "text": f"m n o p q r s t u m n o p q r s t"},
+    ]
+    got = (exact_substring_dedup(ray.data.from_items(docs),
+                                 "text", "doc_id", n=8, num_buckets=4,
+                                 keep_first=True)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert got.loc[1, "clean_text"] == f"x1 {shared}"   # kept whole
+    assert got.loc[1, "n_removed"] == 0
+    assert got.loc[2, "clean_text"] == "q2"             # copy removed
+    assert got.loc[2, "n_removed"] == 8
+    # within-doc repeat: first occurrence (pos 0) survives, second goes
+    assert got.loc[3, "clean_text"] == "m n o p q r s t u"
+    assert got.loc[3, "n_removed"] == 8
