@@ -4105,3 +4105,11 @@ def q_docs_neardup_dedup_quality(sf_dir: str):
 QUERIES.update({
     "docs_neardup_dedup_quality": q_docs_neardup_dedup_quality,
 })
+
+
+# TPC-H breadth batch (Q5/Q7/Q13/Q14/Q15/Q16/Q17/Q18/Q19/Q22 analogs)
+from .driver_queries_tpch import ORACLES as _TPCH_ORACLES  # noqa: E402
+from .driver_queries_tpch import QUERIES as _TPCH_QUERIES  # noqa: E402
+
+QUERIES.update(_TPCH_QUERIES)
+ORACLES.update(_TPCH_ORACLES)
