@@ -4107,9 +4107,102 @@ QUERIES.update({
 })
 
 
-# TPC-H breadth batch (Q5/Q7/Q13/Q14/Q15/Q16/Q17/Q18/Q19/Q22 analogs)
+# TPC-H breadth batch (Q5/Q7/Q8/Q9/Q11-Q22 analogs; with the Q1/Q3/
+# Q4/Q6/Q10 shapes above this completes the family minus partsupp-only
+# Q2)
 from .driver_queries_tpch import ORACLES as _TPCH_ORACLES  # noqa: E402
 from .driver_queries_tpch import QUERIES as _TPCH_QUERIES  # noqa: E402
 
 QUERIES.update(_TPCH_QUERIES)
 ORACLES.update(_TPCH_ORACLES)
+
+
+def q_docs_train_order(sf_dir: str):
+    """Deterministic global training-order shuffle: every doc gets a
+    (shard, pos) coordinate from md5(doc_id:seed) alone — the order a
+    training loader consumes (engine-portable, resumable mid-epoch,
+    stable under repartitioning; see stages/sampling.py
+    deterministic_shuffle). ONE bucketed groupby on 16 uniform
+    hex-shards; within-shard rank vectorized per group."""
+    from .stages.sampling import deterministic_shuffle
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return deterministic_shuffle(ds, "doc_id", seed=42, num_shards=16)
+
+
+def q_docs_shard_manifest(sf_dir: str):
+    """Output-shard manifest for resumable writes: docs hash-route to
+    16 md5 shards; the manifest rows (shard, n_docs, total_chars) are
+    what a restarting 100 TB run diffs against finished partitions to
+    skip them. Map-side combine (one row per shard per batch) before a
+    16-key groupby."""
+    from ray.data.aggregate import Sum
+
+    from .stages.sampling import md5_prefixes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pre = md5_prefixes(batch.column("doc_id").to_pylist())
+        df = pd.DataFrame({
+            "shard": np.array([p[:1] for p in pre], dtype=object),
+            "n": np.ones(batch.num_rows, np.int64),
+            "chars": batch.column("n_chars").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("shard", sort=False).sum()
+        return pa.table({"shard": pa.array(g.index.to_numpy(), pa.string()),
+                         "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                         "chars": pa.array(g["chars"].to_numpy(),
+                                           pa.int64())})
+
+    return (ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("shard")
+            .aggregate(Sum("n", alias_name="n_docs"),
+                       Sum("chars", alias_name="total_chars")))
+
+
+QUERIES.update({
+    "docs_train_order": q_docs_train_order,
+    "docs_shard_manifest": q_docs_shard_manifest,
+})
+
+ORACLES.update({
+    "docs_train_order": """
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 1)
+                   AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)
+                                            || ':42'), 1, 1)
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
+                            doc_id) - 1 AS pos
+        FROM documents
+    """,
+    "docs_shard_manifest": """
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY shard
+    """,
+})
+
+
+def q_docs_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (repetitiveness / entropy
+    quality signal; stages/text_ops.py CompressionRatioBatch) plus
+    the doc length. Stateless actor-pool stage; rows-only at the
+    oracle gate (no SQL zlib), pinned by unit tests."""
+    from .stages.text_ops import CompressionRatioBatch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(CompressionRatioBatch,
+                         fn_constructor_kwargs={"text_col": "text"},
+                         batch_format="pyarrow", concurrency=(1, 4))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "compression_ratio"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES.update({"docs_compression_ratio": q_docs_compression_ratio})

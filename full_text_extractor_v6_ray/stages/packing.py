@@ -362,3 +362,29 @@ def packed_chunk_text(docs: "ray.data.Dataset", id_col: str = "doc_id",
                          zero_copy_batch=True)
             .groupby("_bkt")
             .map_groups(assemble, batch_format="pandas"))
+
+
+def iter_training_batches(chunks: "ray.data.Dataset",
+                          batch_size: int = 16,
+                          start_chunk: int = 0):
+    """The loader contract on top of ``packed_chunk_text``: stream the
+    packed windows in global ``chunk_id`` order as fixed-size
+    micro-batches (pyarrow Tables), optionally RESUMING at
+    ``start_chunk`` — a crashed training job restarts from its last
+    consumed window id with no other state, and sees byte-identical
+    remaining batches (determinism test-pinned).
+
+    Scale shape: the resume filter prunes before the sort; the sort is
+    the one exchange (range-partitioned on an int64 key — Ray's sort
+    samples boundaries, so uniform chunk ids balance); consumption is
+    ``iter_batches`` streaming with backpressure — the driver holds
+    ``batch_size`` windows at a time, never the corpus.
+    """
+    ds = chunks
+    if start_chunk:
+        ds = ds.map_batches(
+            lambda b, _s=start_chunk: b.filter(
+                pc.greater_equal(b.column("chunk_id"), _s)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    yield from ds.sort("chunk_id").iter_batches(
+        batch_size=batch_size, batch_format="pyarrow")

@@ -191,3 +191,59 @@ def weighted_hash_topk(ds: "ray.data.Dataset", key_col: str,
                            zero_copy_batch=True)
             .sort([score_col, key_col], descending=[True, False])
             .limit(k))
+
+
+def deterministic_shuffle(ds: "ray.data.Dataset", key_col: str,
+                          seed: int = 42, num_shards: int = 64,
+                          shard_col: str = "shard",
+                          pos_col: str = "pos"
+                          ) -> "ray.data.Dataset":
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, pos-within-shard) coordinate derived only from
+    md5(str(key) + ':' + str(seed)) — the order a training loader
+    consumes (shards round-robin, positions sequentially).
+
+    Why not ``ds.random_shuffle(seed=...)``: that order depends on the
+    engine's partitioning and cannot be reproduced elsewhere; this one
+    is the same on any engine (DuckDB: ``ROW_NUMBER() OVER (PARTITION
+    BY substr(md5(k||':'||seed), 1, SH) ORDER BY md5(k||':'||seed),
+    k) - 1``), stable under repartitioning/retries, and resumable
+    mid-epoch (a loader restarts at (shard, pos) with no RNG state).
+
+    Scale shape: shard = first hex chars of the md5 (uniform by
+    construction — no salting needed), so the ONE shuffle is a
+    bucketed groupby on ``num_shards`` uniform keys; the within-shard
+    sort is per-group and vectorized. num_shards must be a power of 16
+    here (1 or 2 hex chars) to keep the SQL oracle a substring; 16 or
+    256 in practice — at 100 TB use 256 shards of ~400 GB consumed
+    round-robin, or shard first by this and sub-shard with a second
+    seed.
+    """
+    if num_shards == 16:
+        width = 1
+    elif num_shards == 256:
+        width = 2
+    else:
+        raise ValueError("num_shards must be 16 or 256 (hex-substring "
+                         "sharding keeps the SQL oracle portable)")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+        digests = np.array([
+            _h.md5((str(v) + ":" + str(seed)).encode()).hexdigest()
+            if v is not None else None
+            for v in batch.column(key_col).to_pylist()], dtype=object)
+        batch = batch.append_column("_md5", pa.array(digests, pa.string()))
+        return batch.append_column(
+            shard_col, pa.array([d[:width] if d is not None else None
+                                 for d in digests], pa.string()))
+
+    def order_group(g):
+        g = g.sort_values(["_md5", key_col], kind="mergesort")
+        g[pos_col] = np.arange(len(g), dtype=np.int64)
+        return g.drop(columns=["_md5"])
+
+    return (ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(shard_col)
+            .map_groups(order_group, batch_format="pandas"))

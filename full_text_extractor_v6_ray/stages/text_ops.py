@@ -771,3 +771,37 @@ def normalized_keep_first(docs: "ray.data.Dataset",
                      zero_copy_batch=True),
         "_norm", [(id_col, "ascending")], num_buckets=num_buckets)
     return kept.select_columns([id_col, text_col])
+
+
+class CompressionRatioBatch:
+    """zlib compression ratio per doc — the classic cheap
+    repetitiveness/quality signal (near-1 ratios mean boilerplate or
+    generated spam; very high ratios mean high-entropy noise like
+    base64 blobs; natural prose sits ~2-4x). Used as a filter feature
+    alongside the Gopher-style heuristics in QualityScoreBatch.
+
+    Per-batch stateless actor stage; the per-doc ``zlib.compress`` IS
+    the work (C speed, no Python-loop overhead worth removing). Not
+    SQL-expressible — rows-only at the oracle gate, pinned by unit
+    tests on texts of known redundancy.
+    """
+
+    def __init__(self, text_col: str = "text", level: int = 6):
+        import zlib
+
+        self._compress = zlib.compress
+        self.text_col = text_col
+        self.level = level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ratios = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            raw = (t or "").encode("utf-8", "replace")
+            if not raw:
+                ratios[i] = 1.0
+                continue
+            ratios[i] = len(raw) / len(self._compress(raw, self.level))
+        return batch.append_column("compression_ratio",
+                                   pa.array(np.round(ratios, 4),
+                                            pa.float64()))

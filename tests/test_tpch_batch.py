@@ -41,7 +41,10 @@ NAMES = ["q5_local_supplier_volume", "q7_volume_shipping",
          "q13_customer_distribution", "q14_promo_revenue",
          "q15_top_supplier", "q16_parts_supplier_count",
          "q17_small_qty_revenue", "q18_large_volume_customers",
-         "q19_discounted_revenue", "q22_sales_opportunity"]
+         "q19_discounted_revenue", "q22_sales_opportunity",
+         "q8_market_share", "q9_product_profit", "q11_important_parts",
+         "q12_shipping_priority_classes", "q20_heavy_part_suppliers",
+         "q21_waiting_suppliers"]
 
 
 @pytest.mark.parametrize("name", NAMES)
