@@ -4206,3 +4206,98 @@ def q_docs_compression_ratio(sf_dir: str):
 
 
 QUERIES.update({"docs_compression_ratio": q_docs_compression_ratio})
+
+
+def q_consistent_sample_revenue(sf_dir: str):
+    """Referentially consistent cross-table sampling — the hash-sample
+    property that seeded RNG samples do NOT have: sampling CUSTOMERS
+    by md5(custkey) automatically keeps exactly the orders of kept
+    customers when the orders table is filtered by the SAME hash on
+    its foreign key. No join is needed to coordinate the two tables
+    (each side is a pure per-batch filter); the one exchange here is
+    the revenue groupby. Oracle applies the identical md5 predicate to
+    both tables in SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.sampling import md5_hash_sample
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+    kept = md5_hash_sample(orders, "o_custkey", 0.25)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "rev": batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False),
+            "n": np.ones(batch.num_rows, np.int64)})
+        g = df.groupby("k", sort=False).sum()
+        return pa.table({
+            "o_custkey": pa.array(g.index.to_numpy(), pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    agg = (kept.map_batches(partials, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("o_custkey")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Sum("n", alias_name="n_orders")))
+    return agg.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("revenue"), "revenue",
+            pc.round(b.column("revenue"), ndigits=2)),
+        batch_format="pyarrow")
+
+
+QUERIES.update({
+    "consistent_sample_revenue": q_consistent_sample_revenue,
+})
+
+ORACLES.update({
+    "consistent_sample_revenue": """
+        SELECT o_custkey,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+              < '40000000'
+        GROUP BY o_custkey
+    """,
+})
+
+
+def q_cosupplier_triangles(sf_dir: str):
+    """Graph analytics beyond PageRank/components: triangle count of
+    the co-supplier graph (suppliers sharing a part; stages/pagerank.py
+    co_occurrence_edges + triangle_count). Three bucketed exchanges
+    total (group explode, wedge join on the middle vertex,
+    composite-key closing join), all over slim int64 rows; the a<b<c
+    orientation counts each triangle exactly once."""
+    from .stages.pagerank import co_occurrence_edges, triangle_count
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    edges = co_occurrence_edges(li, "l_partkey", "l_suppkey")
+    edges = edges.materialize()  # used twice: wedge join + closing join
+    n_edges = int(edges.count())
+    n_tri = triangle_count(edges)
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64())})
+
+
+QUERIES.update({"cosupplier_triangles": q_cosupplier_triangles})
+
+ORACLES.update({
+    "cosupplier_triangles": """
+        WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+                    FROM lineitem),
+        e AS (SELECT DISTINCT a.sk AS s1, b.sk AS s2
+              FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM e e1
+                JOIN e e2 ON e1.s2 = e2.s1
+                JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+                   AS n_triangles
+    """,
+})
