@@ -120,6 +120,16 @@ def run_bench() -> dict:
     dq.q_events_hourly(SF_DIR).count()
     queries["events_hourly"] = round(time.perf_counter() - t, 3)
 
+    # -- TPC-H canary: Q21 is the most exchange-heavy analog (orders
+    # lookup join + two bucketed groupbys + final count) — a
+    # regression alarm for the join/aggregate machinery. Exchange-
+    # latency-dominated at sf0.1 (~9 s); the value tracked is trend,
+    # not absolute.
+    t = time.perf_counter()
+    tq = dq.QUERIES["q21_waiting_suppliers"](SF_DIR)
+    _ = tq.num_rows if hasattr(tq, "num_rows") else tq.count()
+    queries["tpch_q21"] = round(time.perf_counter() - t, 3)
+
     # -- TF-IDF over an extracted page corpus (env-gated: token-scale) -----
     # GRAFT_BENCH_TFIDF_REPLICATE=R times tfidf_top_terms over the
     # extracted text of R-replicated pages, parquet-spill flavor (NO
