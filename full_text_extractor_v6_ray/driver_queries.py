@@ -4301,3 +4301,44 @@ ORACLES.update({
                    AS n_triangles
     """,
 })
+
+
+def q_lineitem_profile(sf_dir: str):
+    """Column profile of the biggest fact table (stages/stats.py
+    profile_table): per column — rows, nulls, EXACT distinct count,
+    numeric min/max/sum. One scan, metadata-sized count reduce +
+    one bucketed distinct exchange with in-batch dedup combiners for
+    all columns together."""
+    from .stages.stats import profile_table
+
+    ds = _read(sf_dir, "lineitem")
+    return profile_table(ds)
+
+
+QUERIES.update({"lineitem_profile": q_lineitem_profile})
+
+_PROFILE_NUM = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROFILE_OTHER = ["l_returnflag", "l_linestatus", "l_shipdate"]
+
+ORACLES.update({
+    "lineitem_profile": " UNION ALL ".join(
+        [f"""
+         SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+                CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                CAST(MIN({c}) AS DOUBLE) AS min_val,
+                CAST(MAX({c}) AS DOUBLE) AS max_val,
+                ROUND(CAST(SUM({c}) AS DOUBLE), 2) AS sum_val
+         FROM lineitem
+         """ for c in _PROFILE_NUM] +
+        [f"""
+         SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+                CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                CAST(NULL AS DOUBLE) AS min_val,
+                CAST(NULL AS DOUBLE) AS max_val,
+                CAST(NULL AS DOUBLE) AS sum_val
+         FROM lineitem
+         """ for c in _PROFILE_OTHER]),
+})
