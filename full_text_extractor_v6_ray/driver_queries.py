@@ -4342,3 +4342,45 @@ ORACLES.update({
          FROM lineitem
          """ for c in _PROFILE_OTHER]),
 })
+
+
+def q_docs_union_evolved(sf_dir: str):
+    """Schema-evolution ingestion (stages/schema_evo.py
+    union_by_name): an old corpus shard (doc_id, lang — no quality
+    column) unions with a new-round shard that added quality_score
+    and widened nothing else; missing columns surface as typed nulls,
+    exactly SQL's UNION ALL BY NAME. Shards here are the even/odd
+    doc_id halves of the documents table so the oracle can rebuild
+    both sides. Zero shuffles — per-batch casts + block-list union."""
+    from .stages.schema_evo import union_by_name
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "n_chars"])
+    old = docs.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0))
+        .select(["doc_id", "lang"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(
+        lambda b: (lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "quality_score": pc.divide(
+                pc.cast(t.column("n_chars"), pa.float64()), 1000.0)}))
+        (b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 1))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return union_by_name([old, new])
+
+
+QUERIES.update({"docs_union_evolved": q_docs_union_evolved})
+
+ORACLES.update({
+    "docs_union_evolved": """
+        SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS quality_score
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, CAST(n_chars AS DOUBLE) / 1000.0
+                   AS quality_score
+        FROM documents WHERE doc_id % 2 = 1
+    """,
+})
