@@ -4384,3 +4384,63 @@ ORACLES.update({
         FROM documents WHERE doc_id % 2 = 1
     """,
 })
+
+
+_PSI_EDGES = [0.0, 50000.0, 100000.0, 150000.0, 200000.0, 300000.0,
+              500000.0]
+_PSI_CUT = "TIMESTAMP '1998-01-01'"
+
+
+def q_orders_price_drift(sf_dir: str):
+    """Distribution-drift monitor (stages/stats.py psi_drift): PSI of
+    the order-price histogram, pre-1998 reference vs 1998+ current —
+    the corpus-round drift check (quality-score / doc-length drift at
+    crawl scale). Each side collapses map-side to one histogram row
+    per batch; the PSI formula runs on ~a dozen numbers."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from .stages.stats import psi_drift
+
+    cut = datetime.datetime(1998, 1, 1)
+    path = os.path.join(sf_dir, "orders.parquet")
+    ref = ray.data.read_parquet(path, columns=["o_totalprice"],
+                                filter=(pads.field("o_orderdate") < cut))
+    cur = ray.data.read_parquet(path, columns=["o_totalprice"],
+                                filter=(pads.field("o_orderdate") >= cut))
+    psi = psi_drift(ref, cur, "o_totalprice", _PSI_EDGES)
+    return pa.table({"psi": pa.array([round(psi, 6)], pa.float64())})
+
+
+def _psi_oracle() -> str:
+    nb = len(_PSI_EDGES) - 1
+
+    def side(cond: str, alias: str) -> str:
+        cells = []
+        for i in range(nb):
+            if i < nb - 1:
+                case = (f"CASE WHEN o_totalprice < {_PSI_EDGES[i + 1]} "
+                        f"THEN 1 ELSE 0 END")
+                if i > 0:
+                    case = (f"CASE WHEN o_totalprice >= {_PSI_EDGES[i]} "
+                            f"AND o_totalprice < {_PSI_EDGES[i + 1]} "
+                            f"THEN 1 ELSE 0 END")
+            else:
+                case = (f"CASE WHEN o_totalprice >= {_PSI_EDGES[i]} "
+                        f"THEN 1 ELSE 0 END")
+            cells.append(
+                f"GREATEST(CAST(SUM({case}) AS DOUBLE) / COUNT(*), 1e-9)"
+                f" AS p{i}")
+        return (f"{alias} AS (SELECT " + ", ".join(cells)
+                + f" FROM orders WHERE o_orderdate {cond})")
+
+    terms = " + ".join(
+        f"(r.p{i} - c.p{i}) * LN(r.p{i} / c.p{i})" for i in range(nb))
+    return ("WITH " + side(f"< {_PSI_CUT}", "r") + ", "
+            + side(f">= {_PSI_CUT}", "c")
+            + f" SELECT ROUND({terms}, 6) AS psi FROM r, c")
+
+
+QUERIES.update({"orders_price_drift": q_orders_price_drift})
+ORACLES.update({"orders_price_drift": _psi_oracle()})

@@ -851,3 +851,52 @@ def profile_table(ds: "ray.data.Dataset",
     import ray.data as _rd
 
     return _rd.from_pandas(out)
+
+
+def psi_drift(ref: "ray.data.Dataset", cur: "ray.data.Dataset",
+              col: str, edges: list[float],
+              eps: float = 1e-9) -> float:
+    """Population Stability Index between two datasets' distributions
+    of ``col`` over FIXED bin edges — the standard drift monitor
+    between corpus rounds (quality-score drift, doc-length drift,
+    price drift). PSI = Σ (p_i - q_i) · ln(p_i / q_i) with
+    ``eps``-floored shares so empty bins stay finite (same floor in
+    the SQL oracle). Rule of thumb: < 0.1 stable, 0.1-0.25 moderate,
+    > 0.25 action.
+
+    Scale shape: each side collapses map-side to ONE histogram row
+    per batch (len(edges)+1 int64 cells — metadata, not data), a tiny
+    global sum combines them, and the PSI formula runs on ~dozens of
+    numbers. Values outside [edges[0], edges[-1]] clamp into the end
+    bins (matching the oracle's CASE ladder)."""
+    import ray as _ray  # noqa: F401  (Dataset typing only)
+
+    e = np.asarray(edges, dtype=np.float64)
+    if len(e) < 2 or np.any(np.diff(e) <= 0):
+        raise ValueError("edges must be >= 2 strictly increasing values")
+    nbins = len(e) - 1
+
+    def hist_counts(ds) -> np.ndarray:
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            v = v[~np.isnan(v)]
+            idx = np.clip(np.searchsorted(e, v, side="right") - 1,
+                          0, nbins - 1)
+            counts = np.bincount(idx, minlength=nbins).astype(np.int64)
+            return pa.table({f"b{i}": pa.array([int(counts[i])])
+                             for i in range(nbins)})
+
+        from ray.data.aggregate import Sum
+        agg = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .aggregate(*[Sum(f"b{i}", alias_name=f"b{i}")
+                         for i in range(nbins)])
+        return np.array([agg[f"b{i}"] or 0 for i in range(nbins)],
+                        dtype=np.float64)
+
+    p = hist_counts(ref)
+    q = hist_counts(cur)
+    p = np.maximum(p / max(p.sum(), 1.0), eps)
+    q = np.maximum(q / max(q.sum(), 1.0), eps)
+    return float(np.sum((p - q) * np.log(p / q)))
