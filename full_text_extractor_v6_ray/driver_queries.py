@@ -4444,3 +4444,28 @@ def _psi_oracle() -> str:
 
 QUERIES.update({"orders_price_drift": q_orders_price_drift})
 ORACLES.update({"orders_price_drift": _psi_oracle()})
+
+
+def q_customer_name_fuzzy_pairs(sf_dir: str):
+    """Short-string record linkage (stages/fuzzy_dedup.py
+    symspell_match_pairs): customer-name pairs within Levenshtein
+    distance 1 — symmetric-delete blocking makes candidates ONE
+    variant-hash groupby (never all-pairs); exact banded-DP verify
+    once per distinct pair."""
+    from .stages.fuzzy_dedup import symspell_match_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return symspell_match_pairs(ds, "c_custkey", "c_name", max_dist=1)
+
+
+QUERIES.update({"customer_name_fuzzy_pairs": q_customer_name_fuzzy_pairs})
+
+ORACLES.update({
+    "customer_name_fuzzy_pairs": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a
+        JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+})

@@ -1158,3 +1158,135 @@ def exact_substring_dedup(docs: "ray.data.Dataset",
 
     return joined.map_batches(rewrite, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Short-string fuzzy matching (record linkage), SymSpell-style
+# ---------------------------------------------------------------------------
+
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein: True iff edit distance <= k. O(k·max(len))."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if a == b:
+        return True
+    if la == 0 or lb == 0:
+        return max(la, lb) <= k
+    big = k + 1  # cells outside the band are "already too far"
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i if i <= k else big] + [big] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if hi < lo:
+            return False
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        if min(cur[lo:hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def _deletion_variants(s: str, k: int) -> set:
+    """All strings reachable by deleting up to ``k`` characters."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def symspell_match_pairs(ds: "ray.data.Dataset", id_col: str,
+                         string_col: str, max_dist: int = 1,
+                         num_buckets: int | None = None
+                         ) -> "ray.data.Dataset":
+    """All pairs (id_a < id_b) whose strings are within Levenshtein
+    distance ``max_dist`` — short-string record linkage (entity names,
+    hostnames, product codes), the complement of the MinHash family
+    (which targets long documents, where edit distance is the wrong
+    metric).
+
+    SymSpell blocking (symmetric deletes): d(a, b) <= k implies a and
+    b share a <= k-deletion variant, so candidates are exactly the
+    within-bucket pairs of ONE groupby on the variant hash — never
+    all-pairs. Each row emits O(len^k) slim (variant_hash, id, string)
+    rows (k is 1 or 2 in practice); candidate pairs dedup on the id
+    pair IN-BATCH before the exact banded-DP verify, and the verify
+    runs once per distinct pair. Partitioning assumption (documented):
+    variant buckets are bounded — run exact dedup first if identical
+    strings can flood a bucket.
+    """
+    import pandas as pd
+
+    from .dedup import _stable_bucket, default_num_buckets
+
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def explode_variants(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        strs = batch.column(string_col).to_pylist()
+        out_v, out_i, out_s = [], [], []
+        for i, s in zip(ids, strs):
+            if s is None:
+                continue
+            for v in _deletion_variants(s, max_dist):
+                out_v.append(v)
+                out_i.append(int(i))
+                out_s.append(s)
+        t = pa.table({"_variant": pa.array(out_v, pa.string()),
+                      id_col: pa.array(out_i, pa.int64()),
+                      string_col: pa.array(out_s, pa.string())})
+        return t.append_column(
+            "_vb", _stable_bucket(t.column("_variant"), num_buckets))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # within each variant value: unique (id, s), all ordered pairs
+        cols = {"a": [], "b": [], "sa": [], "sb": []}
+        for _, grp in g.groupby("_variant", sort=False):
+            d = grp[[id_col, string_col]].drop_duplicates()
+            if len(d) < 2:
+                continue
+            d = d.sort_values(id_col)
+            ids = d[id_col].to_numpy()
+            ss = d[string_col].to_numpy()
+            i, j = np.triu_indices(len(ids), k=1)
+            cols["a"].extend(ids[i])
+            cols["b"].extend(ids[j])
+            cols["sa"].extend(ss[i])
+            cols["sb"].extend(ss[j])
+        out = pd.DataFrame({"id_a": np.asarray(cols["a"], np.int64),
+                            "id_b": np.asarray(cols["b"], np.int64),
+                            "_sa": cols["sa"], "_sb": cols["sb"]})
+        # in-bucket dedup: the same pair recurs across variants
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    cands = (ds.map_batches(explode_variants, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("_vb")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["id_a", "id_b"])  # cross-bucket dedup
+        keep = [
+            _levenshtein_leq(a, b, max_dist)
+            for a, b in zip(g["_sa"], g["_sb"])]
+        return g.loc[keep, ["id_a", "id_b"]]
+
+    # second tiny groupby: distinct pairs across variant buckets, then
+    # one exact verify per pair
+    cands = cands.map_batches(
+        lambda b: b.append_column(
+            "_pb", _stable_bucket(b.column("id_a"), num_buckets)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cands.groupby("_pb").map_groups(verify, batch_format="pandas")
