@@ -4211,19 +4211,25 @@ QUERIES.update({"docs_compression_ratio": q_docs_compression_ratio})
 def q_consistent_sample_revenue(sf_dir: str):
     """Referentially consistent cross-table sampling — the hash-sample
     property that seeded RNG samples do NOT have: sampling CUSTOMERS
-    by md5(custkey) automatically keeps exactly the orders of kept
-    customers when the orders table is filtered by the SAME hash on
-    its foreign key. No join is needed to coordinate the two tables
-    (each side is a pure per-batch filter); the one exchange here is
-    the revenue groupby. Oracle applies the identical md5 predicate to
-    both tables in SQL."""
+    by md5(c_custkey) and ORDERS by the SAME hash on the foreign key
+    keeps exactly the kept customers' orders, with NO coordination
+    between the two filters (each side is a pure per-batch predicate;
+    a seeded random sample of each table independently would orphan
+    most rows). Both tables ARE sampled here, and the INNER decorate
+    join proves consistency: every surviving order group finds its
+    customer row — n_rows equals the orders-side-only count. Oracle
+    applies the identical md5 predicate to both tables in SQL."""
     from ray.data.aggregate import Count, Sum
 
+    from .stages.joins import bucket_hash_join
     from .stages.sampling import md5_hash_sample
 
     orders = _read(sf_dir, "orders",
                    columns=["o_custkey", "o_totalprice"])
     kept = md5_hash_sample(orders, "o_custkey", 0.25)
+    kept_cust = md5_hash_sample(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        "c_custkey", 0.25)
 
     def partials(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -4243,11 +4249,15 @@ def q_consistent_sample_revenue(sf_dir: str):
            .groupby("o_custkey")
            .aggregate(Sum("rev", alias_name="revenue"),
                       Sum("n", alias_name="n_orders")))
-    return agg.map_batches(
+    agg = agg.map_batches(
         lambda b: b.set_column(
             b.schema.get_field_index("revenue"), "revenue",
             pc.round(b.column("revenue"), ndigits=2)),
         batch_format="pyarrow")
+    joined = bucket_hash_join(agg, kept_cust, "o_custkey", "c_custkey")
+    return joined.map_batches(
+        lambda b: b.select(["o_custkey", "c_name", "revenue", "n_orders"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 QUERIES.update({
@@ -4256,13 +4266,16 @@ QUERIES.update({
 
 ORACLES.update({
     "consistent_sample_revenue": """
-        SELECT o_custkey,
+        SELECT o_custkey, c_name,
                ROUND(SUM(o_totalprice), 2) AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders
+        JOIN customer ON c_custkey = o_custkey
         WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
               < '40000000'
-        GROUP BY o_custkey
+          AND substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+              < '40000000'
+        GROUP BY o_custkey, c_name
     """,
 })
 

@@ -80,9 +80,18 @@ class _SortedLookup:
 
     def get(self, probe: np.ndarray):
         """Returns (found_mask, [val_arrays aligned to probe])."""
+        if len(self.keys) == 0:
+            # a dimension filter can legitimately match nothing: every
+            # probe misses (vals keep their dtypes; object dtype needs
+            # a None fill, zeros() would reject it)
+            found = np.zeros(len(probe), dtype=bool)
+            return found, [np.full(len(probe), None, dtype=v.dtype)
+                           if v.dtype == object
+                           else np.zeros(len(probe), dtype=v.dtype)
+                           for v in self.vals]
         idx = np.searchsorted(self.keys, probe)
         idx_c = np.clip(idx, 0, len(self.keys) - 1)
-        found = (len(self.keys) > 0) & (self.keys[idx_c] == probe)
+        found = self.keys[idx_c] == probe
         return found, [v[idx_c] for v in self.vals]
 
 
@@ -560,7 +569,11 @@ def q17_small_qty_revenue(sf_dir: str):
                       Sum("qn", alias_name="n")))
 
     def to_threshold(batch: pa.Table) -> pa.Table:
-        thr = 0.5 * _np(batch.column("s")) / _np(batch.column("n"))
+        # round-before-compare (module convention): partial-sum order
+        # differs from the oracle's accumulation, so the threshold is
+        # fixed to 6 digits on BOTH engines before the < compare
+        thr = np.round(0.5 * _np(batch.column("s")) / _np(batch.column("n")),
+                       6)
         return pa.table({"t_partkey": batch.column("l_partkey"),
                          "qty_thr": pa.array(thr, pa.float64())})
 
@@ -722,7 +735,11 @@ def q22_sales_opportunity(sf_dir: str):
     pos = cust.map_batches(
         lambda b: b.filter(pc.greater(b.column("c_acctbal"), 0.0)),
         batch_format="pyarrow", zero_copy_batch=True)
-    avg_bal = float(pos.aggregate(Mean("c_acctbal", alias_name="m"))["m"])
+    # round-before-compare (module convention): accumulation order is
+    # not fixed across partitions, so the raw mean can differ from the
+    # oracle's by ulps — a balance AT the threshold must not flip
+    avg_bal = round(
+        float(pos.aggregate(Mean("c_acctbal", alias_name="m"))["m"]), 6)
 
     rich = cust.map_batches(
         lambda b, _t=avg_bal: b.filter(pc.greater(b.column("c_acctbal"),
@@ -1356,7 +1373,7 @@ ORACLES = {
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#23'
-          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+          AND l_quantity < (SELECT ROUND(0.5 * AVG(l2.l_quantity), 6)
                             FROM lineitem l2
                             WHERE l2.l_partkey = lineitem.l_partkey)
     """,
@@ -1388,7 +1405,7 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS numcust,
                ROUND(SUM(c_acctbal), 2) AS totacctbal
         FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+        WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM customer
                            WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey

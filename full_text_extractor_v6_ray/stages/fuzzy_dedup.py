@@ -1289,4 +1289,24 @@ def symspell_match_pairs(ds: "ray.data.Dataset", id_col: str,
         lambda b: b.append_column(
             "_pb", _stable_bucket(b.column("id_a"), num_buckets)),
         batch_format="pyarrow", zero_copy_batch=True)
-    return cands.groupby("_pb").map_groups(verify, batch_format="pandas")
+    out = cands.groupby("_pb").map_groups(verify, batch_format="pandas")
+
+    def typed(t: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "id_a": pa.array(t["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(t["id_b"].to_numpy(np.int64), pa.int64())})
+
+    # The match set is pair-scale (tiny vs the corpus): pin it once,
+    # then a zero-match run (the normal clean-data outcome)
+    # short-circuits to a TYPED empty result — Ray skips map fns on
+    # empty blocks, so the schema cannot be recovered downstream
+    # otherwise (same guard as the minhash family above).
+    from .dedup import materialize_rebased
+    out = materialize_rebased(out.map_batches(typed,
+                                              batch_format="pandas"),
+                              num_blocks=min(num_buckets, 32))
+    if out.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table())
+    return out

@@ -202,9 +202,7 @@ def pagerank(edges: "ray.data.Dataset", src_col: str = "src",
 # ---------------------------------------------------------------------------
 
 def co_occurrence_edges(pairs: "ray.data.Dataset", group_col: str,
-                        node_col: str,
-                        num_buckets: int | None = None
-                        ) -> "ray.data.Dataset":
+                        node_col: str) -> "ray.data.Dataset":
     """Undirected co-occurrence edges: (s1 < s2) iff both nodes share
     at least one group — e.g. the co-supplier graph (suppliers of the
     same part) or co-citation / co-click graphs. Output edges are

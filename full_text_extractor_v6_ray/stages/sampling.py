@@ -194,7 +194,7 @@ def weighted_hash_topk(ds: "ray.data.Dataset", key_col: str,
 
 
 def deterministic_shuffle(ds: "ray.data.Dataset", key_col: str,
-                          seed: int = 42, num_shards: int = 64,
+                          seed: int = 42, num_shards: int = 16,
                           shard_col: str = "shard",
                           pos_col: str = "pos"
                           ) -> "ray.data.Dataset":

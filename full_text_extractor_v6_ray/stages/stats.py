@@ -744,9 +744,14 @@ def profile_table(ds: "ray.data.Dataset",
     EXACT distinct count, and (numeric columns only) min/max/sum. The
     "profile before you train on it" data-quality pass.
 
-    Scale shape: ONE scan feeds two paths. (a) counts/min/max/sum
-    collapse map-side to ONE row per (column, batch) — the metadata-
-    sized reduce. (b) exact distincts: every column's values cast to a
+    Scale shape: TWO scans of the input, one per path (Ray Data
+    streams one consumer per execution; feeding both from one scan
+    would pin the whole table in the object store — at fact-table
+    scale re-reading parquet is the cheaper side of that trade; pass a
+    pre-materialized ds if the upstream LINEAGE is expensive).
+    (a) counts/min/max/sum collapse map-side to ONE row per
+    (column, batch) — the metadata-sized reduce. (b) exact distincts:
+    every column's values cast to a
     string key and dedup IN-BATCH (the combiner), so the single
     bucketed exchange carries at most (batch-distinct) slim
     (column, key) rows for ALL columns together; per-bucket distinct
@@ -760,8 +765,7 @@ def profile_table(ds: "ray.data.Dataset",
     doubles use np.float64 repr (shortest round-trip), injective too —
     so counts equal the engine-native COUNT(DISTINCT).
     """
-    import ray as _ray
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     schema = ds.schema().base_schema
     if columns is None:
@@ -831,14 +835,12 @@ def profile_table(ds: "ray.data.Dataset",
         out = d.groupby("column", sort=False).size().reset_index(name="nd")
         return out
 
-    from ray.data.aggregate import Sum as _Sum
-
     nd = (ds.map_batches(distinct_partials, batch_format="pyarrow",
                          zero_copy_batch=True)
           .groupby(_BUCKET)
           .map_groups(bucket_distinct, batch_format="pandas")
           .groupby("column")
-          .aggregate(_Sum("nd", alias_name="n_distinct"))
+          .aggregate(Sum("nd", alias_name="n_distinct"))
           .to_pandas())  # |columns| rows
 
     out = counts.merge(nd, on="column", how="left")

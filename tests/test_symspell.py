@@ -58,3 +58,21 @@ def test_distance_two(ray_session):
     exp = {(i, j) for i in range(4) for j in range(i + 1, 4)
            if _levenshtein_leq(names[i], names[j], 2)}
     assert got == exp and (0, 2) in got  # spark -> spk is distance 2
+
+
+def test_no_matches_keeps_schema(ray_session):
+    # the normal clean-data outcome must yield a TYPED empty result,
+    # not a schemaless dataset (downstream joins/filters need the
+    # Dataset-level schema; note ray 2.49 to_pandas drops columns on
+    # ANY empty dataset, so schema() is the contract to pin)
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        symspell_match_pairs,
+    )
+
+    df = pd.DataFrame({"id": [1, 2], "s": ["alpha", "zzzzzz"]})
+    out = symspell_match_pairs(ray.data.from_pandas(df), "id", "s",
+                               max_dist=1)
+    assert out.schema() is not None
+    assert out.schema().names == ["id_a", "id_b"]
+    assert out.count() == 0

@@ -64,3 +64,19 @@ def test_tpch_query_matches_duckdb(ray_session, name):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_sorted_lookup_empty_keys():
+    # a dimension filter matching zero rows must mean "every probe
+    # misses", not an IndexError inside worker tasks
+    import numpy as np
+
+    from full_text_extractor_v6_ray.driver_queries_tpch import (
+        _SortedLookup,
+    )
+
+    lk = _SortedLookup(np.array([], np.int64), np.array([], np.int64),
+                       np.asarray([], dtype=object))
+    found, (ints, objs) = lk.get(np.array([1, 2, 3]))
+    assert not found.any()
+    assert ints.dtype == np.int64 and objs.dtype == object

@@ -82,3 +82,16 @@ def test_shuffle_seed_changes_order(ray_session):
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert not a[["shard", "pos"]].equals(b[["shard", "pos"]])
+
+
+def test_shuffle_default_shards(ray_session):
+    # the signature default must be a value its own validation accepts
+    import ray.data
+    from full_text_extractor_v6_ray.stages.sampling import (
+        deterministic_shuffle,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id"])
+    out = deterministic_shuffle(ds, "doc_id").to_pandas()
+    assert len(out) == ds.count() and out["shard"].nunique() <= 16
