@@ -2624,10 +2624,11 @@ ORACLES = {
         GROUP BY tok
     """,
     "docs_token_stats": """
+        -- RE2 \\S+ runs, the repo-wide tokenizer dialect (no trim():
+        -- DuckDB trim strips spaces only while Arrow trims Unicode —
+        -- counting \\S+ matches pc.count_substring_regex exactly)
         SELECT doc_id,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
-                   AS n_tokens,
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens,
                length(text) AS n_chars
         FROM documents
     """,
@@ -3029,11 +3030,10 @@ ORACLES = {
               AND contains(d.text, substr(b.text, 1, 40)))
     """,
     "docs_bpe_token_count": """
-        -- same RE2 piece pattern as BPE_PIECE_PATTERN, verbatim
+        -- same RE2 piece pattern as BPE_PIECE_PATTERN, verbatim;
+        -- n_ws_tokens counts RE2 \\S+ runs = token_count_arrays
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+'))
-               END AS n_ws_tokens,
+               len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
                len(regexp_extract_all(text,
                    ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
                    AS n_bpe_tokens
@@ -3532,11 +3532,13 @@ QUERIES.update({
 
 ORACLES.update({
     "docs_paragraph_dedup": """
+        -- extract_all('\\S+') = the Ray explode's RE2 split with ''
+        -- dropped (word indices must align post-filter)
         WITH words AS (
             SELECT doc_id, generate_subscripts(w, 1) - 1 AS wi,
                    unnest(w) AS word
             FROM (SELECT doc_id,
-                         regexp_split_to_array(text, '\\s+') AS w
+                         regexp_extract_all(text, '\\S+') AS w
                   FROM documents)
         ), chunks AS (
             SELECT doc_id, wi // 10 AS idx,
@@ -3552,11 +3554,14 @@ ORACLES.update({
         FROM ranked WHERE rn = 1 GROUP BY doc_id
     """,
     "docs_top_bigrams": """
+        -- regexp_extract_all('\\S+'): no empty tokens on leading/
+        -- trailing whitespace (split_to_array keeps them), matching
+        -- the Ray side's re2_tokens
         WITH words AS (
             SELECT doc_id, generate_subscripts(w, 1) AS wi,
                    unnest(w) AS word
             FROM (SELECT doc_id,
-                         regexp_split_to_array(text, '\\s+') AS w
+                         regexp_extract_all(text, '\\S+') AS w
                   FROM documents)
         ), big AS (
             SELECT word || ' ' ||
@@ -3643,9 +3648,11 @@ QUERIES.update({"docs_perplexity_buckets": q_docs_perplexity_buckets})
 
 ORACLES.update({
     "docs_perplexity_buckets": """
+        -- extract_all('\\S+') = the Ray side's re2_tokens: no empty
+        -- tokens from leading/trailing whitespace
         WITH words AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(text, '\\s+')) AS w
+                   unnest(regexp_extract_all(text, '\\S+')) AS w
             FROM documents
         ), tf AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
         tot AS (SELECT SUM(c) AS t FROM tf),
@@ -4048,11 +4055,13 @@ QUERIES.update({"docs_bigram_logprob": q_docs_bigram_logprob})
 
 ORACLES.update({
     "docs_bigram_logprob": """
+        -- extract_all('\\S+') = _doc_pairs' RE2 split with '' dropped:
+        -- leading/trailing whitespace must not mint empty-token pairs
         WITH tok AS (
             SELECT doc_id, generate_subscripts(w, 1) AS wi,
                    unnest(w) AS word
             FROM (SELECT doc_id,
-                         regexp_split_to_array(text, '\\s+') AS w
+                         regexp_extract_all(text, '\\S+') AS w
                   FROM documents)
         ), pairs AS (
             SELECT doc_id, word AS w1,
@@ -4097,9 +4106,11 @@ def q_docs_neardup_dedup_quality(sf_dir: str):
     comp = dup_components_ds(minhash_dup_pairs(docs, threshold=0.7))
     kept = _read(sf_dir, "documents",
                  columns=["doc_id", "lang", "n_chars"])
-    scores = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    # kept already carries (doc_id, n_chars) — reuse it as the score
+    # table instead of a third documents scan (the stage only selects
+    # key/score columns from it)
     return remove_neardup_members_by_quality(
-        kept, comp, scores, key="doc_id", score_col="n_chars")
+        kept, comp, kept, key="doc_id", score_col="n_chars")
 
 
 QUERIES.update({

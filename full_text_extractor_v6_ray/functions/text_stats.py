@@ -1,25 +1,47 @@
 """Vectorized text statistics (M25 analog + training-data quality scoring).
 
 All pyarrow.compute kernels — no Python row loops. Token semantics are
-whitespace-split (``len(text.split())``), mirroring the reference's word
-count (`/root/reference/app_v5.py:590-591`) and chosen to be exactly
+whitespace-run split, mirroring the reference's word count
+(`/root/reference/app_v5.py:590-591`) and chosen to be exactly
 SQL-expressible for the DuckDB oracle:
-``len(regexp_split_to_array(trim(text), '\\s+'))``.
+``len(regexp_extract_all(text, '\\S+'))``.
+
+ONE tokenizer dialect repo-wide: RE2's (pyarrow's AND DuckDB's regex
+engine). RE2 ``\\s`` is ASCII-only — exactly ``[\\t\\n\\f\\r ]`` — while
+Python's ``str.split()`` / ``re \\s`` also treat ``\\x0b``, ``\\xa0``,
+``\\u2028`` etc. as whitespace. Mixing the dialects inside one pipeline
+silently shifts token indices/counts on such bytes, so every stage that
+must agree with an Arrow kernel or a DuckDB oracle tokenizes with RE2
+semantics: Arrow code uses ``\\S+`` kernels directly; Python code uses
+``RE2_TOKEN_RE`` below.
 """
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# Python regex that matches RE2 \S+ byte-for-byte (RE2 \s = [\t\n\f\r ],
+# ASCII-only — no \v, no Unicode whitespace). Use this, never
+# str.split()/re \S+, wherever tokenization must agree with
+# pyarrow.compute or a DuckDB oracle.
+RE2_TOKEN_RE = re.compile(r"[^\t\n\f\r ]+")
+
+
+def re2_tokens(s: str | None) -> list[str]:
+    """Tokenize exactly like pyarrow/DuckDB ``regexp_extract_all(text,
+    '\\S+')`` (RE2 ASCII whitespace; no empty tokens)."""
+    return RE2_TOKEN_RE.findall(s or "")
+
 
 def token_count_arrays(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Whitespace-token count per string (0 for empty/blank)."""
-    trimmed = pc.utf8_trim_whitespace(texts)
-    splits = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-    counts = pc.list_value_length(splits)
-    empty = pc.equal(pc.utf8_length(trimmed), 0)
-    return pc.if_else(empty, pa.scalar(0, pa.int32()), counts)
+    """Whitespace-token count per string (0 for empty/blank) — pure RE2:
+    counts ``\\S+`` runs, so it equals DuckDB's
+    ``len(regexp_extract_all(text, '\\S+'))`` on every byte sequence."""
+    return pc.count_substring_regex(
+        pc.cast(texts, pa.string()), pattern=r"\S+")
 
 
 def add_text_stats(batch: pa.Table, col: str = "text") -> pa.Table:

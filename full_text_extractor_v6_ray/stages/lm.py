@@ -24,7 +24,10 @@ Pipeline (every stage a map-side combiner or a lookup join):
      table → per-doc (Σ lp, n) partials → tiny per-doc combine.
 
 Every document bigram is in-vocab by construction (the same corpus
-trains and scores); the inner lookup join therefore loses no rows.
+trains and scores, and ``vocab_stats`` tokenizes with the SAME RE2
+``\\s+`` split as ``_doc_pairs`` — one tokenizer dialect, see
+``functions.text_stats``); the inner lookup join therefore loses no
+rows.
 Docs with fewer than 2 tokens have no bigrams and are absent from the
 output (SQL-equivalent: the pairs CTE is empty for them).
 """
@@ -197,11 +200,22 @@ def bigram_logprob(docs: "ray.data.Dataset", id_col: str = "doc_id",
         def score_map(batch: pa.Table) -> pa.Table:
             keys, lps = _ray.get(ref)
             bh = batch.column("bhash").to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(keys, bh)
-            # every doc bigram is in-vocab by construction; clip is a
-            # pure safety net for the impossible miss
-            idx = np.minimum(idx, len(keys) - 1)
-            return batch.append_column("lp", pa.array(lps[idx]))
+            if len(keys) == 0:
+                # no scored bigrams at all -> every pair misses; match
+                # the join path (inner join drops them)
+                return batch.slice(0, 0).append_column(
+                    "lp", pa.array([], pa.float64()))
+            idx = np.minimum(np.searchsorted(keys, bh), len(keys) - 1)
+            lp = lps[idx]
+            # every doc bigram is in-vocab by construction (same RE2
+            # tokenizer trains and scores); verify instead of trusting —
+            # a miss must DROP the row (= the inner-join path), never
+            # borrow the adjacent hash's logprob
+            found = keys[idx] == bh
+            if not bool(found.all()):
+                batch = batch.filter(pa.array(found))
+                lp = lp[found]
+            return batch.append_column("lp", pa.array(lp))
 
         scored = pairs.map_batches(score_map, batch_format="pyarrow",
                                    zero_copy_batch=True)

@@ -307,8 +307,6 @@ def packed_chunk_text(docs: "ray.data.Dataset", id_col: str = "doc_id",
     in-task; the window assembly is one groupby over slice rows whose
     payload is already cut down to exactly the tokens that survive.
     Every window except the last has exactly ``ctx`` tokens."""
-    import re
-
     from .joins import lookup_hash_join
 
     slices = chunk_slices(docs, id_col, text_col, ctx=ctx,
@@ -323,14 +321,26 @@ def packed_chunk_text(docs: "ray.data.Dataset", id_col: str = "doc_id",
                                ("off_in_chunk", pa.int64()),
                                ("end_in_chunk", pa.int64())]))
 
-    tok_re = re.compile(r"\S+")
+    # RE2_TOKEN_RE, not Python re \S+: the manifest counted tokens with
+    # Arrow's RE2 \S+ (ASCII whitespace), so the slicer must produce the
+    # IDENTICAL token list or every boundary in a doc containing
+    # \x0b/\xa0/… shifts. One tokenization per distinct doc per batch —
+    # a doc spanning k windows has k adjacent slice rows here, and
+    # re-running findall over the full text per row is O(n²/ctx).
+    from ..functions.text_stats import RE2_TOKEN_RE
 
     def cut(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
         lo = batch.column("doc_from").to_numpy(zero_copy_only=False)
         hi = batch.column("doc_to").to_numpy(zero_copy_only=False)
-        out = [" ".join(tok_re.findall(t or "")[int(a):int(b)])
-               for t, a, b in zip(texts, lo, hi)]
+        tok_cache: dict = {}
+        out = []
+        for i, t, a, b in zip(ids, texts, lo, hi):
+            toks = tok_cache.get(i)
+            if toks is None:
+                toks = tok_cache[i] = RE2_TOKEN_RE.findall(t or "")
+            out.append(" ".join(toks[int(a):int(b)]))
         return pa.table({
             "chunk_id": batch.column("chunk_id"),
             "off_in_chunk": batch.column("off_in_chunk"),

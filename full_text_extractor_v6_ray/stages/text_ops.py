@@ -218,31 +218,33 @@ def vocab_stats(docs: "ray.data.Dataset",
     — one row per distinct token per batch, not per occurrence — so the
     all-to-all exchange is bounded by |vocab| x n_batches regardless of
     corpus token count (the map-side combiner rule for wide groupbys).
-    Tokenization is whitespace-run split, identical to the DuckDB oracle's
-    regexp_split_to_array(text, '\\s+').
+    Tokenization is the repo-wide RE2 dialect (Arrow ``\\s+`` split,
+    empties dropped) — identical to the DuckDB oracle's
+    regexp_split_to_array(text, '\\s+') WHERE tok <> '' on every byte
+    sequence, and to ``lm.py``'s ``_doc_pairs`` (whose in-vocab-by-
+    construction invariant depends on this table using the SAME split).
+    df is exact: each doc lives in exactly one batch, so per-batch
+    distinct-doc partials sum to the true document frequency.
     """
-    from collections import Counter
-
     from .dedup import bucketed_group_sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        tf: Counter = Counter()
-        df: Counter = Counter()
-        for s in batch.column(text_col).to_pylist():
-            toks = (s or "").split()
-            tf.update(toks)
-            df.update(set(toks))
-        keys = list(tf.keys())
-        return pa.table({
-            "token": pa.array(keys, pa.string()),
-            "tf": pa.array([tf[k] for k in keys], pa.int64()),
-            "df": pa.array([df[k] for k in keys], pa.int64()),
-        })
+        text = pc.cast(batch.column(text_col), pa.string())
+        toks = pc.split_pattern_regex(text, pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        par = pc.list_parent_indices(toks).combine_chunks()
+        keep = pc.not_equal(flat, "")
+        t = pa.table({"token": flat.filter(keep),
+                      "_doc": par.filter(keep)})
+        g = t.group_by("token").aggregate(
+            [([], "count_all"), ("_doc", "count_distinct")])
+        return g.rename_columns(["token", "tf", "df"])
 
     # bucketed reduce — Ray's sort-based string-key aggregate is the
     # measured hot stage at corpus scale (see bucketed_group_sum)
     return bucketed_group_sum(
-        docs.map_batches(partial, batch_format="pyarrow", batch_size=512),
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=512,
+                         zero_copy_batch=True),
         "token", ["tf", "df"])
 
 
@@ -545,13 +547,17 @@ def top_bigrams(docs: "ray.data.Dataset", text_col: str = "text",
     (bigram, n) row per DISTINCT bigram per batch crosses the shuffle
     (never per occurrence); the groupby output is vocab²-bounded and
     the final sort+limit runs on that small table. Deterministic
-    tiebreak: count desc, bigram asc."""
+    tiebreak: count desc, bigram asc. Tokenization: repo-wide RE2
+    dialect (``re2_tokens``) so the pairs match the DuckDB oracle's
+    regexp split on every byte sequence."""
     from collections import Counter
+
+    from ..functions.text_stats import re2_tokens
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for s in batch.column(text_col).to_pylist():
-            toks = (s or "").split()
+            toks = re2_tokens(s)
             c.update(" ".join(p) for p in zip(toks, toks[1:]))
         keys = list(c.keys())
         return pa.table({
@@ -620,10 +626,14 @@ def perplexity_buckets(docs: "ray.data.Dataset", id_col: str = "doc_id",
             self.lp, self.floor = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.text_stats import re2_tokens
+
             ids = batch.column(id_col)
             n_toks, scores = [], []
             for s in batch.column(text_col).to_pylist():
-                toks = (s or "").split()
+                # RE2 dialect — MUST match vocab_stats' Arrow split, or
+                # tokens containing \x0b/\xa0/… miss the lp table
+                toks = re2_tokens(s)
                 n_toks.append(len(toks))
                 if toks:
                     g = self.lp.get
@@ -721,10 +731,13 @@ def dsir_log_ratio(docs: "ray.data.Dataset", id_col: str = "doc_id",
             self.lr = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.text_stats import re2_tokens
+
             ws = []
             g = self.lr.get
             for s in batch.column(text_col).to_pylist():
-                toks = (s or "").split()
+                # RE2 dialect — must match the vocab_stats-built tables
+                toks = re2_tokens(s)
                 ws.append(float(sum(g(t, 0.0) for t in toks)))
             return pa.table({
                 id_col: batch.column(id_col),
