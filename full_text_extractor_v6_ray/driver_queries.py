@@ -4493,3 +4493,153 @@ ORACLES.update({
          AND levenshtein(a.c_name, b.c_name) <= 1
     """,
 })
+
+
+def q_docs_canonical_url_dedup(sf_dir: str):
+    """CDX-style canonical-URL dedup (stages/urlnorm.py): crawl-log URL
+    variants — uppercase scheme/host, default :443 port, #fragments,
+    utm_*/fbclid tracking params — collapse to one canonical key, then
+    ONE bucketed (min id, count) reduce per canonical URL.
+
+    Input synthesis (not the operator under test; arithmetic in doc_id
+    so DuckDB rebuilds the identical crawl log): every 3 consecutive
+    docs are the same logical page seen as 3 dirty variants —
+    clean / SHOUTING host + fragment / :443 + tracking params."""
+    from .stages.urlnorm import canonical_url_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth_urls(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = []
+        for d in ids:
+            page, v = divmod(int(d), 3)
+            h, xk = page % 50, page % 7
+            if v == 0:
+                u = f"https://site{h}.example.com/p{page}?x={xk}"
+            elif v == 1:
+                u = (f"HTTPS://SITE{h}.EXAMPLE.COM/p{page}?x={xk}"
+                     f"#sec{page % 4}")
+            else:
+                u = (f"https://site{h}.example.com:443/p{page}"
+                     f"?utm_source=feed&x={xk}&UTM_Campaign=c{page % 5}"
+                     f"&fbclid=f{page}")
+            urls.append(u)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    pages = ds.map_batches(synth_urls, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return canonical_url_dedup(pages, "url", "doc_id")
+
+
+def q_docs_template_ratio(sf_dir: str):
+    """Template-farm detection: per source (the host proxy), the share
+    of pages that are byte-duplicates of another page from the same
+    source — template_ratio = 1 - distinct_texts/pages. The FineWeb-
+    style signal for boilerplate-heavy hosts worth down-weighting.
+
+    Shape: map-side (source|md5, source, n) combine, ONE bucketed
+    reduce on the composite key (the shuffle moves 32-char digests,
+    never text), then a tiny per-source aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.dedup import bucketed_group_agg
+    from .stages.hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch.column("source"),
+            "_h": md5_hex(batch.column("text")),
+        })
+        t = t.append_column(
+            "_skey", pc.binary_join_element_wise(
+                t.column("source"), t.column("_h"), "|"))
+        g = t.group_by(["_skey", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["_skey", "source", "n"])
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "_skey", [("source", "min"), ("n", "sum")])
+    per_source = pairs.groupby("source").aggregate(
+        Sum("n", alias_name="n_docs"),
+        Count(alias_name="n_unique"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = pc.cast(batch.column("n_docs"), pa.float64())
+        nu = pc.cast(batch.column("n_unique"), pa.float64())
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
+            "n_unique": pc.cast(batch.column("n_unique"), pa.int64()),
+            "template_ratio": pc.round(
+                pc.subtract(pa.scalar(1.0), pc.divide(nu, nd)), ndigits=6),
+        })
+
+    return per_source.map_batches(finish, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+QUERIES.update({
+    "docs_canonical_url_dedup": q_docs_canonical_url_dedup,
+    "docs_template_ratio": q_docs_template_ratio,
+})
+
+ORACLES.update({
+    "docs_canonical_url_dedup": """
+        -- same synthesis arithmetic + the same RE2 rewrites as
+        -- stages/urlnorm.py canonicalize_urls (cross-engine parity
+        -- pinned in tests/test_urlnorm.py)
+        WITH pagev AS (
+            SELECT doc_id, doc_id // 3 AS page, doc_id % 3 AS v,
+                   (doc_id // 3) % 50 AS h, (doc_id // 3) % 7 AS xk
+            FROM documents
+        ), raw AS (
+            SELECT doc_id,
+                CASE v
+                  WHEN 0 THEN 'https://site' || h || '.example.com/p'
+                              || page || '?x=' || xk
+                  WHEN 1 THEN 'HTTPS://SITE' || h || '.EXAMPLE.COM/p'
+                              || page || '?x=' || xk || '#sec' || (page % 4)
+                  ELSE 'https://site' || h || '.example.com:443/p' || page
+                       || '?utm_source=feed&x=' || xk || '&UTM_Campaign=c'
+                       || (page % 5) || '&fbclid=f' || page
+                END AS url
+            FROM pagev
+        ), cleaned AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(url, '#.*$', ''),
+                       '(?i)(utm_[a-z0-9_]+|gclid|fbclid)=[^&]*(&|$)',
+                       '', 'g'),
+                       '[?&]+$', ''),
+                       '\\?&', '?') AS s3
+            FROM raw
+        ), canon AS (
+            SELECT doc_id,
+                CASE WHEN regexp_matches(s3, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                  THEN lower(regexp_extract(s3,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+                       || regexp_replace(lower(regexp_extract(s3,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                           ':(80|443)$', '')
+                       || regexp_extract(s3,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+                  ELSE s3 END AS canonical_url
+            FROM cleaned
+        )
+        SELECT canonical_url, MIN(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM canon GROUP BY canonical_url
+    """,
+    "docs_template_ratio": """
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               ROUND(1.0 - COUNT(DISTINCT md5(text))
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS template_ratio
+        FROM documents GROUP BY source
+    """,
+})

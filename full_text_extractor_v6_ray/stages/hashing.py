@@ -121,3 +121,25 @@ def hash64(values) -> np.ndarray:
     if a.dtype.kind == "i":
         return splitmix64(a.astype(np.int64).view(np.uint64))
     return hash64(pa.array(values))
+
+
+def md5_hex(values: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Lowercase md5 hex digest per string/binary element — the
+    ORACLE-pinned content hash (DuckDB ``md5(text)``). Digests hash the
+    utf-8 bytes straight off the Arrow offsets/data buffers via
+    memoryview slices (hashlib is C; no per-row str materialization).
+    Null in -> null out, matching SQL md5(NULL)."""
+    import hashlib
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    col = values.cast(pa.large_binary())
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                         count=len(col) + 1, offset=col.offset * 8)
+    data = memoryview(col.buffers()[2]) if col.buffers()[2] else memoryview(b"")
+    out = [hashlib.md5(data[offs[i]:offs[i + 1]]).hexdigest()
+           for i in range(len(col))]
+    if col.null_count:
+        mask = col.is_null().to_pylist()
+        out = [None if m else h for h, m in zip(out, mask)]
+    return pa.array(out, pa.string())

@@ -1,0 +1,92 @@
+"""CDX-style URL canonicalization + canonical-URL dedup.
+
+A web corpus's "same page, different URL string" problem: crawlers see
+``HTTPS://Example.COM:443/p?utm_source=feed#top`` and
+``https://example.com/p`` as distinct keys, so URL-keyed dedup
+(``state/url_index.py``, ``keyed_keep_one`` on url) under-merges unless
+URLs are canonicalized first. This module is the missing normalization
+kernel (the web-archive/CDX canonical-URL transform — reference analog:
+``fix_url``'s scheme/TLD repair in ``extractor/links.py``, applied here
+to the dedup key instead of display links):
+
+  - scheme and host lowercased (they are case-insensitive per RFC 3986);
+  - default ports ``:80``/``:443`` stripped from the authority;
+  - the fragment dropped (``#...`` never reaches the server);
+  - tracking query params removed (``utm_*``, ``gclid``, ``fbclid`` —
+    case-insensitive), with separator cleanup so ``?utm_x=1&page=2``
+    canonicalizes to ``?page=2`` and a now-empty query disappears.
+
+Everything is RE2 ``pyarrow.compute`` kernels over the whole column —
+no Python row loop — and every pattern is RE2-portable, so the DuckDB
+oracle applies the IDENTICAL rewrites (cross-engine parity pinned in
+tests/test_urlnorm.py on adversarial URLs). Rows that don't look like
+``scheme://authority...`` pass through with only fragment/param
+cleanup (relative URLs keep their case: paths are case-sensitive).
+
+Scale shape: canonicalization is per-batch map work; the dedup is ONE
+bucketed exchange on the canonical string's stable hash with map-side
+(canonical, min_id, n) partials — the ``bucketed_group_agg`` combiner
+pattern, so hot canonical URLs (a viral page crawled millions of
+times) cost O(batches) rows through the shuffle, not O(crawls).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import bucketed_group_agg
+
+# Query params that never change the served page. (?i): hosts emit
+# UTM_Source= and utm_source= interchangeably.
+TRACKING_PARAM_PATTERN = r"(?i)(utm_[a-z0-9_]+|gclid|fbclid)=[^&]*(&|$)"
+_AUTHORITY_PATTERN = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+                      r"(?P<host>[^/?#]*)(?P<rest>.*)$")
+
+
+def canonicalize_urls(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized canonical form of a URL column (see module doc)."""
+    s = pc.cast(col, pa.string())
+    s = pc.replace_substring_regex(s, pattern=r"#.*$", replacement="")
+    s = pc.replace_substring_regex(s, pattern=TRACKING_PARAM_PATTERN,
+                                   replacement="")
+    s = pc.replace_substring_regex(s, pattern=r"[?&]+$", replacement="")
+    s = pc.replace_substring_regex(s, pattern=r"\?&", replacement="?")
+    ex = pc.extract_regex(s, pattern=_AUTHORITY_PATTERN)
+    scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(ex, "host"))
+    host = pc.replace_substring_regex(host, pattern=r":(80|443)$",
+                                      replacement="")
+    # join scheme + '://' + host + rest with an empty separator (the
+    # LAST argument of binary_join_element_wise is the separator)
+    n = len(s)
+    rebuilt = pc.binary_join_element_wise(
+        scheme, pa.array(["://"] * n, pa.string()), host,
+        pc.struct_field(ex, "rest"), "")
+    out = pc.if_else(pc.is_valid(ex), rebuilt, s)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def canonical_url_dedup(ds: "ray.data.Dataset", url_col: str = "url",
+                        id_col: str = "doc_id",
+                        num_buckets: int | None = None
+                        ) -> "ray.data.Dataset":
+    """(canonical_url, ``id_col`` = min id among the group's rows,
+    n_dups): one row per canonical URL. Map-side combine inside each
+    batch, then the one bucketed reduce — the exact-dedup shape keyed
+    on the canonicalized string."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "canonical_url": canonicalize_urls(batch.column(url_col)),
+            id_col: batch.column(id_col),
+        })
+        g = t.group_by("canonical_url").aggregate(
+            [(id_col, "min"), ([], "count_all")])
+        return g.rename_columns(["canonical_url", id_col, "n_dups"])
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "canonical_url", [(id_col, "min"), ("n_dups", "sum")],
+        num_buckets=num_buckets)
