@@ -2058,6 +2058,35 @@ def q_docs_dup_ngrams(sf_dir: str):
     return dup_ngram_counts(ds, n=8)
 
 
+def q_docs_decontaminate(sf_dir: str):
+    """GPT-3-style 13-gram benchmark decontamination (Brown et al. 2020
+    appendix C): flag train docs sharing any word-13-gram with an eval
+    set. The eval set is planted deterministically so the overlap is
+    non-trivial and DuckDB can mirror it: docs with doc_id % 7 == 0
+    contribute tokens 4..40 (1-based, single-space split with empties
+    dropped) as an eval snippet. Output: (doc_id, n_contaminated) —
+    per train doc, its count of distinct 13-grams found in the eval
+    set. Scale shape: the eval side broadcasts (benchmarks are MBs vs
+    a 100 TB corpus); the train corpus is never shuffled."""
+    from .stages.fuzzy_dedup import contamination_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_eval(batch: "pa.Table") -> "pa.Table":
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 7 == 0
+        texts = batch.column("text").to_pylist()
+        out_t = [" ".join([x for x in (texts[i] or "").split(" ")
+                           if x][3:40])
+                 for i in np.flatnonzero(keep)]
+        return pa.table({"doc_id": pa.array(ids[keep].astype(np.int64)),
+                         "text": pa.array(out_t, pa.string())})
+
+    eval_ds = ds.map_batches(make_eval, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return contamination_counts(ds, eval_ds, n=13)
+
+
 _STRAT_RATES = {"click": 0.5, "view": 0.25, "purchase": 1.0,
                 "signup": 0.125, "error": 0.0625}
 
@@ -2263,6 +2292,7 @@ QUERIES = {
     "embeddings_semdedup": q_embeddings_semdedup,
     "docs_decontaminated": q_docs_decontaminated,
     "docs_dup_ngrams": q_docs_dup_ngrams,
+    "docs_decontaminate": q_docs_decontaminate,
     "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
     "docs_exact_substring_keepfirst": q_docs_exact_substring_keepfirst,
     "docs_bpe_token_count": q_docs_bpe_token_count,
@@ -3142,6 +3172,33 @@ ORACLES = {
         )
         SELECT doc_id, COUNT(*) AS n_dup_ngrams
         FROM grams JOIN dup USING (g) GROUP BY doc_id
+    """,
+    "docs_decontaminate": """
+        -- GPT-3-style 13-gram decontamination against a planted eval
+        -- set: docs with doc_id % 7 = 0 contribute tokens 4..40
+        -- (1-based, single-space split, empties dropped) as snippets;
+        -- count each train doc's distinct 13-grams that appear in any
+        -- snippet (tokenization mirrors ngram_doc_rows exactly)
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), train_grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(list_slice(t, i, i + 12), ' ')
+                               for i in range(1, len(t) - 11)]) AS g
+                FROM tok WHERE len(t) >= 13)
+        ), eval_tok AS (
+            SELECT list_slice(t, 4, 40) AS t FROM tok WHERE doc_id % 7 = 0
+        ), eval_grams AS (
+            SELECT DISTINCT g FROM (
+                SELECT unnest([array_to_string(list_slice(t, i, i + 12), ' ')
+                               for i in range(1, len(t) - 11)]) AS g
+                FROM eval_tok WHERE len(t) >= 13)
+        )
+        SELECT doc_id, COUNT(*) AS n_contaminated
+        FROM train_grams JOIN eval_grams USING (g) GROUP BY doc_id
     """,
     "events_stratified_sample": """
         -- floor-threshold hash sample per event_type; thresholds are

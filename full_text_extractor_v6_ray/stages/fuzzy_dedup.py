@@ -1310,3 +1310,133 @@ def symspell_match_pairs(ds: "ray.data.Dataset", id_col: str,
         return ray.data.from_arrow(pa.schema(
             [("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix-C style n-gram overlap:
+# Brown et al. 2020 flag training docs sharing any 13-gram with an
+# eval/benchmark set; the standard pre-training hygiene pass)
+# ---------------------------------------------------------------------------
+
+def contamination_counts(train: "ray.data.Dataset",
+                         eval_ds: "ray.data.Dataset",
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         eval_text_col: str | None = None,
+                         n: int = 13,
+                         max_broadcast: int = 2_000_000,
+                         num_buckets: int | None = None
+                         ) -> "ray.data.Dataset":
+    """(doc_id, n_contaminated): per TRAIN doc, how many of its distinct
+    word ``n``-grams also occur anywhere in ``eval_ds`` — docs with zero
+    overlap are omitted (the dominant case; emitting them would make the
+    output O(corpus) instead of O(contaminated docs)). Tokenization and
+    gram identity are ``ngram_doc_rows``'s (single-space split, empties
+    dropped, 64-bit polynomial hash) so the whole operator stays
+    DuckDB-oracle-checkable.
+
+    Scale shape — benchmarks are MBs while the train corpus is 100 TB,
+    so the eval side is the small side by construction. Its DISTINCT
+    gram hashes are counted first (one slim 8-B/row shuffle of the
+    eval side only):
+
+      - n_eval <= ``max_broadcast``: the sorted uint64 array broadcasts
+        once via ray.put; every train batch explodes its grams and
+        keeps hits with a vectorized np.searchsorted — the train corpus
+        is NEVER shuffled, only per-doc hit counts (16 B/doc/batch,
+        map-side combined) move into one bucketed doc_id reduce.
+      - n_eval > max_broadcast (decontaminating against another corpus,
+        not a benchmark): bucketed semi-join on ghash — train gram rows
+        (16 B) and eval gram keys (8 B) exchange once, per-bucket
+        vectorized isin, then the same per-doc reduce.
+    """
+    import ray
+
+    from .dedup import _stable_bucket, default_num_buckets, hash_bucketed_distinct
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    tg = ngram_doc_rows(train, text_col=text_col, id_col=id_col, n=n)
+    eg = ngram_doc_rows(eval_ds, text_col=eval_text_col or text_col,
+                        id_col=id_col, n=n).select_columns(["ghash"])
+    eg = hash_bucketed_distinct(eg, ["ghash"], num_buckets=num_buckets)
+    n_eval = eg.count()
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_contaminated": pa.array([], pa.int64())})
+
+    if n_eval <= max_broadcast:
+        if n_eval == 0:
+            import ray.data
+            return ray.data.from_arrow(empty)
+        arr = np.sort(eg.to_pandas()["ghash"].to_numpy(dtype=np.uint64))
+        ref = ray.put(arr)
+
+        class HitCounts:
+            def __init__(self):
+                self.grams = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                g = batch.column("ghash").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(self.grams, g)
+                idx[idx == len(self.grams)] = 0
+                hit = self.grams[idx] == g
+                ids = batch.column(id_col).to_numpy(
+                    zero_copy_only=False)[hit]
+                u, c = np.unique(ids, return_counts=True)
+                return pa.table({
+                    id_col: pa.array(u.astype(np.int64)),
+                    "n_contaminated": pa.array(c.astype(np.int64))})
+
+        partial = tg.map_batches(HitCounts, batch_format="pyarrow",
+                                 batch_size=8192, concurrency=(1, 8),
+                                 zero_copy_batch=True)
+    else:
+        def tag_train(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_bkt", _stable_bucket(batch.column("ghash"), num_buckets))
+
+        def tag_eval(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "ghash": batch.column("ghash"),
+                id_col: pa.nulls(batch.num_rows, pa.int64()),
+                "_bkt": _stable_bucket(batch.column("ghash"), num_buckets)})
+
+        both = (tg.map_batches(tag_train, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .union(eg.map_batches(tag_eval, batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+
+        def semi_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            ev = g[id_col].isna()
+            tr = g[~ev]
+            hits = tr[tr["ghash"].isin(g.loc[ev, "ghash"])]
+            out = hits.groupby(id_col, as_index=False).size()
+            out.columns = [id_col, "n_contaminated"]
+            return out
+
+        partial = both.groupby("_bkt").map_groups(semi_bucket,
+                                                  batch_format="pandas")
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bkt2", _stable_bucket(batch.column(id_col), num_buckets))
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, sort=True, as_index=False)[
+            "n_contaminated"].sum()
+        return out
+
+    def typed(t: pd.DataFrame) -> pa.Table:
+        if not len(t):
+            return empty
+        return pa.table({
+            id_col: pa.array(t[id_col].to_numpy(np.int64), pa.int64()),
+            "n_contaminated": pa.array(
+                t["n_contaminated"].to_numpy(np.int64), pa.int64())})
+
+    return (partial.map_batches(add_doc_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_bkt2").map_groups(sum_bucket, batch_format="pandas")
+            .map_batches(typed, batch_format="pandas"))
