@@ -187,11 +187,17 @@ def run_bench() -> dict:
         # und / low-quality across the board) and the bench's job is to
         # load the DEDUP machinery with the full planted mix, not to
         # measure the filter's selectivity
+        # GRAFT_BENCH_CORPUS_PAIR_MODE=star mines O(k) hub edges per LSH
+        # run instead of O(k^2) pairs — the corpus-scale setting when
+        # template farms make dup cliques large (default: all, the
+        # exact-semantics mode the oracle pins)
         corpus_rows = corpus_prep(
             rd.read_parquet(docs_dir),
             quality_min=-1.0, lang_conf_min=-1.0,
             num_blocks=max(32, 4 * NUM_CPUS),
-            scorer_concurrency=(1, max(4, NUM_CPUS // 2))).count()
+            scorer_concurrency=(1, max(4, NUM_CPUS // 2)),
+            pair_mode=os.environ.get(
+                "GRAFT_BENCH_CORPUS_PAIR_MODE", "all")).count()
         queries["corpus_prep_docs"] = round(time.perf_counter() - t, 3)
         shutil.rmtree(docs_dir, ignore_errors=True)
 

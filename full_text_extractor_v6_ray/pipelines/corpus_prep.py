@@ -57,8 +57,8 @@ def corpus_prep(docs: "ray.data.Dataset",
                 neardup_threshold: float = 0.7,
                 num_blocks: int = 32,
                 max_broadcast_drop: int = 1_000_000,
-                scorer_concurrency: tuple[int, int] = (1, 4)
-                ) -> "ray.data.Dataset":
+                scorer_concurrency: tuple[int, int] = (1, 4),
+                pair_mode: str = "all") -> "ray.data.Dataset":
     """docs (doc_id, text, ...) -> cleaned corpus with score columns.
 
     Output columns: doc_id, text, text_hash, lang_pred, lang_conf,
@@ -66,6 +66,11 @@ def corpus_prep(docs: "ray.data.Dataset",
     ``max_broadcast_drop`` caps how many near-dup drop keys may take the
     broadcast fast path; larger drop sets are removed with a
     distributed anti-join (see ``remove_neardup_members``).
+    ``pair_mode="star"`` mines O(k) hub edges per LSH run instead of
+    O(k^2) pairs (see ``minhash_dup_pairs``) — the corpus-scale setting
+    when template farms make near-dup cliques large; components (and so
+    the surviving corpus) match all-pairs mode whenever hub edges pass
+    signature verification.
     """
     hashed = docs.map_batches(_add_md5, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -102,7 +107,8 @@ def corpus_prep(docs: "ray.data.Dataset",
     # driver_queries.q_docs_neardup_dedup): size-dispatched — broadcast
     # only when the drop set is provably small, distributed anti-join
     # otherwise; nothing corpus-scale ever lands on the driver
-    pairs = minhash_dup_pairs(survivors, threshold=neardup_threshold)
+    pairs = minhash_dup_pairs(survivors, threshold=neardup_threshold,
+                              pair_mode=pair_mode)
     comp = dup_components_ds(pairs)
     return remove_neardup_members(survivors, comp, key="doc_id",
                                   max_broadcast=max_broadcast_drop)

@@ -151,16 +151,47 @@ def _runs_ge2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts[mask], ends[mask]
 
 
-def _candidate_pairs_in_bucket(g: pa.Table) -> pa.Table:
-    """All doc-id pairs sharing a band_hash inside one coarse bucket.
+def _candidate_pairs_in_bucket(g: pa.Table,
+                               pair_mode: str = "all") -> pa.Table:
+    """Doc-id pairs sharing a band_hash inside one coarse bucket.
 
-    Vectorized run detection over the sorted hash column; the Python loop
-    touches only runs of length >= 2 (i.e. actual collisions), not rows.
+    ``pair_mode="all"``: every unordered pair per equal-hash run —
+    O(k^2) per run, the exact-semantics default (each surviving pair is
+    individually signature-verified downstream).
+
+    ``pair_mode="star"``: each run member links to the run's MIN doc id
+    only — O(k) per run, fully vectorized (no per-run Python loop). The
+    production shape for dedup-by-components at corpus scale
+    (FineWeb/BigCode style): a template farm of k near-identical pages
+    emits k-1 edges instead of k(k-1)/2, which also shrinks the
+    signature-verification join by the same factor. Connectivity through
+    the hub is equivalent WHEN the hub's edges pass verification; a
+    clique whose hub edge fails est-Jaccard can split where all-pairs
+    would have bridged it — that trade is the documented contract.
     """
     bh = g.column("band_hash").to_numpy(zero_copy_only=False)
     doc = g.column("doc_id").to_numpy(zero_copy_only=False)
     order = np.lexsort((doc, bh))
     bh, doc = bh[order], doc[order]
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    if pair_mode == "star":
+        if len(bh) < 2:
+            return empty
+        # run starts over the sorted hash column; within a run docs are
+        # ascending, so doc[start] is the run's min (the hub)
+        is_start = np.concatenate(([True], bh[1:] != bh[:-1]))
+        run_id = np.cumsum(is_start) - 1
+        hub = doc[is_start][run_id]          # per-row hub doc id
+        keep = doc != hub                    # drop hub self-rows
+        # same doc repeated inside a run (adjacent after the sort)
+        dup = np.concatenate(([False], (doc[1:] == doc[:-1])
+                              & (run_id[1:] == run_id[:-1])))
+        keep &= ~dup
+        if not keep.any():
+            return empty
+        return pa.table({"doc_a": pa.array(hub[keep]),
+                         "doc_b": pa.array(doc[keep])})
     starts, ends = _runs_ge2(bh)
     out_a, out_b = [], []
     for s, e in zip(starts, ends):
@@ -171,8 +202,7 @@ def _candidate_pairs_in_bucket(g: pa.Table) -> pa.Table:
         out_a.append(d[ia])
         out_b.append(d[ib])
     if not out_a:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
+        return empty
     return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
                      "doc_b": pa.array(np.concatenate(out_b))})
 
@@ -189,14 +219,23 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
                       threshold: float = 0.8, num_perm: int = 128,
                       bands: int = 16, seed: int = 42,
                       num_buckets: int = 32,
-                      spill_dir: str | None = None) -> "ray.data.Dataset":
+                      spill_dir: str | None = None,
+                      pair_mode: str = "all") -> "ray.data.Dataset":
     """Full MinHash-LSH near-dup pipeline -> distinct
     (doc_a, doc_b, est_jaccard) pairs with est_jaccard >= threshold.
 
     Shuffle inventory (all slim): band rows (16 B/doc/band), pair rows
     (16 B/pair), and two signature joins keyed on doc_id that each move
     the signature ONCE per doc — vs round 1's once per doc PER BAND.
+
+    ``pair_mode="star"`` emits hub edges (run-min doc -> member) instead
+    of all pairs per LSH run — O(k) not O(k^2) in the template-farm size
+    k; see ``_candidate_pairs_in_bucket``. Use it when the pairs feed
+    connected components (dedup), not when every pairwise similarity is
+    itself the product.
     """
+    if pair_mode not in ("all", "star"):
+        raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
     from .dedup import materialize_rebased
     from .joins import lookup_hash_join
 
@@ -222,7 +261,8 @@ def minhash_dup_pairs(docs: "ray.data.Dataset", text_col: str = "text",
 
     banded = sig_cols.map_batches(band_rows, batch_format="pyarrow")
     cands = banded.groupby("__bucket").map_groups(
-        lambda g: _candidate_pairs_in_bucket(g.drop_columns(["__bucket"])),
+        lambda g: _candidate_pairs_in_bucket(
+            g.drop_columns(["__bucket"]), pair_mode=pair_mode),
         batch_format="pyarrow")
     pairs = materialize_rebased(_distinct_pairs(cands, num_buckets),
                                 num_buckets, spill_dir=spill_dir)

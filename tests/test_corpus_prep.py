@@ -161,3 +161,23 @@ def test_corpus_prep_on_variant_corpus(ray_session):
     assert 0 in variants_present
     assert not variants_present & {1, 11, 2, 12}
     assert len(out) == 2 * 16
+
+
+def test_corpus_prep_star_mode_equal_output(ray_session):
+    """pair_mode='star' (O(k) hub edges per LSH run) must keep the same
+    surviving corpus as all-pairs mode on the planted mix — hub edges
+    pass signature verification for template-style near-dups, so the
+    components (and the drop set) coincide."""
+    import ray.data
+    from full_text_extractor_v6_ray.pipelines.corpus_prep import corpus_prep
+
+    def run(mode):
+        out = corpus_prep(ray.data.from_pandas(_docs()),
+                          neardup_threshold=0.6,
+                          quality_min=-1.0, lang_conf_min=-1.0,
+                          pair_mode=mode).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a, s = run("all"), run("star")
+    assert list(a["doc_id"]) == list(s["doc_id"])
+    assert list(a["text"]) == list(s["text"])

@@ -383,3 +383,95 @@ def test_exact_substring_keepfirst(ray_session):
     # within-doc repeat: first occurrence (pos 0) survives, second goes
     assert got.loc[3, "clean_text"] == "m n o p q r s t u"
     assert got.loc[3, "n_removed"] == 8
+
+
+def test_candidate_pairs_star_mode_unit():
+    """Star mode emits exactly (run-min -> member) edges, vectorized:
+    duplicate doc rows inside a run collapse, singleton runs emit
+    nothing, and runs don't bleed into each other."""
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        _candidate_pairs_in_bucket,
+    )
+
+    g = pa.table({
+        "band_hash": pa.array([10, 10, 10, 10, 11, 12, 12],
+                              pa.uint64()),
+        # run 10: docs {7, 3, 9, 3} (3 repeated); run 11 singleton;
+        # run 12: docs {2, 5}
+        "doc_id": pa.array([7, 3, 9, 3, 1, 5, 2], pa.int64()),
+    })
+    star = _candidate_pairs_in_bucket(g, pair_mode="star")
+    got = sorted(zip(star["doc_a"].to_pylist(), star["doc_b"].to_pylist()))
+    assert got == [(2, 5), (3, 7), (3, 9)]
+    # all mode on the same input: full pairs per run
+    allp = _candidate_pairs_in_bucket(g, pair_mode="all")
+    gota = sorted(zip(allp["doc_a"].to_pylist(), allp["doc_b"].to_pylist()))
+    assert gota == [(2, 5), (3, 7), (3, 9), (7, 9)]
+    # empty input stays typed in both modes
+    for mode in ("all", "star"):
+        e = _candidate_pairs_in_bucket(g.slice(0, 0), pair_mode=mode)
+        assert e.num_rows == 0 and e.column_names == ["doc_a", "doc_b"]
+
+
+def test_star_pair_mode_linear_edges_same_components(ray_session):
+    """A planted k-member template clique: star mode emits O(k) edges
+    (vs O(k^2) all-pairs) and connected components — the thing dedup
+    consumes — are identical."""
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        dup_components_ds,
+        minhash_dup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(vocab[rng.randint(500)] for _ in range(80))
+             for _ in range(40)]
+    ids = list(range(40))
+    k = 8  # template clique: doc 0 with one word changed per variant
+    base_words = texts[0].split()
+    for v in range(1, k):
+        words = list(base_words)
+        words[10 + v] = f"VAR{v}"
+        texts.append(" ".join(words))
+        ids.append(100 + v)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    pairs_all = minhash_dup_pairs(ds, threshold=0.7, pair_mode="all")
+    pairs_star = minhash_dup_pairs(ds, threshold=0.7, pair_mode="star")
+    n_all, n_star = pairs_all.count(), pairs_star.count()
+    # clique of 8 -> all-pairs 28; star emits (run-size - 1) edges PER
+    # BAND RUN, and borderline variants drop in/out of runs band to
+    # band, so the distinct hub-edge count lands between k-1 and a
+    # small multiple of it (observed 14 with this seed) — still O(k),
+    # never the O(k^2) clique
+    assert n_star < n_all
+    assert n_star <= 2 * (k - 1)             # ~linear in k
+    assert n_all >= (k * (k - 1)) // 2 - 4   # ~quadratic in k
+    # hub edges are run-min anchored: the clique min (doc 0) anchors
+    # every run it appears in, and every edge points min -> member
+    sp = pairs_star.to_pandas()
+    assert 0 in set(sp["doc_a"])
+    assert (sp["doc_a"] < sp["doc_b"]).all()
+
+    def comp_set(pairs):
+        df = dup_components_ds(pairs).to_pandas()
+        return set(zip(df["doc_id"], df["component"]))
+
+    assert comp_set(pairs_star) == comp_set(pairs_all)
+
+
+def test_minhash_pair_mode_validated():
+    import ray.data
+    from full_text_extractor_v6_ray.stages.fuzzy_dedup import (
+        minhash_dup_pairs,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a b c"], pa.string())}))
+    with pytest.raises(ValueError, match="pair_mode"):
+        minhash_dup_pairs(ds, pair_mode="ring")
