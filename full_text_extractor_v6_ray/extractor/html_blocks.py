@@ -213,7 +213,11 @@ class BlockParser(HTMLParser):
             self._in_title = True
 
         if active and is_block and not self._table_depth:
-            self._flush()
+            # inline guard: most flushes between consecutive block tags
+            # are no-ops (no segments, kind already "para") — skip the
+            # call, not just the body (hot: every block tag)
+            if self._segments or self._cur_kind != "para":
+                self._flush()
 
         if active and not kill and not boiler:
             if hl:
@@ -295,12 +299,14 @@ class BlockParser(HTMLParser):
             return
         if tag in _H_LEVEL or tag in ("p", "li", "blockquote", "figure",
                                       "figcaption", "dt", "dd"):
-            if not self._table_depth:
+            if not self._table_depth and (self._segments
+                                          or self._cur_kind != "para"):
                 self._flush()
         if tag in ("ul", "ol"):
             if self._lists:
                 self._lists.pop()
-            if not self._table_depth:
+            if not self._table_depth and (self._segments
+                                          or self._cur_kind != "para"):
                 self._flush()
         elif tag == "table":
             if self._table_depth == 1:

@@ -24,6 +24,7 @@ import html as _htmlmod
 import re
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
+from .blocks import Segment
 from .html_blocks import BlockParser
 from .normalize import normalize_text
 
@@ -156,7 +157,24 @@ def fast_feed(parser: BlockParser, html_text: str) -> None:
                     if pos != start:
                         break  # bogus comment consumed past this match
                 else:
-                    handle_data(_unescape(gap))
+                    if _AMP in gap:
+                        gap = _htmlmod.unescape(gap)
+                    # fused segment construction (ROADMAP 2): when no
+                    # special region is active (title/kill/boiler/pre/
+                    # table), handle_data can only append a Segment —
+                    # build it here and skip the dispatch. Falls back
+                    # to handle_data for every special state, so the
+                    # two paths stay behavior-identical (parity-fuzzed
+                    # vs the stdlib front-end, goldens pin the bytes).
+                    if (parser._kill_n or parser._boiler_n
+                            or parser._pre_n or parser._table_depth
+                            or parser._in_title):
+                        handle_data(gap)
+                    else:
+                        parser._segments.append(Segment(
+                            gap, parser._bold_n > 0,
+                            parser._italic_n > 0, parser._code_n > 0,
+                            parser._href[-1] if parser._href else ""))
             pos = m.end()
             # one C call, POSITIONAL group ids (named lookup pays a dict
             # hit per name per tag)

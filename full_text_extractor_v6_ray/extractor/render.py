@@ -74,6 +74,18 @@ def _merge_segments(segments: list[Segment]) -> list[tuple[str, bool, bool, bool
 def _render_inline(out: _Out, segments: list[Segment], spans: list[dict],
                    links: list[tuple[str, str]]):
     """Emit inline runs with formatting markers; record link spans."""
+    if len(segments) == 1:
+        # majority case: ONE unformatted run — the general path would
+        # build merge/nonempty lists, run both fold scans and the run
+        # loop just to emit the normalized core with no markers; fuse
+        # it (byte-equivalent: marker is "", no lead/trail space can
+        # be emitted for a single run, spans/links untouched)
+        s = segments[0]
+        if not (s.bold or s.italic or s.code or s.href):
+            core = normalize_text(s.text)
+            if core:
+                out.emit(core)
+            return
     runs = _merge_segments(segments)
     nonempty = [r for r in runs if r[0]]
     if not nonempty:
@@ -154,7 +166,14 @@ def render_blocks(
     for blk in render_list:
         chunk_start = out.nbytes
         if prev_kind is not None:
-            out.emit("\n" if (blk.kind == "li" and prev_kind == "li") else "\n\n")
+            # inline emit: separators are ASCII constants (skip the
+            # isascii/len dance — hot: once per block)
+            if blk.kind == "li" and prev_kind == "li":
+                out.parts.append("\n")
+                out.nbytes += 1
+            else:
+                out.parts.append("\n\n")
+                out.nbytes += 2
             chunk_start = out.nbytes
 
         if blk.kind == "heading":
