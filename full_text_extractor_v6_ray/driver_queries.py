@@ -1220,6 +1220,69 @@ def q_part_type_stats(sf_dir: str):
         Max("p_size", alias_name="max_size"))
 
 
+def q_warc_segment_roundtrip(sf_dir: str):
+    """Multi-record WARC segment ingestion end-to-end
+    (``sources/warc.py``): documents -> deterministic 64-record
+    segments (odd segments gzip-membered Common-Crawl style, every 5th
+    record HTTP-response-enveloped) written under /tmp ->
+    ``read_warc_dir`` -> one (url, warc_ts, n_bytes) row per content
+    record. Oracled: every projected value is pure doc_id/text
+    arithmetic DuckDB recomputes straight from the documents table, so
+    a green hash pins the whole chain — segment build, member inflate,
+    record walk, envelope strip, date parse."""
+    import datetime
+    import shutil
+
+    from .sources.warc import build_warc_segment, read_warc_dir
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/graft_warc_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    epoch = datetime.datetime(2020, 1, 1)
+
+    def add_seg(batch: pa.Table) -> pa.Table:
+        seg = np.asarray(batch.column("doc_id").to_numpy(
+            zero_copy_only=False)) // 64
+        return batch.append_column("seg", pa.array(seg, pa.int64()))
+
+    def write_segment(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        texts = g.column("text").to_pylist()
+        recs = [(f"https://warc.example/{int(ids[i])}",
+                 epoch + datetime.timedelta(seconds=int(ids[i])),
+                 (texts[i] or "").encode("utf-8")) for i in order]
+        seg = int(ids[0] // 64)
+        gz = seg % 2 == 1
+        payload = build_warc_segment(recs, gzip_members=gz,
+                                     http_envelope_every=5)
+        name = f"seg-{seg:06d}.warc" + (".gz" if gz else "")
+        tmp = os.path.join(out_dir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"seg": pa.array([seg], pa.int64())})
+
+    # barrier: every segment file must exist before the read job starts
+    (ds.map_batches(add_seg, batch_format="pyarrow", zero_copy_batch=True)
+       .groupby("seg").map_groups(write_segment, batch_format="pyarrow")
+       .count())
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "n_bytes": pc.binary_length(
+                batch.column("html")).cast(pa.int64()),
+        })
+
+    return read_warc_dir(out_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_containers_extract(sf_dir: str):
     """S7/S8 container breadth end-to-end: each document deterministically
     wrapped (by doc_id % 3) as a gzip member, a WARC response record, or
@@ -2208,6 +2271,7 @@ QUERIES = {
     "knn_cosine_ivf_top10": q_knn_cosine_ivf_top10,
     "embeddings_norms": q_embeddings_norms,
     "containers_extract": q_containers_extract,
+    "warc_segment_roundtrip": q_warc_segment_roundtrip,
     "pptx_chart_series": q_pptx_chart_series,
     "docs_enhanced": q_docs_enhanced,
     "media_decode_stats": q_media_decode_stats,
@@ -2884,6 +2948,17 @@ ORACLES = {
                                ELSE 'docx' END AS method,
                count(*) AS n_docs
         FROM documents GROUP BY 1
+    """,
+    "warc_segment_roundtrip": """
+        -- mirrors q_warc_segment_roundtrip's deterministic segment
+        -- synthesis: one content record per document, url/ts/body all
+        -- pure doc_id/text arithmetic (envelope strip + member gunzip
+        -- are identity on the projected values)
+        SELECT 'https://warc.example/' || CAST(doc_id AS VARCHAR) AS url,
+               TIMESTAMP '2020-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS warc_ts,
+               octet_length(encode(COALESCE(text, ''))) AS n_bytes
+        FROM documents
     """,
     "orders_customer_hashjoin": """
         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

@@ -1,0 +1,246 @@
+"""Multi-record WARC segment ingestion (Common-Crawl-scale source).
+
+``extractor.containers.warc_inner`` (S7) unwraps ONE record — the
+router path for a single payload that happens to be a WARC capture. A
+real crawl corpus is shaped differently: each ``.warc`` / ``.warc.gz``
+SEGMENT carries tens of thousands of records (Common Crawl: ~1 GB
+gzipped, ~50k records per segment file). This module turns segments
+into pages-schema rows, Ray-Data-first:
+
+    read_binary_files(segment paths)          # shards over segments
+      -> map_batches(WarcToPages)             # one row PER RECORD
+      -> extract_pages / dedup / sinks        # existing pipeline
+
+Scale shape: path discovery is driver-side metadata only; segment
+bytes go straight to read tasks (one task holds at most one segment);
+record walking is a single linear scan driven by ``Content-Length``
+(never a regex over the blob); the per-record rows flow into the
+existing extract/dedup stages with no driver involvement. The unit of
+parallelism is the segment — exactly how a 256-node cluster consumes
+a 100 TB crawl (segments >> slots), and a failed task re-reads one
+segment, not the corpus.
+
+``.warc.gz`` handling: Common Crawl gzips PER RECORD and concatenates
+the members; whole-file gzip also appears in the wild. zlib's
+``decompressobj`` treats both identically (each member boundary starts
+a fresh header), so ``gunzip_members`` inflates either, bounded by a
+decompression-bomb guard sized to the standard ~1 GB-segment unit.
+
+WARC format notes (ISO 28500, mirrored from the single-record walker
+at ``extractor/containers.py:36-79``): records are
+``WARC/1.x\\r\\n<headers>\\r\\n\\r\\n<block>\\r\\n\\r\\n``; content
+records are ``response`` / ``resource`` / ``conversion``; an
+``application/http; msgtype=response`` block carries an HTTP envelope
+whose entity body is the page.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import zlib
+
+import pyarrow as pa
+
+from .pages_gen import PAGES_SCHEMA
+
+# Runaway guards: a record count far above any real segment (CC ~50k),
+# and an inflate cap at 4x the standard 1 GB segment unit.
+MAX_RECORDS_PER_SEGMENT = 1_000_000
+MAX_INFLATED_BYTES = 4 << 30
+
+_CONTENT_TYPES = (b"response", b"resource", b"conversion")
+
+
+def gunzip_members(payload: bytes,
+                   max_bytes: int = MAX_INFLATED_BYTES) -> bytes:
+    """Inflate ALL concatenated gzip members (record-gzipped .warc.gz)
+    or a single whole-file member — bounded by ``max_bytes`` (bomb
+    guard). A truncated trailing member yields what inflated cleanly;
+    a non-gzip payload returns b"" (callers fall back to raw bytes).
+    """
+    out: list[bytes] = []
+    total = 0
+    data = payload
+    while data:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            chunk = d.decompress(data, max_bytes - total + 1)
+        except Exception:
+            break
+        total += len(chunk)
+        if total > max_bytes:
+            raise ValueError("warc_gzip_too_large")
+        out.append(chunk)
+        if not d.eof:
+            break   # truncated member: keep what we have
+        data = d.unused_data
+    return b"".join(out)
+
+
+def _parse_warc_date(raw: bytes) -> datetime.datetime:
+    """WARC-Date (ISO 8601 UTC, e.g. 2020-01-01T00:02:03Z) -> naive-UTC
+    datetime (the engine's ``warc_ts`` convention). Epoch on parse
+    failure — explicit sentinel, never a raise."""
+    try:
+        dt = datetime.datetime.fromisoformat(raw.decode("ascii"))
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return dt
+    except Exception:
+        return datetime.datetime(1970, 1, 1)
+
+
+def iter_warc_records(payload: bytes,
+                      max_records: int = MAX_RECORDS_PER_SEGMENT):
+    """Yield (url, warc_ts, block) for every CONTENT record in a raw
+    (already-inflated) WARC segment.
+
+    warcinfo / request / metadata records are skipped by their
+    ``Content-Length``; ``application/http; msgtype=response`` blocks
+    are stripped to the HTTP entity body. Malformed tails degrade to
+    stopping (everything parsed so far is kept) — the never-raise
+    ingestion contract.
+    """
+    pos = 0
+    n_total = len(payload)
+    for _ in range(max_records):
+        if pos >= n_total or not payload.startswith(b"WARC/", pos):
+            return
+        head_end = payload.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        headers: dict[bytes, bytes] = {}
+        for line in payload[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            n = int(headers.get(b"content-length", b""))
+        except ValueError:
+            return   # unskippable record: stop (no way to find the next)
+        body_start = head_end + 4
+        block = payload[body_start:body_start + n]
+        if headers.get(b"warc-type", b"") in _CONTENT_TYPES:
+            ctype = headers.get(b"content-type", b"")
+            body = block
+            if ctype.split(b";")[0].strip() == b"application/http":
+                http_end = block.find(b"\r\n\r\n")
+                body = block[http_end + 4:] if http_end >= 0 else b""
+            url = headers.get(b"warc-target-uri", b"").decode(
+                "utf-8", errors="replace")
+            yield url, _parse_warc_date(headers.get(b"warc-date", b"")), body
+        pos = body_start + n
+        # record separator: \r\n\r\n per spec; tolerate a lone \r\n
+        if payload.startswith(b"\r\n\r\n", pos):
+            pos += 4
+        elif payload.startswith(b"\r\n", pos):
+            pos += 2
+
+
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+class WarcToPages:
+    """map_batches UDF: (path, bytes) segment rows -> pages-schema rows,
+    one per content record. Gzip segments inflate member-wise first;
+    the stateless walk is why this is a task pool, not actors."""
+
+    def __init__(self, max_inflated: int = MAX_INFLATED_BYTES):
+        self.max_inflated = max_inflated
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        ts: list[datetime.datetime] = []
+        blocks: list[bytes] = []
+        for payload in batch.column("bytes").to_pylist():
+            if payload[:2] == _GZ_MAGIC:
+                payload = gunzip_members(payload, self.max_inflated)
+            for url, when, body in iter_warc_records(payload):
+                urls.append(url)
+                ts.append(when)
+                blocks.append(body)
+        n = len(urls)
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(ts, pa.timestamp("us")),
+                pa.array(blocks, pa.binary()),
+                pa.array([""] * n, pa.string()),
+                pa.array([""] * n, pa.string()),
+            ],
+            schema=PAGES_SCHEMA,
+        )
+
+
+def read_warc_dir(folder: str) -> "ray.data.Dataset":
+    """Folder of .warc / .warc.gz segments -> streaming pages Dataset.
+
+    Paths sort lexicographically so two runs (and two cluster sizes)
+    shard the identical segment list; an empty folder yields an empty
+    Dataset with the exact pages schema (compose without special-casing).
+    """
+    import ray.data
+
+    try:
+        names = sorted(os.listdir(folder))
+    except FileNotFoundError:
+        names = []
+    paths = [os.path.join(folder, n) for n in names
+             if n.endswith(".warc") or n.endswith(".warc.gz")]
+    if not paths:
+        return ray.data.from_arrow(PAGES_SCHEMA.empty_table())
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(WarcToPages(), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic segment builder — fixture/bench machinery (NOT a
+# production sink): tests and the oracle query synthesize segments from
+# the documents table, round-trip them through the reader, and compare
+# against SQL recomputed straight from the table.
+# ---------------------------------------------------------------------------
+
+def build_warc_segment(records, gzip_members: bool = False,
+                       http_envelope_every: int = 0,
+                       warcinfo: bool = True) -> bytes:
+    """records: iterable of (url: str, ts: datetime, body: bytes) ->
+    one WARC segment. ``http_envelope_every=k`` wraps every k-th record
+    as an ``application/http; msgtype=response`` block (0 = none) so
+    round-trip tests exercise the envelope strip; ``gzip_members``
+    gzips per record, Common-Crawl style."""
+    import gzip as _gzip
+
+    def finish(rec: bytes) -> bytes:
+        # mtime=0: byte-deterministic fixtures (gzip headers embed time)
+        return _gzip.compress(rec, 6, mtime=0) if gzip_members else rec
+
+    parts: list[bytes] = []
+    if warcinfo:
+        info = b"software: graft-fixture\r\n"
+        parts.append(finish(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: warcinfo\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: " + str(len(info)).encode() + b"\r\n\r\n"
+            + info + b"\r\n\r\n"))
+    for i, (url, ts, body) in enumerate(records):
+        if http_envelope_every and i % http_envelope_every == 0:
+            block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                     + body)
+            ctype = b"application/http; msgtype=response"
+            wtype = b"response"
+        else:
+            block = body
+            ctype = b"text/html"
+            wtype = b"resource"
+        parts.append(finish(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + wtype + b"\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: "
+            + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            b"Content-Type: " + ctype + b"\r\n"
+            b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
+            + block + b"\r\n\r\n"))
+    return b"".join(parts)

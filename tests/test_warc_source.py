@@ -1,0 +1,151 @@
+"""Multi-record WARC segment ingestion (sources/warc.py).
+
+The single-record router path (extractor/containers.warc_inner) is
+covered by test_containers; these tests pin the SEGMENT reader — the
+Common-Crawl-shaped source where one file carries many records.
+"""
+
+import datetime
+import gzip
+
+import pyarrow as pa
+import pytest
+
+from full_text_extractor_v6_ray.sources.warc import (
+    MAX_INFLATED_BYTES,
+    WarcToPages,
+    build_warc_segment,
+    gunzip_members,
+    iter_warc_records,
+    read_warc_dir,
+)
+
+EPOCH = datetime.datetime(2020, 1, 1)
+
+
+def _recs(n, start=0):
+    return [(f"https://ex.com/{i}", EPOCH + datetime.timedelta(seconds=i),
+             f"body {i} é".encode("utf-8"))
+            for i in range(start, start + n)]
+
+
+def test_iter_records_skips_non_content():
+    # warcinfo leads, every 3rd record HTTP-enveloped; all 7 come back
+    recs = _recs(7)
+    seg = build_warc_segment(recs, http_envelope_every=3)
+    got = list(iter_warc_records(seg))
+    assert [(u, t, b) for u, t, b in got] == recs
+
+
+def test_iter_records_http_envelope_stripped():
+    seg = build_warc_segment(_recs(2), http_envelope_every=1)
+    bodies = [b for _, _, b in iter_warc_records(seg)]
+    assert bodies == [r[2] for r in _recs(2)]
+    assert b"HTTP/1.1" not in b"".join(bodies)
+
+
+def test_iter_records_body_with_crlf_and_warc_magic():
+    # Content-Length-driven walk: a body containing \r\n\r\n and a
+    # fake "WARC/" header must not derail the next record
+    tricky = b"x\r\n\r\nWARC/1.0\r\nWARC-Type: resource\r\n\r\ny"
+    recs = [("https://ex.com/a", EPOCH, tricky),
+            ("https://ex.com/b", EPOCH, b"clean")]
+    got = list(iter_warc_records(build_warc_segment(recs)))
+    assert [(u, b) for u, _, b in got] == [
+        ("https://ex.com/a", tricky), ("https://ex.com/b", b"clean")]
+
+
+def test_iter_records_truncated_tail_keeps_prefix():
+    seg = build_warc_segment(_recs(4))
+    # cut inside the last record's block
+    got = list(iter_warc_records(seg[:len(seg) - 10]))
+    assert len(got) >= 3
+    assert [u for u, _, _ in got[:3]] == [r[0] for r in _recs(3)]
+
+
+def test_iter_records_garbage_and_empty():
+    assert list(iter_warc_records(b"")) == []
+    assert list(iter_warc_records(b"not a warc at all")) == []
+    # header with an unparseable Content-Length: stop, never raise
+    bad = b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: ??\r\n\r\nxx"
+    assert list(iter_warc_records(bad)) == []
+
+
+def test_gunzip_members_concatenated_and_plain():
+    a, b = b"alpha" * 10, b"beta" * 10
+    members = gzip.compress(a, mtime=0) + gzip.compress(b, mtime=0)
+    assert gunzip_members(members) == a + b
+    assert gunzip_members(gzip.compress(a, mtime=0)) == a
+    assert gunzip_members(b"plainly not gzip") == b""
+    # truncated second member keeps the first
+    assert gunzip_members(members[:len(members) - 8]).startswith(a)
+
+
+def test_gunzip_members_bomb_guard():
+    big = gzip.compress(b"\0" * 4096, mtime=0)
+    with pytest.raises(ValueError, match="warc_gzip_too_large"):
+        gunzip_members(big, max_bytes=1024)
+    assert MAX_INFLATED_BYTES >= (1 << 30)
+
+
+def test_gzip_member_segment_roundtrip():
+    recs = _recs(5)
+    seg = build_warc_segment(recs, gzip_members=True,
+                             http_envelope_every=2)
+    raw = gunzip_members(seg)
+    assert list(iter_warc_records(raw)) == recs
+
+
+def test_warc_to_pages_schema_and_rows():
+    seg_a = build_warc_segment(_recs(3))
+    seg_b = build_warc_segment(_recs(2, start=10), gzip_members=True)
+    batch = pa.table({"path": pa.array(["a.warc", "b.warc.gz"]),
+                      "bytes": pa.array([seg_a, seg_b], pa.binary())})
+    out = WarcToPages()(batch)
+    assert out.column_names == ["url", "warc_ts", "html", "text", "lang"]
+    assert out.num_rows == 5
+    assert out.column("url").to_pylist() == [
+        "https://ex.com/0", "https://ex.com/1", "https://ex.com/2",
+        "https://ex.com/10", "https://ex.com/11"]
+    assert out.column("warc_ts").to_pylist()[0] == EPOCH
+    assert out.column("html").to_pylist()[4] == "body 11 é".encode()
+
+
+def test_read_warc_dir_end_to_end(ray_session, tmp_path):
+    for seg_id in range(3):
+        gz = seg_id % 2 == 1
+        payload = build_warc_segment(
+            _recs(4, start=seg_id * 4), gzip_members=gz,
+            http_envelope_every=3)
+        name = f"seg-{seg_id}.warc" + (".gz" if gz else "")
+        (tmp_path / name).write_bytes(payload)
+    (tmp_path / "ignored.txt").write_text("not a segment")
+
+    ds = read_warc_dir(str(tmp_path))
+    got = sorted(ds.take_all(), key=lambda r: r["url"])
+    want = sorted((f"https://ex.com/{i}" for i in range(12)))
+    assert [r["url"] for r in got] == want
+    assert all(r["html"].startswith(b"body ") for r in got)
+
+    empty = read_warc_dir(str(tmp_path / "missing"))
+    assert empty.count() == 0
+    assert empty.schema().names == ["url", "warc_ts", "html", "text",
+                                    "lang"]
+
+
+def test_warc_pages_feed_extraction(ray_session, tmp_path):
+    """Segment records carrying real HTML route through the existing
+    extract pipeline unchanged — the source composes with the engine."""
+    from full_text_extractor_v6_ray.pipelines.extract_pipeline import (
+        extract_pages,
+    )
+
+    html = (b"<html><head><title>T</title></head>"
+            b"<body><h1>Head</h1><p>Hello <b>world</b></p></body></html>")
+    recs = [(f"https://ex.com/h{i}", EPOCH, html) for i in range(3)]
+    (tmp_path / "s.warc").write_bytes(
+        build_warc_segment(recs, http_envelope_every=2))
+    out = extract_pages(read_warc_dir(str(tmp_path))).to_pandas()
+    assert len(out) == 3
+    assert set(out["method"]) == {"html"}
+    assert all("Hello **world**" in t for t in out["extracted_text"])
