@@ -345,6 +345,47 @@ def run_bench() -> dict:
         queries["decontaminate_docs"] = round(time.perf_counter() - t, 3)
         shutil.rmtree(docs_dir, ignore_errors=True)
 
+    # GRAFT_BENCH_WARC_SEGMENTS=N synthesizes N 5000-record WARC
+    # segments (odd ones record-gzipped, every 5th record HTTP-
+    # enveloped) from the documents texts, then times read_warc_dir ->
+    # record walk -> count (ingest throughput of the Common-Crawl-shaped
+    # source; the segment build itself is untimed fixture work).
+    warc_segs = int(os.environ.get("GRAFT_BENCH_WARC_SEGMENTS", "0"))
+    warc_rows = None
+    if warc_segs:
+        import datetime as _dt
+
+        import pyarrow.parquet as _pq
+
+        from full_text_extractor_v6_ray.sources.warc import (
+            build_warc_segment,
+            read_warc_dir,
+        )
+
+        warc_dir = f"{out_base}/bench_warc_{NUM_CPUS}"
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        os.makedirs(warc_dir, exist_ok=True)
+        texts = _pq.read_table(
+            os.path.join(SF_DIR, "documents.parquet"),
+            columns=["text"]).column("text").to_pylist()
+        bodies = [(t or "").encode("utf-8") for t in texts]
+        epoch = _dt.datetime(2020, 1, 1)
+        per_seg = 5000
+        for s in range(warc_segs):
+            recs = [(f"https://warc.example/{s}/{i}",
+                     epoch + _dt.timedelta(seconds=i),
+                     bodies[(s * per_seg + i) % len(bodies)])
+                    for i in range(per_seg)]
+            payload = build_warc_segment(recs, gzip_members=s % 2 == 1,
+                                         http_envelope_every=5)
+            name = f"seg-{s:05d}.warc" + (".gz" if s % 2 == 1 else "")
+            with open(os.path.join(warc_dir, name), "wb") as f:
+                f.write(payload)
+        t = time.perf_counter()
+        warc_rows = read_warc_dir(warc_dir).count()
+        queries["warc_ingest"] = round(time.perf_counter() - t, 3)
+        shutil.rmtree(warc_dir, ignore_errors=True)
+
     headline = queries["extract_dedup_write"]
     docs_per_sec = round(n_pages / queries["extract"], 1)
 
@@ -421,6 +462,9 @@ def run_bench() -> dict:
     if decon_rows is not None:
         out["decontaminate_rows"] = decon_rows
         out["decon_replicate"] = decon_rep
+    if warc_rows is not None:
+        out["warc_ingest_rows"] = warc_rows
+        out["warc_segments"] = warc_segs
     return out
 
 
