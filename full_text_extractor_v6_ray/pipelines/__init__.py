@@ -4,10 +4,12 @@ from .extract_pipeline import (
     pages_dataset_from_documents,
     extract_pages,
     extraction_pipeline,
+    warc_extraction_pipeline,
 )
 
 __all__ = [
     "pages_dataset_from_documents",
     "extract_pages",
     "extraction_pipeline",
+    "warc_extraction_pipeline",
 ]

@@ -111,3 +111,28 @@ def extraction_pipeline(sf_dir: str,
     if out_dir:
         extracted.write_parquet(out_dir)
     return extracted
+
+
+def warc_extraction_pipeline(warc_dir: str,
+                             dedup: bool = True,
+                             out_dir: str | None = None,
+                             cfg: ExtractConfig = DEFAULT_CONFIG,
+                             pcfg: PipelineConfig = DEFAULT_PIPELINE_CONFIG
+                             ) -> "ray.data.Dataset":
+    """Raw crawl segments -> corpus: the Common-Crawl front-end of the
+    flagship pipeline.
+
+    .warc/.warc.gz segments -> one pages-schema row per content record
+    (``sources/warc.py``: segment-sharded reads, Content-Length record
+    walk, member gunzip, HTTP-envelope strip) -> the SAME extract /
+    url-dedup / write stages as the parquet path. Streaming end to end;
+    the unit of parallelism and of retry is the segment file.
+    """
+    from ..sources.warc import read_warc_dir
+
+    extracted = extract_pages(read_warc_dir(warc_dir), cfg=cfg, pcfg=pcfg)
+    if dedup:
+        extracted = dedup_latest_by_ts(extracted)
+    if out_dir:
+        extracted.write_parquet(out_dir)
+    return extracted

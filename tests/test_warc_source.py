@@ -149,3 +149,36 @@ def test_warc_pages_feed_extraction(ray_session, tmp_path):
     assert len(out) == 3
     assert set(out["method"]) == {"html"}
     assert all("Hello **world**" in t for t in out["extracted_text"])
+
+
+def test_warc_extraction_pipeline_dedup_across_segments(
+        ray_session, tmp_path):
+    """Composed crawl front-end: two segments carry the SAME url at
+    different warc_ts (a recrawl landing in a later segment); the
+    pipeline extracts every record and url-dedup keeps the latest
+    crawl — the flagship semantics, fed from raw WARC instead of
+    parquet."""
+    from full_text_extractor_v6_ray.pipelines import (
+        warc_extraction_pipeline,
+    )
+
+    def page(marker):
+        return (f"<html><body><h1>V</h1><p>version {marker}</p>"
+                f"</body></html>").encode()
+
+    old = [("https://ex.com/dup", EPOCH, page("old")),
+           ("https://ex.com/only-a", EPOCH, page("a"))]
+    new = [("https://ex.com/dup",
+            EPOCH + datetime.timedelta(days=1), page("new")),
+           ("https://ex.com/only-b", EPOCH, page("b"))]
+    (tmp_path / "s0.warc").write_bytes(build_warc_segment(old))
+    (tmp_path / "s1.warc.gz").write_bytes(
+        build_warc_segment(new, gzip_members=True))
+
+    out = warc_extraction_pipeline(str(tmp_path)).to_pandas()
+    assert sorted(out["url"]) == [
+        "https://ex.com/dup", "https://ex.com/only-a",
+        "https://ex.com/only-b"]
+    dup_text = out.set_index("url").loc["https://ex.com/dup",
+                                        "extracted_text"]
+    assert "version new" in dup_text and "version old" not in dup_text
