@@ -194,21 +194,81 @@ def read_warc_dir(folder: str) -> "ray.data.Dataset":
                           zero_copy_batch=True)
 
 
+def write_wet_segments(extracted: "ray.data.Dataset", out_dir: str,
+                       num_shards: int = 64,
+                       gzip_members: bool = True) -> dict:
+    """WET-style sink: extracted text back out as WARC ``conversion``
+    records (Common Crawl's extracted-text distribution format), one
+    ``.warc[.gz]`` segment per md5-url shard.
+
+    Resumable-output rules: shard membership is the engine hash of the
+    url (``stages/hashing.hash64`` — version-independent) — stable
+    under repartitioning and retries; rows sort by url inside the shard, so a
+    shard file's bytes are deterministic (gzip mtime=0); writes go
+    tmp → atomic rename, so a crashed run never leaves a torn segment
+    and a re-run reproduces the identical file set. Round-trips through
+    ``read_warc_dir`` (conversion records are content records).
+
+    Returns {'segments': n, 'records': m}. One bucketed groupby is the
+    only shuffle; text crosses it once.
+    """
+    from ..stages.hashing import hash64
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = hash64(batch.column("url")) % num_shards
+        return batch.append_column(
+            "__shard", pa.array(shard.astype("int64"), pa.int64()))
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        shard = int(g.column("__shard")[0].as_py())
+        urls = g.column("url").to_pylist()
+        order = sorted(range(len(urls)), key=urls.__getitem__)
+        ts = g.column("warc_ts").to_pylist()
+        texts = g.column("extracted_text").to_pylist()
+        recs = [(urls[i], ts[i], (texts[i] or "").encode("utf-8"))
+                for i in order]
+        payload = build_warc_segment(recs, gzip_members=gzip_members,
+                                     warc_type=b"conversion",
+                                     content_type=b"text/plain")
+        name = f"wet-{shard:05d}.warc" + (".gz" if gzip_members else "")
+        tmp = os.path.join(out_dir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "records": pa.array([len(recs)], pa.int64())})
+
+    stats = (extracted.select_columns(["url", "warc_ts", "extracted_text"])
+             .map_batches(add_shard, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("__shard")
+             .map_groups(write_shard, batch_format="pyarrow")
+             .to_pandas())
+    return {"segments": int(len(stats)),
+            "records": int(stats["records"].sum()) if len(stats) else 0}
+
+
 # ---------------------------------------------------------------------------
-# Deterministic segment builder — fixture/bench machinery (NOT a
-# production sink): tests and the oracle query synthesize segments from
+# Deterministic segment builder — fixture machinery and the WET sink's
+# record writer: tests and the oracle query synthesize segments from
 # the documents table, round-trip them through the reader, and compare
 # against SQL recomputed straight from the table.
 # ---------------------------------------------------------------------------
 
 def build_warc_segment(records, gzip_members: bool = False,
                        http_envelope_every: int = 0,
-                       warcinfo: bool = True) -> bytes:
+                       warcinfo: bool = True,
+                       warc_type: bytes = b"resource",
+                       content_type: bytes = b"text/html") -> bytes:
     """records: iterable of (url: str, ts: datetime, body: bytes) ->
     one WARC segment. ``http_envelope_every=k`` wraps every k-th record
     as an ``application/http; msgtype=response`` block (0 = none) so
     round-trip tests exercise the envelope strip; ``gzip_members``
-    gzips per record, Common-Crawl style."""
+    gzips per record, Common-Crawl style; ``warc_type``/``content_type``
+    select the plain-record flavor (``conversion`` + ``text/plain`` for
+    WET output)."""
     import gzip as _gzip
 
     def finish(rec: bytes) -> bytes:
@@ -232,8 +292,8 @@ def build_warc_segment(records, gzip_members: bool = False,
             wtype = b"response"
         else:
             block = body
-            ctype = b"text/html"
-            wtype = b"resource"
+            ctype = content_type
+            wtype = warc_type
         parts.append(finish(
             b"WARC/1.0\r\n"
             b"WARC-Type: " + wtype + b"\r\n"

@@ -182,3 +182,44 @@ def test_warc_extraction_pipeline_dedup_across_segments(
     dup_text = out.set_index("url").loc["https://ex.com/dup",
                                         "extracted_text"]
     assert "version new" in dup_text and "version old" not in dup_text
+
+
+def test_wet_sink_roundtrip_and_determinism(ray_session, tmp_path):
+    """WET sink: extracted text written as conversion records, read
+    back through read_warc_dir byte-identically; two runs over the
+    same input produce the identical file set and bytes (resumable-
+    output determinism)."""
+    import hashlib
+
+    import ray.data
+
+    from full_text_extractor_v6_ray.sources.warc import (
+        write_wet_segments,
+    )
+
+    rows = [{"url": f"https://ex.com/{i}",
+             "warc_ts": EPOCH + datetime.timedelta(seconds=i),
+             "extracted_text": f"# Doc {i}\n\nbody {i} é",
+             "extra_col": i} for i in range(20)]
+    ds = ray.data.from_items(rows)
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    stats = write_wet_segments(ds, out_a, num_shards=4)
+    assert stats == {"segments": 4, "records": 20} or (
+        stats["records"] == 20 and stats["segments"] <= 4)
+
+    back = {r["url"]: r for r in read_warc_dir(out_a).take_all()}
+    assert len(back) == 20
+    for r in rows:
+        got = back[r["url"]]
+        assert got["html"].decode("utf-8") == r["extracted_text"]
+        assert got["warc_ts"] == r["warc_ts"]
+
+    write_wet_segments(ds, out_b, num_shards=4)
+    import os as _os
+    names_a = sorted(_os.listdir(out_a))
+    assert names_a == sorted(_os.listdir(out_b))
+    for n in names_a:
+        ha = hashlib.md5(open(_os.path.join(out_a, n), "rb").read())
+        hb = hashlib.md5(open(_os.path.join(out_b, n), "rb").read())
+        assert ha.hexdigest() == hb.hexdigest()
