@@ -140,39 +140,64 @@ def iter_warc_records(payload: bytes,
 _GZ_MAGIC = b"\x1f\x8b"
 
 
+_PROVENANCE_FIELDS = [("warc_file", pa.string()),
+                      ("record_idx", pa.int64())]
+
+
 class WarcToPages:
     """map_batches UDF: (path, bytes) segment rows -> pages-schema rows,
     one per content record. Gzip segments inflate member-wise first;
-    the stateless walk is why this is a task pool, not actors."""
+    the stateless walk is why this is a task pool, not actors.
 
-    def __init__(self, max_inflated: int = MAX_INFLATED_BYTES):
+    ``include_provenance=True`` appends CDX-style lineage columns
+    ``warc_file`` (segment basename) and ``record_idx`` (0-based index
+    of the content record within its segment) — enough to re-fetch any
+    record by walking one segment, and the grain the per-segment
+    manifest aggregates."""
+
+    def __init__(self, max_inflated: int = MAX_INFLATED_BYTES,
+                 include_provenance: bool = False):
         self.max_inflated = max_inflated
+        self.include_provenance = include_provenance
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls: list[str] = []
         ts: list[datetime.datetime] = []
         blocks: list[bytes] = []
-        for payload in batch.column("bytes").to_pylist():
+        files: list[str] = []
+        idxs: list[int] = []
+        for path, payload in zip(batch.column("path").to_pylist(),
+                                 batch.column("bytes").to_pylist()):
             if payload[:2] == _GZ_MAGIC:
                 payload = gunzip_members(payload, self.max_inflated)
-            for url, when, body in iter_warc_records(payload):
+            base = os.path.basename(path)
+            for i, (url, when, body) in enumerate(
+                    iter_warc_records(payload)):
                 urls.append(url)
                 ts.append(when)
                 blocks.append(body)
+                if self.include_provenance:
+                    files.append(base)
+                    idxs.append(i)
         n = len(urls)
+        arrays = [
+            pa.array(urls, pa.string()),
+            pa.array(ts, pa.timestamp("us")),
+            pa.array(blocks, pa.binary()),
+            pa.array([""] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+        ]
+        if not self.include_provenance:
+            return pa.Table.from_arrays(arrays, schema=PAGES_SCHEMA)
+        schema = pa.schema(list(PAGES_SCHEMA) + [
+            pa.field(k, t) for k, t in _PROVENANCE_FIELDS])
         return pa.Table.from_arrays(
-            [
-                pa.array(urls, pa.string()),
-                pa.array(ts, pa.timestamp("us")),
-                pa.array(blocks, pa.binary()),
-                pa.array([""] * n, pa.string()),
-                pa.array([""] * n, pa.string()),
-            ],
-            schema=PAGES_SCHEMA,
-        )
+            arrays + [pa.array(files, pa.string()),
+                      pa.array(idxs, pa.int64())], schema=schema)
 
 
-def read_warc_dir(folder: str) -> "ray.data.Dataset":
+def read_warc_dir(folder: str,
+                  include_provenance: bool = False) -> "ray.data.Dataset":
     """Folder of .warc / .warc.gz segments -> streaming pages Dataset.
 
     Paths sort lexicographically so two runs (and two cluster sizes)
@@ -188,10 +213,44 @@ def read_warc_dir(folder: str) -> "ray.data.Dataset":
     paths = [os.path.join(folder, n) for n in names
              if n.endswith(".warc") or n.endswith(".warc.gz")]
     if not paths:
-        return ray.data.from_arrow(PAGES_SCHEMA.empty_table())
+        schema = PAGES_SCHEMA
+        if include_provenance:
+            schema = pa.schema(list(PAGES_SCHEMA) + [
+                pa.field(k, t) for k, t in _PROVENANCE_FIELDS])
+        return ray.data.from_arrow(schema.empty_table())
     ds = ray.data.read_binary_files(paths, include_paths=True)
-    return ds.map_batches(WarcToPages(), batch_format="pyarrow",
-                          zero_copy_batch=True)
+    return ds.map_batches(
+        WarcToPages(include_provenance=include_provenance),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def warc_segment_manifest(warc_dir: str) -> "ray.data.Dataset":
+    """Per-segment ingest accounting: (warc_file, n_records, n_bytes,
+    min_ts, max_ts) — the record-level lineage a restarting 100 TB run
+    diffs against finished partitions (same role as the extraction
+    pipeline's per-partition manifests, at the segment grain). One
+    map-side collapse per segment; the groupby moves one row per
+    (segment, batch)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    pages = read_warc_dir(warc_dir, include_provenance=True)
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "warc_file": batch.column("warc_file"),
+            "n_bytes": pc.binary_length(
+                batch.column("html")).cast(pa.int64()),
+            "warc_ts": batch.column("warc_ts"),
+        })
+
+    return (pages.map_batches(collapse, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("warc_file")
+            .aggregate(Count(alias_name="n_records"),
+                       Sum("n_bytes", alias_name="n_bytes"),
+                       Min("warc_ts", alias_name="min_ts"),
+                       Max("warc_ts", alias_name="max_ts")))
 
 
 def write_wet_segments(extracted: "ray.data.Dataset", out_dir: str,

@@ -223,3 +223,39 @@ def test_wet_sink_roundtrip_and_determinism(ray_session, tmp_path):
         ha = hashlib.md5(open(_os.path.join(out_a, n), "rb").read())
         hb = hashlib.md5(open(_os.path.join(out_b, n), "rb").read())
         assert ha.hexdigest() == hb.hexdigest()
+
+
+def test_provenance_columns_and_manifest(ray_session, tmp_path):
+    """CDX-style lineage: (warc_file, record_idx) per record, and the
+    per-segment manifest aggregation over it."""
+    from full_text_extractor_v6_ray.sources.warc import (
+        warc_segment_manifest,
+    )
+
+    for seg_id in range(2):
+        payload = build_warc_segment(
+            _recs(3, start=seg_id * 3), gzip_members=seg_id == 1)
+        name = f"seg-{seg_id}.warc" + (".gz" if seg_id == 1 else "")
+        (tmp_path / name).write_bytes(payload)
+
+    rows = read_warc_dir(str(tmp_path), include_provenance=True).take_all()
+    assert {r["warc_file"] for r in rows} == {"seg-0.warc",
+                                              "seg-1.warc.gz"}
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["warc_file"], []).append(r["record_idx"])
+    assert sorted(by_file["seg-0.warc"]) == [0, 1, 2]
+    assert sorted(by_file["seg-1.warc.gz"]) == [0, 1, 2]
+
+    man = (warc_segment_manifest(str(tmp_path)).to_pandas()
+           .sort_values("warc_file").reset_index(drop=True))
+    assert list(man["warc_file"]) == ["seg-0.warc", "seg-1.warc.gz"]
+    assert list(man["n_records"]) == [3, 3]
+    # bodies are "body {i} é" = 9 bytes utf-8 each
+    assert list(man["n_bytes"]) == [27, 27]
+    assert man.loc[0, "min_ts"] == EPOCH
+    assert man.loc[1, "max_ts"] == EPOCH + datetime.timedelta(seconds=5)
+
+    # provenance-typed empty for a missing folder
+    empty = read_warc_dir(str(tmp_path / "nope"), include_provenance=True)
+    assert empty.schema().names[-2:] == ["warc_file", "record_idx"]
