@@ -1277,9 +1277,13 @@ def q_warc_segment_roundtrip(sf_dir: str):
             "warc_ts": batch.column("warc_ts"),
             "n_bytes": pc.binary_length(
                 batch.column("html")).cast(pa.int64()),
+            # CDX-style lineage: both recomputable in SQL because the
+            # synthetic segments hold contiguous doc_ids sorted
+            "warc_file": batch.column("warc_file"),
+            "record_idx": batch.column("record_idx"),
         })
 
-    return read_warc_dir(out_dir).map_batches(
+    return read_warc_dir(out_dir, include_provenance=True).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -2957,7 +2961,12 @@ ORACLES = {
         SELECT 'https://warc.example/' || CAST(doc_id AS VARCHAR) AS url,
                TIMESTAMP '2020-01-01 00:00:00'
                  + doc_id * INTERVAL 1 SECOND AS warc_ts,
-               octet_length(encode(COALESCE(text, ''))) AS n_bytes
+               octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+               'seg-' || lpad(CAST(doc_id // 64 AS VARCHAR), 6, '0')
+                 || '.warc'
+                 || CASE WHEN (doc_id // 64) % 2 = 1
+                         THEN '.gz' ELSE '' END AS warc_file,
+               doc_id % 64 AS record_idx
         FROM documents
     """,
     "orders_customer_hashjoin": """
