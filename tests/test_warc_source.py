@@ -259,3 +259,24 @@ def test_provenance_columns_and_manifest(ray_session, tmp_path):
     # provenance-typed empty for a missing folder
     empty = read_warc_dir(str(tmp_path / "nope"), include_provenance=True)
     assert empty.schema().names[-2:] == ["warc_file", "record_idx"]
+
+
+def test_wet_sink_empty_input(ray_session, tmp_path):
+    """Empty corpus: zero segments written, stats are explicit zeros —
+    the repo's typed-empty convention for composable stages."""
+    import pyarrow as _pa
+    import ray.data
+
+    from full_text_extractor_v6_ray.sources.warc import (
+        write_wet_segments,
+    )
+
+    empty = ray.data.from_arrow(_pa.table({
+        "url": _pa.array([], _pa.string()),
+        "warc_ts": _pa.array([], _pa.timestamp("us")),
+        "extracted_text": _pa.array([], _pa.string())}))
+    out = str(tmp_path / "wet")
+    stats = write_wet_segments(empty, out, num_shards=4)
+    assert stats == {"segments": 0, "records": 0}
+    import os as _os
+    assert _os.listdir(out) == []
