@@ -1509,6 +1509,90 @@ def q_audio_durations(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_images_real_decode(sf_dir: str):
+    """REAL image decode (PNG via zlib inflate+unfilter, BMP row walk —
+    extractor/codecs.py, no PIL): solid-color synthesis keeps width /
+    height / channels / mean intensity arithmetic in doc_id, so the
+    whole decode path is value-oracled against DuckDB."""
+    from .stages.multimodal import (
+        DecodeImageBatch,
+        real_media_dataset_from_documents,
+    )
+
+    media = real_media_dataset_from_documents(sf_dir)
+    decoded = media.map_batches(DecodeImageBatch, batch_format="pyarrow",
+                                batch_size=64, concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        metas = batch.column("media_meta").to_pylist()
+        return pa.table({
+            "doc_id": batch["id"],
+            "container": batch["media_type"],
+            "width": pa.array([m["width"] for m in metas], pa.int64()),
+            "height": pa.array([m["height"] for m in metas], pa.int64()),
+            "channels": pa.array([m["channels"] for m in metas],
+                                 pa.int64()),
+            "mean_intensity": pa.array(
+                [m["mean_intensity"] for m in metas], pa.float64()),
+        })
+
+    return decoded.map_batches(project, batch_format="pyarrow")
+
+
+def q_images_real_resize(sf_dir: str):
+    """Resize REAL payloads to 10x10 PNG thumbnails and decode them
+    back — oracles the PNG ENCODER (and the nearest-neighbor resample)
+    end to end: a solid-color source stays solid through
+    resample -> png_encode -> png_decode."""
+    from .stages.multimodal import (
+        DecodeImageBatch,
+        ResizeImageBatch,
+        real_media_dataset_from_documents,
+    )
+
+    media = real_media_dataset_from_documents(sf_dir)
+    thumbs = media.map_batches(
+        ResizeImageBatch,
+        fn_constructor_kwargs={"target_w": 10, "target_h": 10},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+    decoded = thumbs.map_batches(DecodeImageBatch, batch_format="pyarrow",
+                                 batch_size=64, concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        metas = batch.column("media_meta").to_pylist()
+        return pa.table({
+            "doc_id": batch["id"],
+            "thumb_w": pa.array([m["width"] for m in metas], pa.int64()),
+            "thumb_h": pa.array([m["height"] for m in metas], pa.int64()),
+            "mean_intensity": pa.array(
+                [m["mean_intensity"] for m in metas], pa.float64()),
+        })
+
+    return decoded.map_batches(project, batch_format="pyarrow")
+
+
+def q_audio_wav_features(sf_dir: str):
+    """REAL RIFF/WAVE decode (extractor/codecs.py): square-wave synthesis
+    makes duration, RMS (= amplitude exactly) and zero-crossing rate
+    arithmetic in doc_id — full value oracle over the WAV codec."""
+    from .stages.multimodal import (
+        AudioFeatureBatch,
+        wav_dataset_from_documents,
+    )
+
+    aud = wav_dataset_from_documents(sf_dir)
+    feats = aud.map_batches(AudioFeatureBatch, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 2))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["id"],
+                         "duration_s": batch["duration_s"],
+                         "rms": batch["rms"],
+                         "zcr": batch["zcr"]})
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_lineitem_corr(sf_dir: str):
     """Grouped Pearson correlation (quantity vs price per returnflag):
     map-side sufficient-statistic combiner — six doubles per (block,
@@ -2281,6 +2365,9 @@ QUERIES = {
     "media_decode_stats": q_media_decode_stats,
     "video_frame_stats": q_video_frame_stats,
     "audio_durations": q_audio_durations,
+    "images_real_decode": q_images_real_decode,
+    "images_real_resize": q_images_real_resize,
+    "audio_wav_features": q_audio_wav_features,
     # links / windows / set ops
     "links_reparsed": q_links_reparsed,
     "links_dedup_longest": q_links_dedup_longest,
@@ -2927,6 +3014,49 @@ ORACLES = {
                round((4000 + (doc_id % 7) * 1000) / 8000.0, 6)
                    AS duration_s
         FROM documents WHERE doc_id % 5 = 0
+    """,
+    "images_real_decode": """
+        -- mirrors stages/multimodal.py real_media_dataset_from_documents:
+        -- every 3rd doc carries a REAL solid-color image (PNG on %6=0,
+        -- 24-bit BMP on %6=3) of (8 + d%24) x (8 + d*5%24); the Ray side
+        -- decodes actual PNG/BMP bytes, so matching values here oracles
+        -- the inflate/unfilter/row-walk paths end to end
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 0 THEN 'image/png'
+                    ELSE 'image/bmp' END AS container,
+               CAST(8 + doc_id % 24 AS BIGINT) AS width,
+               CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               round(((doc_id * 7) % 256 + (doc_id * 13) % 256
+                      + (doc_id * 29) % 256) / 3.0, 6) AS mean_intensity
+        FROM documents WHERE doc_id % 3 = 0
+    """,
+    "images_real_resize": """
+        -- solid-color sources stay solid through nearest-resample ->
+        -- png_encode -> png_decode; dims pinned by the resize target
+        SELECT doc_id,
+               CAST(10 AS BIGINT) AS thumb_w,
+               CAST(10 AS BIGINT) AS thumb_h,
+               round(((doc_id * 7) % 256 + (doc_id * 13) % 256
+                      + (doc_id * 29) % 256) / 3.0, 6) AS mean_intensity
+        FROM documents WHERE doc_id % 3 = 0
+    """,
+    "audio_wav_features": """
+        -- mirrors stages/multimodal.py wav_dataset_from_documents:
+        -- square wave (period 8) of n = 4096 + (d%5)*512 samples at
+        -- 8 kHz, amplitude A = 1000 + (d%9)*500: RMS = A exactly, sign
+        -- changes land every 4th sample -> zcr = ((n-1)//4)/(n-1)
+        WITH p AS (
+            SELECT doc_id,
+                   4096 + (doc_id % 5) * 512 AS n,
+                   1000 + (doc_id % 9) * 500 AS amp
+            FROM documents WHERE doc_id % 4 = 0
+        )
+        SELECT doc_id,
+               round(n / 8000.0, 6) AS duration_s,
+               CAST(amp AS DOUBLE) AS rms,
+               round(((n - 1) // 4) / (n - 1.0), 6) AS zcr
+        FROM p
     """,
     "extract_error_summary": """
         -- the synthetic corpus routes by doc_id arithmetic (pages_gen):

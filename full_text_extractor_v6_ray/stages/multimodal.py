@@ -5,13 +5,14 @@ string and a metadata struct; decode / feature-extract / resize /
 frame-sample run as actor-pool ``map_batches`` stages with SMALL batch
 sizes (binary rows are wide — SURVEY.md §4.2).
 
-The decode itself is STUBBED (no PIL/ffmpeg in this environment, marked
-explicitly): if PIL is importable it is used for real image decode;
-otherwise payloads in the deterministic FAKEIMG container format (header
-``FAKEIMG1`` + u16 width + u16 height + u8 channels + raw bytes) are
-"decoded" by parsing that header — so the Ray-side plumbing (schema, actor
-signature, batch sizing, output layout) is real and tested end-to-end,
-and swapping in a real codec is a one-function change.
+Image decode is REAL for PNG and uncompressed BMP (and WAV for audio)
+via the in-repo pure-stdlib codecs (``extractor/codecs.py`` — zlib
+inflate + unfilter, RIFF walk; no PIL/ffmpeg needed). The deterministic
+FAKEIMG/FAKEVID/FAKEAUD containers remain as the synthetic-fixture path
+(and stand in for formats whose codecs the sandbox genuinely lacks:
+JPEG, compressed video). If PIL is importable it is the last-resort
+fallback for other containers; anything undecodable lands on the error
+column (degradation principle, same as the extractor).
 """
 
 from __future__ import annotations
@@ -21,6 +22,8 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+
+from ..extractor import codecs as _codecs
 
 try:  # pragma: no cover - not installed here
     from PIL import Image  # type: ignore
@@ -53,6 +56,22 @@ def _decode_fake(payload: bytes):
     return body[:expected].reshape(h, w, c)
 
 
+def decode_image_payload(payload: bytes) -> np.ndarray:
+    """Container-sniffing image decode: FAKEIMG / PNG / BMP (real codecs,
+    ``extractor/codecs.py``), PIL last-resort if present. Returns uint8
+    (h, w) gray or (h, w, c). Raises on anything undecodable."""
+    if payload.startswith(FAKEIMG_MAGIC):
+        return _decode_fake(payload)
+    if payload.startswith(_codecs.PNG_SIG):
+        return _codecs.png_decode(payload)
+    if payload[:2] == b"BM":
+        return _codecs.bmp_decode(payload)
+    if _HAVE_PIL:  # pragma: no cover
+        import io
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    raise ValueError("unsupported image container")
+
+
 MEDIA_META_TYPE = pa.struct([
     ("width", pa.int32()),
     ("height", pa.int32()),
@@ -65,23 +84,16 @@ MEDIA_META_TYPE = pa.struct([
 class DecodeImageBatch:
     """Actor-pool stage: (id, media, media_type) -> + decoded metadata.
 
-    Real decode path requires PIL (NOT INSTALLED HERE — stubbed): without
-    it, only FAKEIMG payloads decode; anything else lands on the error
-    column (degradation principle, same as the extractor).
+    PNG/BMP decode for real via the in-repo codecs; FAKEIMG via the
+    container header; undecodable payloads land on the error column
+    (degradation principle, same as the extractor).
     """
 
     def __init__(self):
         self.have_pil = _HAVE_PIL
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if payload.startswith(FAKEIMG_MAGIC):
-            return _decode_fake(payload)
-        if self.have_pil:  # pragma: no cover
-            import io
-            return np.asarray(Image.open(io.BytesIO(payload)))
-        raise NotImplementedError(
-            "real image decode requires PIL (not available in this "
-            "environment); only FAKEIMG payloads are supported")
+        return decode_image_payload(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         metas, errors = [], []
@@ -108,10 +120,9 @@ class DecodeImageBatch:
 
 
 class ResizeImageBatch:
-    """Nearest-neighbor resize of decodable payloads -> new FAKEIMG bytes.
-
-    (Real resample needs PIL — stubbed the same way as decode.)
-    """
+    """Nearest-neighbor resize of decodable payloads. Real containers
+    (PNG/BMP) re-encode as real PNG thumbnails; FAKEIMG stays FAKEIMG
+    (synthetic-fixture path). Undecodable rows -> null media."""
 
     def __init__(self, target_w: int = 64, target_h: int = 64):
         self.tw, self.th = target_w, target_h
@@ -120,14 +131,20 @@ class ResizeImageBatch:
         out = []
         for payload in batch.column("media").to_pylist():
             try:
-                arr = _decode_fake(payload or b"")
+                p = payload or b""
+                arr = decode_image_payload(p)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
                 ys = (np.arange(self.th) * arr.shape[0] // self.th)
                 xs = (np.arange(self.tw) * arr.shape[1] // self.tw)
-                resized = arr[ys][:, xs]
-                out.append(FAKEIMG_MAGIC
-                           + struct.pack("<HHB", self.tw, self.th,
-                                         resized.shape[2])
-                           + resized.tobytes())
+                resized = np.ascontiguousarray(arr[ys][:, xs])
+                if p.startswith(FAKEIMG_MAGIC):
+                    out.append(FAKEIMG_MAGIC
+                               + struct.pack("<HHB", self.tw, self.th,
+                                             resized.shape[2])
+                               + resized.tobytes())
+                else:
+                    out.append(_codecs.png_encode(resized))
             except Exception:
                 out.append(None)
         return batch.set_column(batch.column_names.index("media"),
@@ -139,8 +156,8 @@ class ImageFeatureBatch:
     (per-channel means + 8-bin intensity histogram + aspect ratio).
 
     The vector layout is the real contract (downstream ANN/dedup over a
-    ``list<float>`` column); the pixel source is the FAKEIMG stub (or PIL
-    when present) exactly like DecodeImageBatch.
+    ``list<float>`` column); pixels come from any decodable container
+    (PNG/BMP real codecs, FAKEIMG fixture) exactly like DecodeImageBatch.
     """
 
     N_BINS = 8
@@ -149,7 +166,9 @@ class ImageFeatureBatch:
         feats, errors = [], []
         for payload in batch.column("media").to_pylist():
             try:
-                arr = _decode_fake(payload or b"")
+                arr = decode_image_payload(payload or b"")
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
                 chan_means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
                 hist, _ = np.histogram(arr, bins=self.N_BINS,
                                        range=(0, 256))
@@ -240,19 +259,29 @@ class FrameSampleBatch:
 
 class AudioFeatureBatch:
     """Audio feature-extract: duration, RMS, zero-crossing rate — numpy
-    vectorized per row over the PCM body."""
+    vectorized per row over the PCM body. Real RIFF/WAVE PCM decodes via
+    the in-repo codec; FAKEAUD remains the synthetic-fixture container.
+    Multichannel WAV is downmixed (channel mean) before features."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         durs, rmss, zcrs, errors = [], [], [], []
         for payload in batch.column("media").to_pylist():
             try:
                 p = payload or b""
-                if not p.startswith(FAKEAUD_MAGIC):
-                    raise ValueError("not a FAKEAUD payload")
-                rate, n = struct.unpack_from("<II", p, len(FAKEAUD_MAGIC))
-                pcm = np.frombuffer(p, dtype=np.int16,
-                                    offset=len(FAKEAUD_MAGIC) + 8,
-                                    count=n).astype(np.float64)
+                if p.startswith(b"RIFF"):
+                    rate, pcm = _codecs.wav_decode(p)
+                    pcm = pcm.astype(np.float64)
+                    if pcm.ndim == 2:
+                        pcm = pcm.mean(axis=1)
+                    n = len(pcm)
+                elif p.startswith(FAKEAUD_MAGIC):
+                    rate, n = struct.unpack_from("<II", p,
+                                                 len(FAKEAUD_MAGIC))
+                    pcm = np.frombuffer(p, dtype=np.int16,
+                                        offset=len(FAKEAUD_MAGIC) + 8,
+                                        count=n).astype(np.float64)
+                else:
+                    raise ValueError("unsupported audio container")
                 durs.append(round(n / max(1, rate), 6))
                 rmss.append(round(float(np.sqrt(np.mean(pcm ** 2))), 6))
                 zcrs.append(round(float(np.mean(np.signbit(pcm[1:])
@@ -312,6 +341,78 @@ def audio_dataset_from_documents(sf_dir: str, seed: int = 42):
             media.append(make_fake_audio(8000, 4000 + (d % 7) * 1000,
                                          seed * 1_000_003 + d))
             mtype.append("audio/fake")
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "media": pa.array(media, pa.binary()),
+                         "media_type": pa.array(mtype, pa.string())})
+
+    return docs.map_batches(gen, batch_format="pyarrow", batch_size=64)
+
+
+def real_media_dataset_from_documents(sf_dir: str):
+    """Deterministic REAL image payloads (PNG / BMP bytes, not the
+    FAKEIMG container) for every 3rd document: even thirds encode PNG,
+    odd thirds 24-bit BMP. Solid-color fills keep every pixel statistic
+    arithmetic in doc_id, so the full decode path (zlib inflate +
+    unfilter / BMP row walk) is DuckDB-oracle-checkable end to end."""
+    import os
+    import ray.data
+
+    from ..extractor import codecs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids, media, mtype = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            if d % 3:
+                continue
+            w = 8 + (d % 24)
+            h = 8 + ((d * 5) % 24)
+            rgb = np.empty((h, w, 3), dtype=np.uint8)
+            rgb[:, :, 0] = (d * 7) % 256
+            rgb[:, :, 1] = (d * 13) % 256
+            rgb[:, :, 2] = (d * 29) % 256
+            ids.append(d)
+            if d % 6 == 0:
+                media.append(codecs.png_encode(rgb))
+                mtype.append("image/png")
+            else:
+                media.append(codecs.bmp_encode(rgb))
+                mtype.append("image/bmp")
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "media": pa.array(media, pa.binary()),
+                         "media_type": pa.array(mtype, pa.string())})
+
+    return docs.map_batches(gen, batch_format="pyarrow", batch_size=64)
+
+
+def wav_dataset_from_documents(sf_dir: str):
+    """Deterministic REAL RIFF/WAVE payloads for every 4th document:
+    a square wave (period 8: four samples +A, four -A) at 8 kHz with
+    n = 4096 + (doc_id % 5) * 512 samples and A = 1000 + (doc_id % 9)
+    * 500 — chosen so duration, RMS (= A exactly) and zero-crossing
+    rate (= ((n-1)//4)/(n-1)) are all arithmetic in doc_id for the
+    DuckDB oracle."""
+    import os
+    import ray.data
+
+    from ..extractor import codecs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids, media, mtype = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            if d % 4:
+                continue
+            n = 4096 + (d % 5) * 512
+            amp = 1000 + (d % 9) * 500
+            pcm = np.where(np.arange(n) % 8 < 4, amp, -amp).astype(np.int16)
+            ids.append(d)
+            media.append(codecs.wav_encode(pcm, 8000))
+            mtype.append("audio/wav")
         return pa.table({"id": pa.array(ids, pa.int64()),
                          "media": pa.array(media, pa.binary()),
                          "media_type": pa.array(mtype, pa.string())})

@@ -1,0 +1,275 @@
+"""Real codec tests: PNG (all filters / color types / low depths),
+BMP, WAV — roundtrips pin the decoders against the encoders, plus
+corrupt-payload and multimodal-stage integration checks."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from full_text_extractor_v6_ray.extractor import codecs
+
+
+def _rand(shape, seed):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=shape, dtype=np.int64).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(13, 7), (13, 7, 1), (9, 16, 2),
+                                   (21, 5, 3), (6, 31, 4)])
+def test_png_roundtrip_every_filter_and_color_type(filter_type, shape):
+    arr = _rand(shape, seed=filter_type * 100 + len(shape))
+    data = codecs.png_encode(arr, filter_type=filter_type)
+    out = codecs.png_decode(data)
+    want = arr.reshape(arr.shape[0], arr.shape[1]) \
+        if arr.ndim == 3 and arr.shape[2] == 1 else arr
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, want)
+
+
+def test_png_single_pixel_and_single_row():
+    for shape in [(1, 1), (1, 40, 3), (40, 1, 4)]:
+        arr = _rand(shape, seed=7)
+        np.testing.assert_array_equal(
+            codecs.png_decode(codecs.png_encode(arr, filter_type=4)), arr)
+
+
+def test_png_encode_deterministic():
+    arr = _rand((20, 20, 3), seed=3)
+    assert codecs.png_encode(arr) == codecs.png_encode(arr)
+
+
+def test_png_palette_roundtrip_with_trns():
+    pal = _rand((16, 3), seed=5)
+    idx = _rand((11, 13), seed=6) % 16
+    trns = bytes(range(0, 160, 10))  # alpha for all 16 entries
+    data = codecs.png_encode_palette(idx, pal, trns=trns)
+    out = codecs.png_decode(data)
+    assert out.shape == (11, 13, 4)
+    np.testing.assert_array_equal(out[:, :, :3], pal[idx])
+    np.testing.assert_array_equal(
+        out[:, :, 3], np.frombuffer(trns, np.uint8)[idx])
+
+
+def test_png_palette_no_trns_gives_rgb():
+    pal = _rand((8, 3), seed=8)
+    idx = _rand((5, 9), seed=9) % 8
+    out = codecs.png_decode(codecs.png_encode_palette(idx, pal))
+    assert out.shape == (5, 9, 3)
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_palette_low_bit_depths(depth):
+    n = 1 << depth
+    pal = _rand((n, 3), seed=depth)
+    idx = _rand((7, 10), seed=depth + 50) % n
+    out = codecs.png_decode(
+        codecs.png_encode_palette(idx, pal, bit_depth=depth))
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_low_depth_gray(depth):
+    """Hand-build a low-depth grayscale PNG; decode scales to 8-bit."""
+    w, h = 10, 3
+    maxv = (1 << depth) - 1
+    samples = (np.arange(w * h).reshape(h, w) % (maxv + 1)).astype(np.uint8)
+    rows = []
+    for y in range(h):
+        bits = np.unpackbits(samples[y][:, None], axis=1)[:, 8 - depth:]
+        rows.append(b"\x00" + np.packbits(bits.reshape(-1)).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    data = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+            + codecs._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + codecs._chunk(b"IEND", b""))
+    out = codecs.png_decode(data)
+    np.testing.assert_array_equal(
+        out, (samples.astype(np.uint16) * (255 // maxv)).astype(np.uint8))
+
+
+def test_png_rejects_corruption():
+    arr = _rand((8, 8, 3), seed=1)
+    good = codecs.png_encode(arr)
+    with pytest.raises(ValueError):
+        codecs.png_decode(b"NOTAPNG" + good)
+    # flip one pixel byte inside IDAT -> CRC mismatch
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        codecs.png_decode(bytes(bad))
+    with pytest.raises(ValueError):
+        codecs.png_decode(good[:40])  # truncated mid-chunk
+    # interlaced header rejected
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    interlaced = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+                  + codecs._chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+                  + codecs._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlace"):
+        codecs.png_decode(interlaced)
+
+
+def test_png_multiple_idat_chunks():
+    """Decoders must concatenate split IDAT streams."""
+    arr = _rand((6, 6, 3), seed=11)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(6))
+    comp = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", 6, 6, 8, 2, 0, 0, 0)
+    data = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+            + codecs._chunk(b"IDAT", comp[:10])
+            + codecs._chunk(b"IDAT", comp[10:])
+            + codecs._chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.png_decode(data), arr)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5])  # every padding residue
+def test_bmp_roundtrip_padding(w):
+    arr = _rand((7, w, 3), seed=w)
+    np.testing.assert_array_equal(
+        codecs.bmp_decode(codecs.bmp_encode(arr)), arr)
+
+
+def test_bmp_topdown_and_32bit():
+    arr = _rand((4, 3, 3), seed=2)
+    data = bytearray(codecs.bmp_encode(arr))
+    # negate height -> top-down: decoded rows are the bottom-up flip
+    struct.pack_into("<i", data, 22, -4)
+    np.testing.assert_array_equal(codecs.bmp_decode(bytes(data)), arr[::-1])
+    # hand-build a 32-bit BGRA top-down BMP
+    rgba = _rand((3, 2, 4), seed=4)
+    bgra = rgba[:, :, [2, 1, 0, 3]]
+    off = 54
+    hdr = (b"BM" + struct.pack("<IHHI", off + bgra.size, 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, 2, -3, 1, 32, 0,
+                         bgra.size, 0, 0, 0, 0))
+    np.testing.assert_array_equal(
+        codecs.bmp_decode(hdr + bgra.tobytes()), rgba)
+
+
+def test_bmp_rejects_bad():
+    with pytest.raises(ValueError):
+        codecs.bmp_decode(b"XX" + b"\x00" * 60)
+    arr = _rand((4, 4, 3), seed=3)
+    with pytest.raises(ValueError):
+        codecs.bmp_decode(codecs.bmp_encode(arr)[:30])
+    compressed = bytearray(codecs.bmp_encode(arr))
+    struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        codecs.bmp_decode(bytes(compressed))
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = (np.random.RandomState(0).standard_normal(500)
+            * 12000).astype(np.int16)
+    rate, out = codecs.wav_decode(codecs.wav_encode(mono, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(out, mono)
+    stereo = (np.random.RandomState(1).standard_normal((300, 2))
+              * 9000).astype(np.int16)
+    rate, out = codecs.wav_decode(codecs.wav_encode(stereo, 16000))
+    assert rate == 16000 and out.shape == (300, 2)
+    np.testing.assert_array_equal(out, stereo)
+
+
+def test_wav_8bit_and_odd_chunk_padding():
+    body = bytes([0, 128, 255, 64, 200])  # odd length -> pad byte
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    payload = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body + b"\x00")
+    rate, pcm = codecs.wav_decode(
+        b"RIFF" + struct.pack("<I", len(payload)) + payload)
+    assert rate == 8000
+    np.testing.assert_array_equal(
+        pcm, ((np.frombuffer(body, np.uint8).astype(np.int16) - 128) << 8))
+
+
+def test_wav_rejects_bad():
+    with pytest.raises(ValueError):
+        codecs.wav_decode(b"RIFX" + b"\x00" * 40)
+    good = codecs.wav_encode(np.zeros(10, np.int16), 8000)
+    with pytest.raises(ValueError):
+        codecs.wav_decode(good[:20])
+    # non-PCM format code
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 3)  # IEEE float
+    with pytest.raises(ValueError):
+        codecs.wav_decode(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# multimodal stage integration (no Ray needed: stages are plain callables)
+# ---------------------------------------------------------------------------
+
+
+def _media_batch(payloads):
+    return pa.table({
+        "id": pa.array(range(len(payloads)), pa.int64()),
+        "media": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["?"] * len(payloads), pa.string()),
+    })
+
+
+def test_decode_stage_mixed_real_and_fake():
+    from full_text_extractor_v6_ray.stages.multimodal import (
+        DecodeImageBatch, make_fake_image)
+
+    png = codecs.png_encode(np.full((5, 9, 3), 100, np.uint8))
+    bmp = codecs.bmp_encode(np.full((4, 6, 3), 30, np.uint8))
+    gray = codecs.png_encode(np.full((3, 3), 7, np.uint8))
+    out = DecodeImageBatch()(_media_batch(
+        [png, bmp, gray, make_fake_image(8, 8, 3, 1), b"JUNK"]))
+    metas = out.column("media_meta").to_pylist()
+    errs = out.column("decode_error").to_pylist()
+    assert [(m["width"], m["height"], m["channels"]) for m in metas[:4]] \
+        == [(9, 5, 3), (6, 4, 3), (3, 3, 1), (8, 8, 3)]
+    assert metas[0]["mean_intensity"] == 100.0
+    assert metas[1]["mean_intensity"] == 30.0
+    assert errs[:4] == [""] * 4 and errs[4].startswith("decode_error")
+
+
+def test_resize_stage_real_payload_reencodes_png():
+    from full_text_extractor_v6_ray.stages.multimodal import (
+        ResizeImageBatch, decode_image_payload)
+
+    src = np.zeros((20, 20, 3), np.uint8)
+    src[:, :, 0] = 200
+    out = ResizeImageBatch(target_w=8, target_h=8)(
+        _media_batch([codecs.bmp_encode(src)]))
+    thumb = out.column("media").to_pylist()[0]
+    assert thumb.startswith(codecs.PNG_SIG)
+    arr = decode_image_payload(thumb)
+    assert arr.shape == (8, 8, 3)
+    assert arr[:, :, 0].mean() == 200.0 and arr[:, :, 1].max() == 0
+
+
+def test_audio_stage_real_wav_square_wave():
+    from full_text_extractor_v6_ray.stages.multimodal import (
+        AudioFeatureBatch)
+
+    n, amp = 4096, 1500
+    pcm = np.where(np.arange(n) % 8 < 4, amp, -amp).astype(np.int16)
+    out = AudioFeatureBatch()(_media_batch([codecs.wav_encode(pcm, 8000)]))
+    assert out.column("audio_error").to_pylist() == [""]
+    assert out.column("duration_s").to_pylist() == [round(n / 8000, 6)]
+    assert out.column("rms").to_pylist() == [float(amp)]
+    assert out.column("zcr").to_pylist() == [round(((n - 1) // 4)
+                                                   / (n - 1), 6)]
