@@ -1510,10 +1510,10 @@ def q_audio_durations(sf_dir: str):
 
 
 def q_images_real_decode(sf_dir: str):
-    """REAL image decode (PNG via zlib inflate+unfilter, BMP row walk —
-    extractor/codecs.py, no PIL): solid-color synthesis keeps width /
-    height / channels / mean intensity arithmetic in doc_id, so the
-    whole decode path is value-oracled against DuckDB."""
+    """REAL image decode (PNG via zlib inflate+unfilter, BMP row walk,
+    GIF LZW — extractor/codecs.py, no PIL): solid-color synthesis keeps
+    width / height / channels / mean intensity arithmetic in doc_id, so
+    the whole decode path is value-oracled against DuckDB."""
     from .stages.multimodal import (
         DecodeImageBatch,
         real_media_dataset_from_documents,
@@ -3017,13 +3017,16 @@ ORACLES = {
     """,
     "images_real_decode": """
         -- mirrors stages/multimodal.py real_media_dataset_from_documents:
-        -- every 3rd doc carries a REAL solid-color image (PNG on %6=0,
-        -- 24-bit BMP on %6=3) of (8 + d%24) x (8 + d*5%24); the Ray side
-        -- decodes actual PNG/BMP bytes, so matching values here oracles
-        -- the inflate/unfilter/row-walk paths end to end
+        -- every 3rd doc carries a REAL solid-color image, container
+        -- cycling PNG / 24-bit BMP / GIF by (d//3)%3, sized
+        -- (8 + d%24) x (8 + d*5%24); the Ray side decodes actual
+        -- PNG/BMP/GIF bytes, so matching values here oracles the
+        -- inflate/unfilter, BMP row-walk and GIF LZW paths end to end
         SELECT doc_id,
-               CASE WHEN doc_id % 6 = 0 THEN 'image/png'
-                    ELSE 'image/bmp' END AS container,
+               CASE (doc_id // 3) % 3
+                    WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'image/bmp'
+                    ELSE 'image/gif' END AS container,
                CAST(8 + doc_id % 24 AS BIGINT) AS width,
                CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS height,
                CAST(3 AS BIGINT) AS channels,

@@ -338,6 +338,243 @@ def bmp_decode(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a, first frame)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR/EOI codes, table
+    capped at 4096 entries. ``max_pixels`` bounds output (bomb guard)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, code_size, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        next_code = eoi + 1
+
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            if len(out) > max_pixels:
+                raise ValueError("LZW output exceeds image size")
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF LZW encoder (for tests / thumbnails): standard greedy table
+    build, CLEAR emitted at table overflow, LSB-first packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to uint8 (h, w, 3) RGB —
+    or (h, w, 4) RGBA when the frame's graphic-control extension marks a
+    transparent index. Handles local color tables, interlaced frames,
+    and LZW sub-block streams; animation composition (later frames,
+    disposal) is out of scope — frame sampling happens upstream."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, count=n * 3,
+                            offset=pos).reshape(n, 3)
+        pos += n * 3
+    transparent = -1
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            label = data[pos]
+            pos += 1
+            subs = []
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                subs.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1  # terminator
+            if label == 0xF9 and subs:  # graphic control
+                gce = subs[0]
+                if len(gce) >= 4 and gce[0] & 0x01:
+                    transparent = gce[3]
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        # image descriptor
+        _, _, w, h = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(data, np.uint8, count=n * 3,
+                               offset=pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        if w < 1 or h < 1 or w * h > 1 << 28:
+            raise ValueError("bad GIF dimensions")
+        min_code = data[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad GIF LZW code size {min_code}")
+        comp = bytearray()
+        while pos < len(data) and data[pos]:
+            ln = data[pos]
+            comp += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx_flat = _lzw_decode(bytes(comp), min_code, w * h)
+        if len(idx_flat) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        idx = np.frombuffer(bytes(idx_flat), np.uint8,
+                            count=w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(start, h, step)
+                 for start, step in _GIF_INTERLACE_PASSES])
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[order] = idx
+            idx = deinterlaced
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("GIF index out of color-table range")
+        rgb = ct[idx]
+        if transparent >= 0:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            return np.ascontiguousarray(np.dstack([rgb, alpha]))
+        return np.ascontiguousarray(rgb)
+    raise ValueError("GIF contained no image block")
+
+
+def gif_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (<= 256 distinct colors) as a
+    single-frame GIF89a. ``interlace`` writes the 4-pass row order so
+    tests can pin the deinterlace path."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("gif_encode wants (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    colors, inverse = np.unique(a.reshape(-1, 3), axis=0,
+                                return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("gif_encode supports <= 256 distinct colors")
+    bits = max(2, int(np.ceil(np.log2(max(2, len(colors))))))
+    n = 1 << bits
+    palette = np.zeros((n, 3), np.uint8)
+    palette[:len(colors)] = colors
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(start, h, step)
+             for start, step in _GIF_INTERLACE_PASSES])
+        rows = idx[order]
+    else:
+        rows = idx
+    comp = _lzw_encode(rows.tobytes(), bits)
+    subs = bytearray()
+    for i in range(0, len(comp), 255):
+        part = comp[i:i + 255]
+        subs.append(len(part))
+        subs += part
+    subs.append(0)
+    ipacked = 0x40 if interlace else 0
+    return (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+            + palette.tobytes()
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes([ipacked, bits]) + bytes(subs) + b"\x3b")
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF/WAVE PCM)
 # ---------------------------------------------------------------------------
 

@@ -66,6 +66,8 @@ def decode_image_payload(payload: bytes) -> np.ndarray:
         return _codecs.png_decode(payload)
     if payload[:2] == b"BM":
         return _codecs.bmp_decode(payload)
+    if payload[:4] == b"GIF8":
+        return _codecs.gif_decode(payload)
     if _HAVE_PIL:  # pragma: no cover
         import io
         return np.asarray(Image.open(io.BytesIO(payload)))
@@ -349,11 +351,12 @@ def audio_dataset_from_documents(sf_dir: str, seed: int = 42):
 
 
 def real_media_dataset_from_documents(sf_dir: str):
-    """Deterministic REAL image payloads (PNG / BMP bytes, not the
-    FAKEIMG container) for every 3rd document: even thirds encode PNG,
-    odd thirds 24-bit BMP. Solid-color fills keep every pixel statistic
-    arithmetic in doc_id, so the full decode path (zlib inflate +
-    unfilter / BMP row walk) is DuckDB-oracle-checkable end to end."""
+    """Deterministic REAL image payloads (PNG / BMP / GIF bytes, not the
+    FAKEIMG container) for every 3rd document, cycling containers by
+    (doc_id // 3) % 3. Solid-color fills keep every pixel statistic
+    arithmetic in doc_id, so the full decode paths (zlib inflate +
+    unfilter / BMP row walk / GIF LZW) are DuckDB-oracle-checkable
+    end to end."""
     import os
     import ray.data
 
@@ -374,12 +377,16 @@ def real_media_dataset_from_documents(sf_dir: str):
             rgb[:, :, 1] = (d * 13) % 256
             rgb[:, :, 2] = (d * 29) % 256
             ids.append(d)
-            if d % 6 == 0:
+            kind = (d // 3) % 3
+            if kind == 0:
                 media.append(codecs.png_encode(rgb))
                 mtype.append("image/png")
-            else:
+            elif kind == 1:
                 media.append(codecs.bmp_encode(rgb))
                 mtype.append("image/bmp")
+            else:
+                media.append(codecs.gif_encode(rgb))
+                mtype.append("image/gif")
         return pa.table({"id": pa.array(ids, pa.int64()),
                          "media": pa.array(media, pa.binary()),
                          "media_type": pa.array(mtype, pa.string())})

@@ -173,6 +173,76 @@ def test_bmp_rejects_bad():
 
 
 # ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 11), (16, 5)])
+def test_gif_roundtrip_small_palettes(shape):
+    arr = (_rand((*shape, 3), seed=shape[0]) // 64) * 64  # <= 64 colors
+    np.testing.assert_array_equal(
+        codecs.gif_decode(codecs.gif_encode(arr)), arr)
+
+
+def test_gif_roundtrip_full_256_palette_forces_code_growth():
+    """A 256-color noise image grows the LZW table through several code
+    widths (and with enough pixels, to the 4096 reset)."""
+    arr = _rand((64, 64, 3), seed=12)
+    # quantize to exactly 256 distinct colors: gray ramp by byte value
+    v = _rand((64, 64), seed=13)
+    arr = np.dstack([v, v, v])
+    np.testing.assert_array_equal(
+        codecs.gif_decode(codecs.gif_encode(arr)), arr)
+
+
+def test_gif_lzw_table_reset_roundtrip():
+    """Enough unique pixel transitions to overflow the 4096-entry table
+    and exercise the mid-stream CLEAR/reset path both ways."""
+    rng = np.random.RandomState(99)
+    v = rng.randint(0, 256, size=(150, 150), dtype=np.int64).astype(np.uint8)
+    arr = np.dstack([v, (v * 3).astype(np.uint8), (v * 7).astype(np.uint8)])
+    np.testing.assert_array_equal(
+        codecs.gif_decode(codecs.gif_encode(arr)), arr)
+
+
+def test_gif_interlaced_roundtrip():
+    arr = (_rand((13, 9, 3), seed=21) // 32) * 32
+    data = codecs.gif_encode(arr, interlace=True)
+    np.testing.assert_array_equal(codecs.gif_decode(data), arr)
+
+
+def test_gif_transparency_yields_rgba():
+    """Hand-add a graphic-control extension marking palette index of the
+    darkest color transparent."""
+    arr = np.zeros((4, 6, 3), np.uint8)
+    arr[1:, 2:] = 200
+    data = codecs.gif_encode(arr)
+    # palette index 0 is the lexicographically-smallest color (black)
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    at = data.index(b"\x2c")
+    out = codecs.gif_decode(data[:at] + gce + data[at:])
+    assert out.shape == (4, 6, 4)
+    np.testing.assert_array_equal(out[:, :, :3], arr)
+    np.testing.assert_array_equal(out[:, :, 3] == 0,
+                                  (arr == 0).all(axis=2))
+
+
+def test_gif_rejects_bad():
+    with pytest.raises(ValueError):
+        codecs.gif_decode(b"GIF90a" + b"\x00" * 20)
+    arr = (_rand((5, 5, 3), seed=30) // 64) * 64
+    good = codecs.gif_encode(arr)
+    with pytest.raises(ValueError):
+        codecs.gif_decode(good[:15])  # truncated before image block
+    # too many distinct colors for the encoder: 17 x 16 = 272 (r, g) pairs
+    big = np.zeros((17, 16, 3), np.uint8)
+    big[:, :, 0] = np.arange(17)[:, None]
+    big[:, :, 1] = np.arange(16)[None, :]
+    with pytest.raises(ValueError):
+        codecs.gif_encode(big)
+
+
+# ---------------------------------------------------------------------------
 # WAV
 # ---------------------------------------------------------------------------
 
