@@ -1287,6 +1287,60 @@ def q_warc_segment_roundtrip(sf_dir: str):
         project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_warc_cdx_index(sf_dir: str):
+    """CDX capture index over deterministic WARC segments
+    (``sources/warc.build_cdx_index``): segment walk -> SURT url key +
+    re-fetch pointer + md5 digest, globally sorted by (url_key, ts).
+    The synthetic urls carry mixed-case multi-label hosts and a
+    tracking param, so the oracle pins SURT label reversal, host
+    lowercasing and canonicalization — all recomputed as doc_id
+    arithmetic in SQL (sortedness itself is pinned in pytest; the
+    driver compare is order-insensitive)."""
+    import datetime
+    import shutil
+
+    from .sources.warc import build_cdx_index, build_warc_segment
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/graft_cdx_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    epoch = datetime.datetime(2020, 1, 1)
+
+    def add_seg(batch: pa.Table) -> pa.Table:
+        seg = np.asarray(batch.column("doc_id").to_numpy(
+            zero_copy_only=False)) // 64
+        return batch.append_column("seg", pa.array(seg, pa.int64()))
+
+    def write_segment(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        texts = g.column("text").to_pylist()
+        recs = [(f"https://H{int(ids[i]) % 5}.Site{int(ids[i]) % 7}"
+                 f".Example/P/{int(ids[i])}?utm_x=1&n={int(ids[i]) % 3}",
+                 epoch + datetime.timedelta(seconds=int(ids[i])),
+                 (texts[i] or "").encode("utf-8")) for i in order]
+        seg = int(ids[0] // 64)
+        gz = seg % 2 == 1
+        payload = build_warc_segment(recs, gzip_members=gz,
+                                     http_envelope_every=5)
+        name = f"seg-{seg:06d}.warc" + (".gz" if gz else "")
+        tmp = os.path.join(out_dir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"seg": pa.array([seg], pa.int64())})
+
+    # barrier: every segment file must exist before the index build
+    (ds.map_batches(add_seg, batch_format="pyarrow", zero_copy_batch=True)
+       .groupby("seg").map_groups(write_segment, batch_format="pyarrow")
+       .count())
+
+    return build_cdx_index(out_dir)
+
+
 def q_containers_extract(sf_dir: str):
     """S7/S8 container breadth end-to-end: each document deterministically
     wrapped (by doc_id % 3) as a gzip member, a WARC response record, or
@@ -2360,6 +2414,7 @@ QUERIES = {
     "embeddings_norms": q_embeddings_norms,
     "containers_extract": q_containers_extract,
     "warc_segment_roundtrip": q_warc_segment_roundtrip,
+    "warc_cdx_index": q_warc_cdx_index,
     "pptx_chart_series": q_pptx_chart_series,
     "docs_enhanced": q_docs_enhanced,
     "media_decode_stats": q_media_decode_stats,
@@ -3100,6 +3155,31 @@ ORACLES = {
                  || CASE WHEN (doc_id // 64) % 2 = 1
                          THEN '.gz' ELSE '' END AS warc_file,
                doc_id % 64 AS record_idx
+        FROM documents
+    """,
+    "warc_cdx_index": """
+        -- mirrors q_warc_cdx_index's synthesis: url
+        -- https://H{d%5}.Site{d%7}.Example/P/{d}?utm_x=1&n={d%3} ->
+        -- canonicalize (lowercase host, drop utm_*) -> SURT key
+        -- example,site{d%7},h{d%5})/p/{d}?n={d%3}; digest/md5 and the
+        -- re-fetch pointer recomputed straight from documents
+        SELECT 'example,site' || CAST(doc_id % 7 AS VARCHAR)
+                 || ',h' || CAST(doc_id % 5 AS VARCHAR)
+                 || ')/p/' || CAST(doc_id AS VARCHAR)
+                 || '?n=' || CAST(doc_id % 3 AS VARCHAR) AS url_key,
+               'https://H' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.Site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.Example/P/' || CAST(doc_id AS VARCHAR)
+                 || '?utm_x=1&n=' || CAST(doc_id % 3 AS VARCHAR) AS url,
+               TIMESTAMP '2020-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS warc_ts,
+               'seg-' || lpad(CAST(doc_id // 64 AS VARCHAR), 6, '0')
+                 || '.warc'
+                 || CASE WHEN (doc_id // 64) % 2 = 1
+                         THEN '.gz' ELSE '' END AS warc_file,
+               doc_id % 64 AS record_idx,
+               octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+               md5(COALESCE(text, '')) AS digest
         FROM documents
     """,
     "orders_customer_hashjoin": """

@@ -253,6 +253,46 @@ def warc_segment_manifest(warc_dir: str) -> "ray.data.Dataset":
                        Max("warc_ts", alias_name="max_ts")))
 
 
+def build_cdx_index(warc_dir: str) -> "ray.data.Dataset":
+    """CDX-style capture index over a folder of WARC segments: one row
+    per content record, keyed by the SURT-transformed URL and sorted by
+    (url_key, warc_ts) — the web-archive lookup layout (all captures of
+    a URL are adjacent, newest last; binary-searchable once written as
+    partitioned parquet).
+
+    Columns: ``url_key`` (SURT, ``stages/urlnorm.surt_keys``), ``url``
+    (original), ``warc_ts``, ``warc_file`` / ``record_idx`` (re-fetch
+    pointer), ``n_bytes``, ``digest`` (md5 hex of the record body —
+    DuckDB ``md5()``-comparable).
+
+    Scale shape: per-batch Arrow projection + ONE range-partitioned
+    sort (a CDX build IS a global sort job); everything upstream
+    streams from the segment walk.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.hashing import md5_hex
+    from ..stages.urlnorm import surt_keys
+
+    pages = read_warc_dir(warc_dir, include_provenance=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url_key": surt_keys(batch.column("url")),
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "warc_file": batch.column("warc_file"),
+            "record_idx": batch.column("record_idx"),
+            "n_bytes": pc.binary_length(
+                batch.column("html")).cast(pa.int64()),
+            "digest": md5_hex(batch.column("html")),
+        })
+
+    return (pages.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .sort(["url_key", "warc_ts"]))
+
+
 def write_wet_segments(extracted: "ray.data.Dataset", out_dir: str,
                        num_shards: int = 64,
                        gzip_members: bool = True) -> dict:

@@ -32,6 +32,7 @@ times) cost O(batches) rows through the shuffle, not O(crawls).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -64,6 +65,48 @@ def canonicalize_urls(col: pa.ChunkedArray | pa.Array) -> pa.Array:
         scheme, pa.array(["://"] * n, pa.string()), host,
         pc.struct_field(ex, "rest"), "")
     out = pc.if_else(pc.is_valid(ex), rebuilt, s)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def surt_keys(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """SURT (Sort-friendly URI Reordering Transform) key per URL — the
+    web-archive CDX index key: host labels reversed and comma-joined,
+    then ``)`` + the lowercased path+query, e.g.
+    ``https://News.Example.com/A/b?q=1`` -> ``com,example,news)/a/b?q=1``.
+
+    Canonicalization is applied first (tracking params, fragment,
+    default ports — ``canonicalize_urls``); userinfo is stripped;
+    non-default ports stay on the last label (``com,example:8080)/``).
+    Rows that don't parse as ``scheme://authority...`` pass through
+    lowercased (they still sort deterministically).
+
+    Scale shape: everything is Arrow kernels except the label reversal,
+    which runs once per UNIQUE host in the batch (np.unique + inverse
+    take) — crawl batches repeat hosts heavily, so the Python work is
+    O(#domains), not O(rows).
+    """
+    s = canonicalize_urls(col)
+    ex = pc.extract_regex(s, pattern=_AUTHORITY_PATTERN)
+    host = pc.utf8_lower(pc.struct_field(ex, "host"))
+    # strip userinfo (user:pass@) — never part of the key
+    host = pc.replace_substring_regex(host, pattern=r"^[^@]*@",
+                                      replacement="")
+    rest = pc.utf8_lower(pc.struct_field(ex, "rest"))
+    rest = pc.if_else(pc.equal(pc.utf8_length(rest), 0),
+                      pa.scalar("/", pa.string()), rest)
+    valid = pc.is_valid(ex)
+    host_np = host.to_pandas().to_numpy(dtype=object)
+    uniq, inverse = np.unique(
+        np.where(host_np == None, "", host_np), return_inverse=True)  # noqa: E711
+    rev = np.empty(len(uniq), dtype=object)
+    for i, h in enumerate(uniq):
+        name, _, port = h.partition(":")
+        key = ",".join(reversed(name.split(".")))
+        rev[i] = key + (":" + port if port else "")
+    rev_host = pa.array(rev[inverse], pa.string())
+    keyed = pc.binary_join_element_wise(
+        rev_host, pa.array([")"] * len(s), pa.string()), rest, "")
+    out = pc.if_else(valid, keyed, pc.utf8_lower(s))
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 

@@ -83,3 +83,39 @@ def test_canonical_url_dedup_groups_variants(ray_session):
     assert got.loc["https://a.com/q", "n_dups"] == 1
     assert got.loc["https://b.com/p?x=1", "n_dups"] == 1
     assert len(got) == 3
+
+
+def test_surt_keys_reversal_ports_userinfo():
+    from full_text_extractor_v6_ray.stages.urlnorm import surt_keys
+
+    urls = [
+        "https://News.Example.com/A/b?q=1",
+        "http://Site.org:80/X",            # default port stripped
+        "https://a.b.c.d.example:8443/P",  # non-default port kept
+        "https://user:pw@Host.com/p",      # userinfo stripped
+        "https://example.com",             # empty path -> '/'
+        "https://example.com/p?utm_source=x&k=1#frag",
+        "not a url at ALL",                # pass-through lowercased
+        None,
+    ]
+    got = surt_keys(pa.array(urls, pa.string())).to_pylist()
+    assert got[0] == "com,example,news)/a/b?q=1"
+    assert got[1] == "org,site)/x"
+    assert got[2] == "example,d,c,b,a:8443)/p"
+    assert got[3] == "com,host)/p"
+    assert got[4] == "com,example)/"
+    assert got[5] == "com,example)/p?k=1"
+    assert got[6] == "not a url at all"
+    assert got[7] is None
+
+
+def test_surt_keys_sorts_captures_of_same_host_adjacent():
+    from full_text_extractor_v6_ray.stages.urlnorm import surt_keys
+
+    urls = ["https://b.example.com/1", "https://z.other.net/x",
+            "https://a.example.com/2", "https://example.com/0"]
+    keys = surt_keys(pa.array(urls, pa.string())).to_pylist()
+    ordered = sorted(zip(keys, urls))
+    hosts = [u.split("/")[2].split(".")[-2] for _, u in ordered]
+    # all example.com subdomains group before other.net
+    assert hosts == ["example", "example", "example", "other"]

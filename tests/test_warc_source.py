@@ -280,3 +280,50 @@ def test_wet_sink_empty_input(ray_session, tmp_path):
     assert stats == {"segments": 0, "records": 0}
     import os as _os
     assert _os.listdir(out) == []
+
+
+def test_build_cdx_index_sorted_with_pointers_and_digest(
+        ray_session, tmp_path):
+    import hashlib
+
+    from full_text_extractor_v6_ray.sources.warc import build_cdx_index
+
+    # urls across two hosts; captures of one url in BOTH segments
+    # (recrawl) must land adjacent and time-ordered in the index
+    def recs(seg_id):
+        out = []
+        for i in range(4):
+            host = "B.example.com" if i % 2 else "a.example.com"
+            out.append((f"https://{host}/p/{i}",
+                        EPOCH + datetime.timedelta(seconds=seg_id * 100 + i),
+                        f"seg{seg_id} body {i}".encode()))
+        return out
+
+    for seg_id in range(2):
+        gz = seg_id % 2 == 1
+        payload = build_warc_segment(recs(seg_id), gzip_members=gz,
+                                     http_envelope_every=3)
+        name = f"seg-{seg_id:06d}.warc" + (".gz" if gz else "")
+        (tmp_path / name).write_bytes(payload)
+
+    rows = build_cdx_index(str(tmp_path)).take_all()
+    assert len(rows) == 8
+    # globally sorted by (url_key, warc_ts)
+    keys = [(r["url_key"], r["warc_ts"]) for r in rows]
+    assert keys == sorted(keys)
+    # SURT: both hosts reverse under com,example; captures adjacent
+    assert rows[0]["url_key"].startswith("com,example,a)/")
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["url_key"], []).append(r)
+    assert len(by_key) == 4  # 4 urls x 2 captures
+    for caps in by_key.values():
+        assert len(caps) == 2
+        assert caps[0]["warc_ts"] < caps[1]["warc_ts"]
+        assert caps[0]["warc_file"] == "seg-000000.warc"
+        assert caps[1]["warc_file"] == "seg-000001.warc.gz"
+    # digest + size + pointer recompute from the source record
+    r0 = by_key["com,example,a)/p/0"][0]
+    assert r0["digest"] == hashlib.md5(b"seg0 body 0").hexdigest()
+    assert r0["n_bytes"] == len(b"seg0 body 0")
+    assert r0["record_idx"] == 0
