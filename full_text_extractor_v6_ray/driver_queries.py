@@ -2327,6 +2327,45 @@ def q_docs_mixture_resample(sf_dir: str):
     return stratified_hash_sample(ds, "doc_id", "lang", rates)
 
 
+def q_docs_mixture_quota(sf_dir: str):
+    """Token-budget mixture assembly: per source, take documents in
+    md5(doc_id) order until the source's token quota fills (even
+    sources get 600 tokens, odd 300 — arithmetic in the source name so
+    the oracle reproduces it). One bucketed exchange over the uniform
+    hash range (``grouped_prefix_sum``) + a stateless quota filter;
+    text never moves past the token count."""
+    from .functions.text_stats import token_count_arrays
+    from .stages.sampling import mixture_quota_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tok": pc.cast(token_count_arrays(batch.column("text")),
+                             pa.int64()),
+        })
+
+    slim = ds.map_batches(toks, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    srcs = [r["source"] for r in
+            slim.groupby("source").count().take_all()]
+    quotas = {s: (600.0 if int(s[3:]) % 2 == 0 else 300.0) for s in srcs}
+    out = mixture_quota_sample(slim, "source", quotas)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tok": batch.column("n_tok"),
+            "running_tok": pc.cast(batch.column("running_tok"),
+                                   pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered conversion funnel view -> click -> purchase: map-side
     type prefilter, ONE bucketed user shuffle, vectorized per-bucket
@@ -2508,6 +2547,7 @@ QUERIES = {
     "docs_bpe_token_count": q_docs_bpe_token_count,
     "events_stratified_sample": q_events_stratified_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
+    "docs_mixture_quota": q_docs_mixture_quota,
     "events_funnel": q_events_funnel,
     "events_type_cms": q_events_type_cms,
     "links_pagerank": q_links_pagerank,
@@ -3510,6 +3550,30 @@ ORACLES = {
                   WHEN 'signup'   THEN '20000000'
                   WHEN 'error'    THEN '10000000'
                   ELSE '' END
+    """,
+    "docs_mixture_quota": """
+        -- token-budget mixture: per source, keep docs in
+        -- (md5 16-hex prefix, doc_id) order while the running token
+        -- total INCLUDING the doc stays within the source quota
+        -- (600 tokens for even-numbered sources, 300 for odd)
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tok,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS h
+            FROM documents
+        ), r AS (
+            SELECT doc_id, source, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY source
+                                    ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS running
+            FROM t
+        )
+        SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(running AS BIGINT) AS running_tok
+        FROM r
+        WHERE running <= CASE WHEN CAST(substr(source, 4, 10) AS INT)
+                                   % 2 = 0
+                              THEN 600 ELSE 300 END
     """,
     "docs_mixture_resample": """
         -- uniform-mixture resample: rate_lang = min(1, (total/|langs|)

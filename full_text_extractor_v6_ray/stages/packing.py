@@ -113,6 +113,92 @@ def ordered_prefix_sum(ds: "ray.data.Dataset", order_col: str,
             .map_groups(decorate, batch_format="pandas"))
 
 
+def grouped_prefix_sum(ds: "ray.data.Dataset", part_col: str,
+                       order_col: str, value_col: str,
+                       out_col: str = "running",
+                       num_ranges: int | None = None,
+                       tie_col: str | None = None
+                       ) -> "ray.data.Dataset":
+    """Per-partition running sum in global ``order_col`` order: SQL
+    ``SUM(v) OVER (PARTITION BY p ORDER BY k[, tie] ROWS UNBOUNDED
+    PRECEDING)`` — the same two-phase scan as ``ordered_prefix_sum``
+    with per-(range, partition) offsets.
+
+    ``part_col`` must be dimension-like (languages, sources, tiers):
+    the driver-side offset table is O(num_ranges × |parts|) rows.
+    ``order_col`` must be numeric with (order, tie) unique within a
+    partition; range bucketing runs in float64 (bucketing only needs
+    monotonicity — the in-range sort uses exact values), so the full
+    int64 span is safe.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    if num_ranges is None:
+        num_ranges = default_num_buckets(32)
+
+    bounds = ds.aggregate(Min(order_col, alias_name="lo"),
+                          Max(order_col, alias_name="hi"))
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty input
+        return ds.map_batches(
+            lambda b: b.append_column(out_col,
+                                      pa.array([], pa.float64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    lo_f = float(lo)
+    width_f = max((float(hi) - lo_f) / num_ranges, 1e-12)
+
+    def rng_of(col: pa.ChunkedArray) -> pa.Array:
+        k = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        r = ((k - lo_f) / width_f).astype(np.int64)
+        return pa.array(np.clip(r, 0, num_ranges - 1), pa.int64())
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            _RANGE: rng_of(batch.column(order_col)),
+            "_p": pc.cast(batch.column(part_col), pa.string()),
+            "_v": pc.cast(batch.column(value_col), pa.float64()),
+        })
+        g = t.group_by([_RANGE, "_p"]).aggregate([("_v", "sum")])
+        return g.rename_columns([_RANGE, "_p", "_v"])
+
+    # O(num_ranges × |parts|) rows — bounded by construction
+    totals = (ds.map_batches(range_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby([_RANGE, "_p"]).aggregate(Sum("_v", alias_name="_v"))
+              .to_pandas().sort_values(["_p", _RANGE]))
+    offmap: dict = {}
+    for p, gdf in totals.groupby("_p", sort=False):
+        v = gdf["_v"].to_numpy(dtype=np.float64)
+        excl = np.cumsum(v) - v
+        for r, o in zip(gdf[_RANGE].to_numpy(), excl):
+            offmap[(p, int(r))] = float(o)
+    off_ref = _ray.put(offmap)
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        return batch.append_column(_RANGE,
+                                   rng_of(batch.column(order_col)))
+
+    sort_cols = [part_col, order_col] + ([tie_col] if tie_col else [])
+
+    def decorate(g: pd.DataFrame) -> pd.DataFrame:
+        off = _ray.get(off_ref)
+        g = g.sort_values(sort_cols, kind="mergesort")
+        rng = int(g[_RANGE].iloc[0])
+        run = (g.groupby(part_col, sort=False)[value_col]
+               .cumsum().to_numpy(dtype=np.float64))
+        # dict-map via pd.Series.map (vectorized lookup, no row loop)
+        off_p = {p: o for (p, r), o in off.items() if r == rng}
+        base = (g[part_col].astype(str).map(off_p)
+                .fillna(0.0).to_numpy(dtype=np.float64))
+        return g.drop(columns=[_RANGE]).assign(**{out_col: run + base})
+
+    return (ds.map_batches(add_range, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(_RANGE)
+            .map_groups(decorate, batch_format="pandas"))
+
+
 def chunk_assignment(docs: "ray.data.Dataset", id_col: str = "doc_id",
                      text_col: str = "text", ctx: int = 2048,
                      num_ranges: int | None = None

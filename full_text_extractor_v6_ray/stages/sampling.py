@@ -193,6 +193,66 @@ def weighted_hash_topk(ds: "ray.data.Dataset", key_col: str,
             .limit(k))
 
 
+def mixture_quota_sample(ds: "ray.data.Dataset", part_col: str,
+                         quotas: dict, key_col: str = "doc_id",
+                         token_col: str = "n_tok",
+                         out_col: str = "running_tok",
+                         num_ranges: int | None = None
+                         ) -> "ray.data.Dataset":
+    """Token-budget mixture selection: within each partition (source /
+    language / quality tier), keep documents in md5(str(key)) hex order
+    until the partition's token quota fills — a document stays iff the
+    running token total INCLUDING it is <= ``quotas[part]`` (the budget
+    is never exceeded; partitions absent from ``quotas`` are dropped).
+    This is the assemble-a-training-mix-at-fixed-token-budget
+    primitive: deterministic, repartition/resume-stable, and
+    engine-portable — the selected row set equals SQL
+
+        SUM(n_tok) OVER (PARTITION BY p
+                         ORDER BY substr(md5(CAST(k AS VARCHAR)), 1, 16),
+                                  k
+                         ROWS UNBOUNDED PRECEDING) <= quota(p)
+
+    (64-bit hash-prefix ties are broken by key on both sides; a full
+    16-hex collision between distinct keys is the only divergence case
+    and needs ~2^32 docs per partition to appear).
+
+    Scale shape: per-batch hashing, ONE bucketed exchange over the
+    uniform md5 range (``packing.grouped_prefix_sum``), an
+    O(ranges × |parts|) driver offset table, then a stateless quota
+    filter. The corpus text never moves — project to (key, part,
+    n_tok) before calling and join survivors back by key if payloads
+    are needed.
+    """
+    from .packing import grouped_prefix_sum
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        h = np.array([
+            int(hashlib.md5(str(k).encode("utf-8")).hexdigest()[:16], 16)
+            for k in keys], dtype=np.uint64)
+        # order-preserving uint64 -> int64 bijection (raw uint64 >= 2^63
+        # degrades to a pickled-object column in Ray reduces)
+        h64 = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("_h64", pa.array(h64, pa.int64()))
+
+    run = grouped_prefix_sum(
+        ds.map_batches(add_h, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        part_col, "_h64", token_col, out_col=out_col,
+        tie_col=key_col, num_ranges=num_ranges)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        # vectorized dict lookup (Series.map), no per-row Python loop
+        q = (batch.column(part_col).to_pandas().map(quotas)
+             .fillna(0.0).to_numpy(dtype=np.float64))
+        r = batch.column(out_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(r <= q)).drop_columns(["_h64"])
+
+    return run.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def deterministic_shuffle(ds: "ray.data.Dataset", key_col: str,
                           seed: int = 42, num_shards: int = 16,
                           shard_col: str = "shard",

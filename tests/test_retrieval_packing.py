@@ -352,3 +352,76 @@ def test_packed_chunk_text_materialization(ray_session):
     assert got["n_tok"].sum() == len(stream)
     rebuilt = " ".join(got["text"]).split(" ")
     assert rebuilt == stream
+
+
+def test_grouped_prefix_sum_matches_pandas_window(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.packing import (
+        grouped_prefix_sum)
+
+    rng = np.random.RandomState(7)
+    n = 500
+    df = pd.DataFrame({
+        "p": rng.choice(["a", "b", "c"], size=n),
+        "k": rng.permutation(np.arange(n)).astype(np.int64),
+        "v": rng.randint(1, 50, size=n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (grouped_prefix_sum(ds, "p", "k", "v", out_col="run",
+                              num_ranges=5)
+           .to_pandas().sort_values(["p", "k"]).reset_index(drop=True))
+    want = df.sort_values(["p", "k"]).reset_index(drop=True)
+    want["run"] = want.groupby("p")["v"].cumsum().astype(float)
+    pd.testing.assert_frame_equal(
+        got[["p", "k", "v", "run"]], want[["p", "k", "v", "run"]])
+
+
+def test_grouped_prefix_sum_empty(ray_session):
+    import ray.data
+    from full_text_extractor_v6_ray.stages.packing import (
+        grouped_prefix_sum)
+
+    empty = ray.data.from_arrow(pa.table({
+        "p": pa.array([], pa.string()),
+        "k": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64())}))
+    assert grouped_prefix_sum(empty, "p", "k", "v").count() == 0
+
+
+def test_mixture_quota_sample_properties(ray_session):
+    import hashlib
+
+    import ray.data
+    from full_text_extractor_v6_ray.stages.sampling import (
+        mixture_quota_sample)
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "src": rng.choice(["web", "code", "books"], size=n),
+        "n_tok": rng.randint(10, 100, size=n).astype(np.int64),
+    })
+    quotas = {"web": 900.0, "code": 450.0}  # books absent -> dropped
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = mixture_quota_sample(ds, "src", quotas, key_col="doc_id",
+                               token_col="n_tok").to_pandas()
+
+    # reference: per-source md5-order greedy fill
+    df["h"] = [hashlib.md5(str(d).encode()).hexdigest()[:16]
+               for d in df["doc_id"]]
+    want_ids = set()
+    for s, q in quotas.items():
+        g = df[df["src"] == s].sort_values(["h", "doc_id"])
+        run = g["n_tok"].cumsum()
+        want_ids |= set(g.loc[run <= q, "doc_id"])
+    assert set(got["doc_id"]) == want_ids
+    assert "books" not in set(got["src"])
+    # budget never exceeded; order is deterministic across reruns
+    sums = got.groupby("src")["n_tok"].sum()
+    assert sums["web"] <= 900 and sums["code"] <= 450
+    again = mixture_quota_sample(
+        ray.data.from_pandas(df.drop(columns=["h"])).repartition(3),
+        "src", quotas, key_col="doc_id",
+        token_col="n_tok").to_pandas()
+    assert set(again["doc_id"]) == want_ids
