@@ -5,10 +5,9 @@ codecs buildable without PIL/ffmpeg (absent in this environment):
 
 - **PNG** via stdlib ``zlib``: all five scanline filters (None/Sub/Up/
   Average/Paeth), color types gray / gray+alpha / RGB / RGBA / palette,
-  bit depths 8 everywhere plus 1/2/4 for gray and palette, tRNS palette
-  alpha, CRC-validated chunk walk. Adam7 interlace and 16-bit depth are
-  rejected with a clear error (rare on the web; the decode stage routes
-  them to the error column, never a crash).
+  bit depths 8 and 16 (high-byte conversion) everywhere plus 1/2/4 for
+  gray and palette, tRNS palette alpha, Adam7 interlace reassembly,
+  CRC-validated chunk walk.
 - **BMP**: uncompressed BI_RGB 24/32-bit, bottom-up and top-down rows,
   4-byte row padding.
 - **WAV**: RIFF chunk walk, PCM 16-bit and unsigned 8-bit, mono or
@@ -61,30 +60,18 @@ def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def png_encode(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """Encode a uint8 array as a PNG. Shape (h, w) or (h, w, c), c in
-    1..4 -> gray / gray+alpha / RGB / RGBA. ``filter_type`` is applied
-    to EVERY row (0 default; 1-4 exist so tests can pin each unfilter
-    path). Byte-deterministic for fixed inputs."""
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        ch = 1
-    elif a.ndim == 3 and a.shape[2] in (1, 2, 3, 4):
-        ch = a.shape[2]
-    else:
-        raise ValueError(f"unsupported array shape {a.shape}")
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    h, w = a.shape[0], a.shape[1]
-    if h < 1 or w < 1:
-        raise ValueError("empty image")
-    flat = a.reshape(h, w * ch).astype(np.int16)
-    ft = int(filter_type)
-    if ft not in (0, 1, 2, 3, 4):
-        raise ValueError(f"bad filter type {ft}")
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _filter_rows(flat: np.ndarray, ch: int, ft: int) -> bytes:
+    """Filter an (h, w*ch) int16 sample-byte matrix into PNG scanlines
+    (one sub-image's worth; ``prev`` resets per call per spec)."""
     parts = []
-    prev = np.zeros(w * ch, dtype=np.int16)
+    prev = np.zeros(flat.shape[1], dtype=np.int16)
     fbyte = bytes([ft])
-    for y in range(h):
+    for y in range(flat.shape[0]):
         row = flat[y]
         if ft == 0:
             f = row
@@ -104,8 +91,45 @@ def png_encode(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
         parts.append(fbyte)
         parts.append((f & 0xFF).astype(np.uint8).tobytes())
         prev = row
-    idat = zlib.compress(b"".join(parts), level)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return b"".join(parts)
+
+
+def png_encode(arr: np.ndarray, filter_type: int = 0, level: int = 6,
+               interlace: bool = False) -> bytes:
+    """Encode a uint8 array as a PNG. Shape (h, w) or (h, w, c), c in
+    1..4 -> gray / gray+alpha / RGB / RGBA. ``filter_type`` is applied
+    to EVERY row (0 default; 1-4 exist so tests can pin each unfilter
+    path); ``interlace=True`` writes Adam7 pass order (tests pin the
+    deinterlace path). Byte-deterministic for fixed inputs."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        ch = 1
+    elif a.ndim == 3 and a.shape[2] in (1, 2, 3, 4):
+        ch = a.shape[2]
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    h, w = a.shape[0], a.shape[1]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    ft = int(filter_type)
+    if ft not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {ft}")
+    a3 = a.reshape(h, w, ch)
+    if interlace:
+        raws = []
+        for sx, sy, dx, dy in _ADAM7:
+            sub = a3[sy::dy, sx::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raws.append(_filter_rows(
+                    sub.reshape(sub.shape[0], -1).astype(np.int16),
+                    ch, ft))
+        raw = b"".join(raws)
+    else:
+        raw = _filter_rows(a3.reshape(h, w * ch).astype(np.int16), ch, ft)
+    idat = zlib.compress(raw, level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
             + _chunk(b"IEND", b""))
 
@@ -214,12 +238,39 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _pass_samples(raw: bytes, offset: int, w: int, h: int, ch: int,
+                  depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack ONE (sub)image of filtered scanlines starting
+    at ``offset`` in the inflated stream. Returns ((h, w, ch) uint8
+    samples — 16-bit is converted via its high byte, sub-8-bit values
+    stay raw (scaling/palette happens on the assembled image) — and the
+    byte count consumed)."""
+    stride = (w * ch * depth + 7) // 8
+    bpp = max(1, ch * depth // 8)
+    need = h * (1 + stride)
+    if len(raw) - offset < need:
+        raise ValueError("truncated PNG pixel data")
+    rec = _unfilter(raw[offset:offset + need], h, stride, bpp)
+    if depth == 16:
+        samples = rec.reshape(h, w * ch, 2)[:, :, 0]  # big-endian high byte
+    elif depth < 8:
+        bits = np.unpackbits(rec, axis=1)  # (h, stride*8)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (bits[:, :w * depth].reshape(h, w, depth)
+                   * weights).sum(axis=2).astype(np.uint8)
+    else:
+        samples = rec
+    return samples.reshape(h, w, ch), need
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """Decode a PNG to uint8: (h, w) gray, (h, w, 2) gray+alpha,
     (h, w, 3) RGB (incl. palette), (h, w, 4) RGBA (incl. palette+tRNS).
 
-    Low bit depths (1/2/4, gray + palette) are scaled/expanded to 8-bit.
-    Raises ValueError on interlace, 16-bit, truncation, or CRC errors."""
+    Low bit depths (1/2/4, gray + palette) are scaled/expanded to
+    8-bit; 16-bit samples convert via their high byte; Adam7-interlaced
+    streams reassemble from the 7 passes. Raises ValueError on
+    truncation or CRC errors."""
     ihdr = None
     plte = None
     trns = None
@@ -238,34 +289,35 @@ def png_decode(data: bytes) -> np.ndarray:
     w, h, depth, ct, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if ct not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {ct}")
-    if depth == 16 or (depth != 8 and ct in (2, 4, 6)) or depth not in (
-            1, 2, 4, 8):
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and ct in (2, 4, 6)) \
+            or (depth == 16 and ct == 3):
         raise ValueError(f"unsupported bit depth {depth} for color type {ct}")
     if w < 1 or h < 1 or w > 1 << 24 or h > 1 << 24:
         raise ValueError("bad PNG dimensions")
     ch = _PNG_CHANNELS[ct]
-    stride = (w * ch * depth + 7) // 8
-    bpp = max(1, ch * depth // 8)
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) < h * (1 + stride):
-        raise ValueError("truncated PNG pixel data")
-    rec = _unfilter(raw, h, stride, bpp)
-    if depth < 8:
-        bits = np.unpackbits(rec, axis=1)  # (h, stride*8)
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        samples = (bits[:, :w * depth].reshape(h, w, depth)
-                   * weights).sum(axis=2).astype(np.uint8)
-        if ct == 0:  # scale gray to full 8-bit range
-            samples = (samples.astype(np.uint16)
-                       * (255 // ((1 << depth) - 1))).astype(np.uint8)
-        rec = samples  # (h, w) single-sample rows
-        px = rec
+    if interlace:
+        assembled = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for sx, sy, dx, dy in _ADAM7:
+            wp = (w - sx + dx - 1) // dx
+            hp = (h - sy + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, used = _pass_samples(raw, pos, wp, hp, ch, depth)
+            assembled[sy::dy, sx::dx] = sub
+            pos += used
+        samples = assembled
     else:
-        px = rec.reshape(h, w, ch) if ch > 1 else rec.reshape(h, w)
+        samples, _ = _pass_samples(raw, 0, w, h, ch, depth)
+    if ct == 0 and depth < 8:  # scale gray to full 8-bit range
+        samples = (samples.astype(np.uint16)
+                   * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    px = samples if ch > 1 else samples.reshape(h, w)
     if ct == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

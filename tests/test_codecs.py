@@ -109,13 +109,55 @@ def test_png_rejects_corruption():
         codecs.png_decode(bytes(bad))
     with pytest.raises(ValueError):
         codecs.png_decode(good[:40])  # truncated mid-chunk
-    # interlaced header rejected
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
-    interlaced = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr)
-                  + codecs._chunk(b"IDAT", zlib.compress(b"\x00" * 52))
-                  + codecs._chunk(b"IEND", b""))
+    # unknown interlace method rejected
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
+    bad_il = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+              + codecs._chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+              + codecs._chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="interlace"):
-        codecs.png_decode(interlaced)
+        codecs.png_decode(bad_il)
+
+
+@pytest.mark.parametrize("shape", [(13, 7, 3), (8, 8), (9, 16, 4),
+                                   (1, 1), (7, 1, 2), (1, 9, 3)])
+@pytest.mark.parametrize("filter_type", [0, 4])
+def test_png_adam7_interlace_roundtrip(shape, filter_type):
+    arr = _rand(shape, seed=sum(shape))
+    data = codecs.png_encode(arr, filter_type=filter_type, interlace=True)
+    want = arr.reshape(arr.shape[0], arr.shape[1]) \
+        if arr.ndim == 3 and arr.shape[2] == 1 else arr
+    np.testing.assert_array_equal(codecs.png_decode(data), want)
+
+
+def test_png_16bit_high_byte_conversion():
+    """Hand-build a 16-bit RGB PNG; decode takes the high byte."""
+    h, w = 5, 6
+    hi = _rand((h, w, 3), seed=44)
+    samples = (hi.astype(np.uint16) << 8) | 0x37  # low byte is noise
+    raw = b"".join(
+        b"\x00" + samples[y].astype(">u2").tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    data = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+            + codecs._chunk(b"IDAT", zlib.compress(raw))
+            + codecs._chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.png_decode(data), hi)
+
+
+def test_png_16bit_filtered_roundtrip():
+    """16-bit + Paeth filtering: filter bytes operate on raw bytes, so
+    build filtered scanlines with the encoder's own byte filter."""
+    h, w = 4, 5
+    hi = _rand((h, w, 1), seed=45)
+    samples = (hi.reshape(h, w).astype(np.uint16) << 8) | 0x11
+    flat = np.frombuffer(
+        samples.astype(">u2").tobytes(), np.uint8).reshape(h, w * 2)
+    raw = codecs._filter_rows(flat.astype(np.int16), ch=2, ft=4)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    data = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+            + codecs._chunk(b"IDAT", zlib.compress(raw))
+            + codecs._chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.png_decode(data),
+                                  hi.reshape(h, w))
 
 
 def test_png_multiple_idat_chunks():
