@@ -299,7 +299,21 @@ def png_decode(data: bytes) -> np.ndarray:
     if w < 1 or h < 1 or w > 1 << 24 or h > 1 << 24:
         raise ValueError("bad PNG dimensions")
     ch = _PNG_CHANNELS[ct]
-    raw = zlib.decompress(b"".join(idat))
+
+    def scanline_bytes(wp: int, hp: int) -> int:
+        return hp * (1 + (wp * ch * depth + 7) // 8)
+
+    if interlace:
+        expected = sum(
+            scanline_bytes((w - sx + dx - 1) // dx, (h - sy + dy - 1) // dy)
+            for sx, sy, dx, dy in _ADAM7
+            if (w - sx + dx - 1) // dx > 0 and (h - sy + dy - 1) // dy > 0)
+    else:
+        expected = scanline_bytes(w, h)
+    # inflate bomb guard: the stream's inflated size is exactly known
+    # from IHDR, so cap the decompressor there (decode runs on
+    # untrusted crawl bytes — same discipline as warc.gunzip_members)
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected)
     if interlace:
         assembled = np.zeros((h, w, ch), dtype=np.uint8)
         pos = 0

@@ -385,3 +385,17 @@ def test_audio_stage_real_wav_square_wave():
     assert out.column("rms").to_pylist() == [float(amp)]
     assert out.column("zcr").to_pylist() == [round(((n - 1) // 4)
                                                    / (n - 1), 6)]
+
+
+def test_png_inflate_bomb_capped():
+    """A crafted IDAT inflating far beyond the IHDR-implied pixel bytes
+    must not balloon memory: the decompressor is capped at the exact
+    expected stream size and the image still decodes from the prefix."""
+    arr = _rand((4, 4, 3), seed=77)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(4))
+    bomb = zlib.compress(raw + b"\x00" * 50_000_000)  # 50 MB of padding
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    data = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+            + codecs._chunk(b"IDAT", bomb)
+            + codecs._chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.png_decode(data), arr)
