@@ -384,6 +384,15 @@ def run_bench() -> dict:
         t = time.perf_counter()
         warc_rows = read_warc_dir(warc_dir).count()
         queries["warc_ingest"] = round(time.perf_counter() - t, 3)
+        # CDX index build over the same segments: walk + SURT keys +
+        # md5 digests + ONE global (url_key, ts) sort — the index job a
+        # crawl archive runs after every segment drop.
+        from full_text_extractor_v6_ray.sources.warc import build_cdx_index
+
+        t = time.perf_counter()
+        cdx_rows = build_cdx_index(warc_dir).count()
+        queries["warc_cdx_build"] = round(time.perf_counter() - t, 3)
+        assert cdx_rows == warc_rows, (cdx_rows, warc_rows)
         shutil.rmtree(warc_dir, ignore_errors=True)
 
     headline = queries["extract_dedup_write"]
