@@ -1625,6 +1625,42 @@ def q_images_real_resize(sf_dir: str):
     return decoded.map_batches(project, batch_format="pyarrow")
 
 
+def q_images_jpeg_decode(sf_dir: str):
+    """REAL baseline-JPEG decode (extractor/codecs.py: huffman + dequant
+    + IDCT + YCbCr, 4:4:4 and 4:2:0): dimensions and channel count are
+    exact and oracled; the lossy pixel path is pinned by pytest
+    tolerance tests and an in-query intensity sanity column
+    (mean_intensity_err = |decoded - synthesized| rounded DOWN to
+    integer tolerance bands, 0 for every row when the codec is sane)."""
+    from .stages.multimodal import (
+        DecodeImageBatch,
+        jpeg_dataset_from_documents,
+    )
+
+    media = jpeg_dataset_from_documents(sf_dir)
+    decoded = media.map_batches(DecodeImageBatch, batch_format="pyarrow",
+                                batch_size=64, concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        metas = batch.column("media_meta").to_pylist()
+        ids = batch.column("id").to_pylist()
+        errs = []
+        for d, m in zip(ids, metas):
+            want = ((d * 11) % 256 + (d * 17) % 256 + (d * 23) % 256) / 3.0
+            # integer error band: 0 when within 1.5 intensity levels
+            errs.append(int(abs(m["mean_intensity"] - want) // 1.5))
+        return pa.table({
+            "doc_id": batch["id"],
+            "width": pa.array([m["width"] for m in metas], pa.int64()),
+            "height": pa.array([m["height"] for m in metas], pa.int64()),
+            "channels": pa.array([m["channels"] for m in metas],
+                                 pa.int64()),
+            "mean_intensity_err": pa.array(errs, pa.int64()),
+        })
+
+    return decoded.map_batches(project, batch_format="pyarrow")
+
+
 def q_audio_wav_features(sf_dir: str):
     """REAL RIFF/WAVE decode (extractor/codecs.py): square-wave synthesis
     makes duration, RMS (= amplitude exactly) and zero-crossing rate
@@ -2461,6 +2497,7 @@ QUERIES = {
     "audio_durations": q_audio_durations,
     "images_real_decode": q_images_real_decode,
     "images_real_resize": q_images_real_resize,
+    "images_jpeg_decode": q_images_jpeg_decode,
     "audio_wav_features": q_audio_wav_features,
     # links / windows / set ops
     "links_reparsed": q_links_reparsed,
@@ -3138,6 +3175,20 @@ ORACLES = {
                round(((doc_id * 7) % 256 + (doc_id * 13) % 256
                       + (doc_id * 29) % 256) / 3.0, 6) AS mean_intensity
         FROM documents WHERE doc_id % 3 = 0
+    """,
+    "images_jpeg_decode": """
+        -- mirrors stages/multimodal.py jpeg_dataset_from_documents:
+        -- every 9th doc carries a REAL solid-color baseline JPEG of
+        -- (16 + d%17) x (16 + d*3%17); dims/channels decode exactly;
+        -- the lossy mean-intensity is folded into an integer error
+        -- band that is 0 whenever the decoded mean is within 1.5
+        -- levels of the synthesized color (pytest pins tighter bounds)
+        SELECT doc_id,
+               CAST(16 + doc_id % 17 AS BIGINT) AS width,
+               CAST(16 + (doc_id * 3) % 17 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(0 AS BIGINT) AS mean_intensity_err
+        FROM documents WHERE doc_id % 9 = 0
     """,
     "audio_wav_features": """
         -- mirrors stages/multimodal.py wav_dataset_from_documents:

@@ -404,6 +404,512 @@ def bmp_decode(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU T.81)
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: index i of the scan -> (row, col) flattened offset
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K (spec) luminance / chrominance quantization tables, raster order
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K typical huffman tables: (bits[1..16], values)
+_HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+     0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+     0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+     0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+     0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+     0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+     0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+     0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+     0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+     0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+# 8x8 type-II DCT basis: _DCT_M @ block @ _DCT_M.T is the forward DCT
+# (orthonormal); its transpose pair is the inverse — spec formula
+# C(u)/2 * cos((2x+1)u*pi/16) folded into an orthonormal matrix.
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    _cu = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _DCT_M[_u, _x] = _cu * np.cos((2 * _x + 1) * _u * np.pi / 16)
+del _u, _cu, _x
+
+
+def _huff_decode_table(bits: list, values: list) -> dict:
+    """Canonical JPEG huffman: {(length, code) -> symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list, values: list) -> dict:
+    """Canonical JPEG huffman: {symbol -> (code, length)}."""
+    return {sym: (code, ln)
+            for (ln, code), sym in _huff_decode_table(bits, values).items()}
+
+
+class _BitReader:
+    """Entropy-coded segment reader: byte-stuffing (FF 00) removed,
+    RSTn markers surfaced via ``sync_restart``, other markers end the
+    stream."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy stream truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker()
+            else:
+                raise ValueError("JPEG entropy stream hit marker early")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG huffman code")
+
+    def sync_restart(self):
+        """Consume an RSTn marker and reset bit state."""
+        self.n = 0
+        self.acc = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude decode (spec EXTEND): t-bit value v -> signed."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (SOF0) to uint8 (h, w) gray or
+    (h, w, 3) RGB. Supports multiple DQT/DHT segments, 16-bit quant
+    precision, chroma subsampling (2x2/2x1/1x2 replication upsample),
+    and DRI/RSTn restart intervals. Progressive (SOF2) and arithmetic
+    coding are rejected with a clear error."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg, ">u2", count=64,
+                                         offset=p).astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, count=64,
+                                         offset=p).astype(np.int64)
+                    p += 64
+                raster = np.zeros(64, np.int64)
+                raster[_ZIGZAG] = vals  # DQT stores zigzag order
+                qt[tq] = raster
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                values = list(seg[p + 17:p + 17 + nv])
+                p += 17 + nv
+                (huff_ac if tc else huff_dc)[th] = _huff_decode_table(
+                    bits, values)
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(
+                    ">BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type 0xff{marker:02x} "
+                "(progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0x0F)
+            return _jpeg_scan(data, pos + seglen, frame, sel, qt,
+                              huff_dc, huff_ac, restart_interval)
+        pos += seglen
+    raise ValueError("JPEG ended without SOS")
+
+
+def _jpeg_scan(data: bytes, pos: int, frame, sel, qt, huff_dc, huff_ac,
+               restart_interval: int) -> np.ndarray:
+    fh, fw, comps = frame
+    if fh < 1 or fw < 1 or fh > 1 << 16 or fw > 1 << 16:
+        raise ValueError("bad JPEG dimensions")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad JPEG sampling factors")
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                               dtype=np.float64))
+        if c["tq"] not in qt:
+            raise ValueError("JPEG missing quant table")
+        if c["id"] not in sel:
+            raise ValueError("JPEG scan does not cover all components")
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dct, act = sel[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, np.int64)
+                        try:
+                            t = reader.huff(huff_dc[dct])
+                            diff = _extend(reader.bits(t), t)
+                            pred[ci] += diff
+                            coeffs[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = reader.huff(huff_ac[act])
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC run overflow")
+                                coeffs[_ZIGZAG[k]] = _extend(
+                                    reader.bits(s), s)
+                                k += 1
+                        except _RestartMarker:
+                            raise ValueError(
+                                "unexpected JPEG restart marker")
+                        block = (coeffs * q).reshape(8, 8).astype(
+                            np.float64)
+                        pix = _DCT_M.T @ block @ _DCT_M + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:  # replication upsample
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count "
+                         f"{len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, ln: int):
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.n += ln
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-pad per spec
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling of a base quant table (public formula)."""
+    quality = min(100, max(1, int(quality)))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * s + 50) // 100, 1, 255)
+
+
+def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """Huffman-encode one quantized 8x8 block (raster order in)."""
+    zz = coeffs.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    t = int(diff).bit_length() if diff else 0
+    code, ln = dc_tab[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 85,
+                subsample: bool = False) -> bytes:
+    """Encode uint8 (h, w) gray or (h, w, 3) RGB as a baseline JPEG
+    (Annex K tables scaled by ``quality``; ``subsample=True`` writes
+    4:2:0 chroma). Deterministic; exists for roundtrip tests and real
+    thumbnail output."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("jpeg_encode wants (h, w) gray or (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    qluma = _quality_scale(_QT_LUMA, quality)
+    qchroma = _quality_scale(_QT_CHROMA, quality)
+
+    if gray:
+        planes = [a.astype(np.float64)]
+        samps = [(1, 1)]
+        qtabs = [qluma]
+    else:
+        f = a.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            # pad to even then 2x2 mean
+            he, we = (h + 1) & ~1, (w + 1) & ~1
+            def pad(p):
+                return np.pad(p, ((0, he - h), (0, we - w)), mode="edge")
+            cb = pad(cb).reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = pad(cr).reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qtabs = [qluma, qchroma, qchroma]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad each plane to its MCU grid (edge replication)
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(np.pad(p, ((0, ph - p.shape[0]),
+                                 (0, pw - p.shape[1])), mode="edge"))
+
+    dc_l = _huff_encode_table(*_HT_DC_LUMA)
+    ac_l = _huff_encode_table(*_HT_AC_LUMA)
+    dc_c = _huff_encode_table(*_HT_DC_CHROMA)
+    ac_c = _huff_encode_table(*_HT_AC_CHROMA)
+    enc_tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (p, (sh, sv), q) in enumerate(
+                    zip(padded, samps, qtabs)):
+                qr = q.reshape(8, 8).astype(np.float64)
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        dct = _DCT_M @ block @ _DCT_M.T
+                        coeffs = np.round(dct / qr).astype(np.int64)
+                        pred[ci] = _encode_block(
+                            bw, coeffs, pred[ci], *enc_tabs[ci])
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2) + body
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(seg(0xDB, bytes([0x00])
+                   + bytes(qluma[_ZIGZAG].astype(np.uint8))))
+    if not gray:
+        out.append(seg(0xDB, bytes([0x01])
+                       + bytes(qchroma[_ZIGZAG].astype(np.uint8))))
+    nf = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for i, (sh, sv) in enumerate(samps):
+        nf += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out.append(seg(0xC0, nf))
+    for tc, th, (bits, values) in [(0, 0, _HT_DC_LUMA),
+                                   (1, 0, _HT_AC_LUMA),
+                                   (0, 1, _HT_DC_CHROMA),
+                                   (1, 1, _HT_AC_CHROMA)][:2 if gray
+                                                          else 4]:
+        out.append(seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                       + bytes(values)))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out.append(seg(0xDA, sos))
+    out.append(bytes(bw.out))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
 # GIF (87a/89a, first frame)
 # ---------------------------------------------------------------------------
 

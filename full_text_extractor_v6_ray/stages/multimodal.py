@@ -68,6 +68,8 @@ def decode_image_payload(payload: bytes) -> np.ndarray:
         return _codecs.bmp_decode(payload)
     if payload[:4] == b"GIF8":
         return _codecs.gif_decode(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return _codecs.jpeg_decode(payload)
     if _HAVE_PIL:  # pragma: no cover
         import io
         return np.asarray(Image.open(io.BytesIO(payload)))
@@ -387,6 +389,41 @@ def real_media_dataset_from_documents(sf_dir: str):
             else:
                 media.append(codecs.gif_encode(rgb))
                 mtype.append("image/gif")
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "media": pa.array(media, pa.binary()),
+                         "media_type": pa.array(mtype, pa.string())})
+
+    return docs.map_batches(gen, batch_format="pyarrow", batch_size=64)
+
+
+def jpeg_dataset_from_documents(sf_dir: str):
+    """Deterministic REAL baseline-JPEG payloads for every 9th document
+    (alternating 4:4:4 and 4:2:0). Dimensions decode exactly (oracled);
+    pixel values are lossy by nature, so intensity accuracy is pinned in
+    pytest with tolerance instead of a SQL hash."""
+    import os
+    import ray.data
+
+    from ..extractor import codecs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids, media, mtype = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            if d % 9:
+                continue
+            w = 16 + (d % 17)
+            h = 16 + ((d * 3) % 17)
+            rgb = np.empty((h, w, 3), dtype=np.uint8)
+            rgb[:, :, 0] = (d * 11) % 256
+            rgb[:, :, 1] = (d * 17) % 256
+            rgb[:, :, 2] = (d * 23) % 256
+            ids.append(d)
+            media.append(codecs.jpeg_encode(
+                rgb, quality=90, subsample=bool(d % 2)))
+            mtype.append("image/jpeg")
         return pa.table({"id": pa.array(ids, pa.int64()),
                          "media": pa.array(media, pa.binary()),
                          "media_type": pa.array(mtype, pa.string())})

@@ -399,3 +399,175 @@ def test_png_inflate_bomb_capped():
             + codecs._chunk(b"IDAT", bomb)
             + codecs._chunk(b"IEND", b""))
     np.testing.assert_array_equal(codecs.png_decode(data), arr)
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_color_exact_roundtrip():
+    """A flat color is DC-only: quantization loses nothing, so the
+    roundtrip must be EXACT — pins level shift, DC prediction, zigzag,
+    quant/dequant, huffman DC and the color transform end to end."""
+    for color in [(0, 0, 0), (255, 255, 255), (200, 30, 90), (128, 128, 128)]:
+        arr = np.zeros((24, 17, 3), np.uint8)
+        arr[:] = color
+        out = codecs.jpeg_decode(codecs.jpeg_encode(arr, quality=90))
+        assert out.shape == arr.shape
+        assert int(np.abs(out.astype(int) - arr.astype(int)).max()) <= 1
+
+
+def test_jpeg_gray_flat_exact():
+    arr = np.full((10, 30), 77, np.uint8)
+    out = codecs.jpeg_decode(codecs.jpeg_encode(arr, quality=90))
+    assert out.shape == (10, 30)
+    assert int(np.abs(out.astype(int) - 77).max()) <= 1
+
+
+def test_jpeg_decoder_against_spec_formula():
+    """Hand-build the entropy stream for ONE 8x8 gray block with known
+    quantized coefficients and check the decoder against an
+    independently-written IDCT formula (not the encoder's matrix)."""
+    qtab = np.ones(64, np.int64)  # identity quantization
+    coeffs = np.zeros(64, np.int64)
+    coeffs[0] = 16          # DC
+    coeffs[1] = -7          # AC raster (0,1)
+    coeffs[8] = 5           # AC raster (1,0)
+
+    bw = codecs._BitWriter()
+    dc_tab = codecs._huff_encode_table(*codecs._HT_DC_LUMA)
+    ac_tab = codecs._huff_encode_table(*codecs._HT_AC_LUMA)
+    codecs._encode_block(bw, coeffs, 0, dc_tab, ac_tab)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    data = (b"\xff\xd8"
+            + seg(0xDB, bytes([0x00])
+                  + bytes(qtab[codecs._ZIGZAG].astype(np.uint8)))
+            + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(codecs._HT_DC_LUMA[0])
+                  + bytes(codecs._HT_DC_LUMA[1]))
+            + seg(0xC4, bytes([0x10]) + bytes(codecs._HT_AC_LUMA[0])
+                  + bytes(codecs._HT_AC_LUMA[1]))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bytes(bw.out) + b"\xff\xd9")
+    got = codecs.jpeg_decode(data)
+
+    # independent spec IDCT: f(x,y) = 1/4 sum C(u)C(v) F(u,v) cos terms
+    want = np.zeros((8, 8))
+    F = coeffs.reshape(8, 8)  # raster: F[v_row, u_col]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (cu * cv * F[v, u]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            want[y, x] = s / 4 + 128
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jpeg_smooth_gradient_tolerance():
+    """Lossy path sanity: a smooth gradient survives quality 90 within
+    a few intensity levels everywhere (no block tearing / misalignment,
+    which would show up as large local errors)."""
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack([(xx * 3) % 200 + 20, (yy * 2) % 180 + 30,
+                    ((xx + yy) * 2) % 160 + 40], axis=2).astype(np.uint8)
+    # gradients with wraps are not smooth at the wrap; use true linears
+    arr = np.stack([
+        (20 + 2 * xx + yy).clip(0, 255),
+        (200 - xx - yy).clip(0, 255),
+        (60 + xx + 2 * yy).clip(0, 255)], axis=2).astype(np.uint8)
+    out = codecs.jpeg_decode(codecs.jpeg_encode(arr, quality=90))
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.max() <= 12 and err.mean() < 2.5
+
+
+def test_jpeg_subsample_420_flat_and_gradient():
+    arr = np.zeros((19, 22, 3), np.uint8)
+    arr[:] = (90, 160, 40)
+    out = codecs.jpeg_decode(codecs.jpeg_encode(arr, quality=90,
+                                                subsample=True))
+    assert out.shape == arr.shape
+    assert int(np.abs(out.astype(int) - arr.astype(int)).max()) <= 1
+    yy, xx = np.mgrid[0:33, 0:41]
+    grad = np.stack([(30 + 3 * xx).clip(0, 255),
+                     (40 + 2 * yy).clip(0, 255),
+                     (50 + xx + yy).clip(0, 255)],
+                    axis=2).astype(np.uint8)
+    out = codecs.jpeg_decode(codecs.jpeg_encode(grad, quality=90,
+                                                subsample=True))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.max() <= 20 and err.mean() < 4.0
+
+
+def test_jpeg_noise_roundtrip_bounded():
+    """Worst case for DCT: white noise. Quality 95 keeps every pixel
+    within a moderate bound (catches huffman/zigzag/dequant bugs that
+    corrupt whole blocks rather than shaving precision)."""
+    arr = _rand((24, 24, 3), seed=55)
+    out = codecs.jpeg_decode(codecs.jpeg_encode(arr, quality=95))
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.max() <= 40 and err.mean() < 8.0
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: encode two single-MCU gray rows as separate entropy
+    segments joined by RST0, with DC predictors reset."""
+    qtab = np.ones(64, np.int64)
+    blockA = np.zeros(64, np.int64); blockA[0] = 24
+    blockB = np.zeros(64, np.int64); blockB[0] = -16
+    dc_tab = codecs._huff_encode_table(*codecs._HT_DC_LUMA)
+    ac_tab = codecs._huff_encode_table(*codecs._HT_AC_LUMA)
+    parts = []
+    for blk in (blockA, blockB):
+        bw = codecs._BitWriter()
+        codecs._encode_block(bw, blk, 0, dc_tab, ac_tab)  # pred RESET
+        bw.flush()
+        parts.append(bytes(bw.out))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    data = (b"\xff\xd8"
+            + seg(0xDB, bytes([0x00])
+                  + bytes(qtab[codecs._ZIGZAG].astype(np.uint8)))
+            + seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 8)
+                  + bytes([1, 1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(codecs._HT_DC_LUMA[0])
+                  + bytes(codecs._HT_DC_LUMA[1]))
+            + seg(0xC4, bytes([0x10]) + bytes(codecs._HT_AC_LUMA[0])
+                  + bytes(codecs._HT_AC_LUMA[1]))
+            + seg(0xDD, struct.pack(">H", 1))  # restart every MCU
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + parts[0] + b"\xff\xd0" + parts[1] + b"\xff\xd9")
+    got = codecs.jpeg_decode(data)
+    assert got.shape == (16, 8)
+    # flat blocks: pixel = 128 + DC/8 (orthonormal DCT scaling)
+    assert np.all(got[:8] == got[0, 0]) and np.all(got[8:] == got[8, 0])
+    assert int(got[0, 0]) == round(128 + 24 / 8)
+    assert int(got[8, 0]) == round(128 - 16 / 8)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    with pytest.raises(ValueError):
+        codecs.jpeg_decode(b"\x89PNG not a jpeg")
+    # progressive SOF2 rejected with a clear error
+    data = (b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(ValueError, match="progressive"):
+        codecs.jpeg_decode(data)
+    arr = np.full((8, 8), 100, np.uint8)
+    good = codecs.jpeg_encode(arr)
+    with pytest.raises(ValueError):
+        codecs.jpeg_decode(good[:40])
