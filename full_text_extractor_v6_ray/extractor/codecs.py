@@ -500,71 +500,102 @@ def _huff_encode_table(bits: list, values: list) -> dict:
             for (ln, code), sym in _huff_decode_table(bits, values).items()}
 
 
-class _BitReader:
-    """Entropy-coded segment reader: byte-stuffing (FF 00) removed,
-    RSTn markers surfaced via ``sync_restart``, other markers end the
-    stream."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self):
-        d = self.data
-        if self.pos >= len(d):
-            raise ValueError("JPEG entropy stream truncated")
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker()
-            else:
-                raise ValueError("JPEG entropy stream hit marker early")
+def _destuff_entropy(data: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded data starting at ``pos`` into de-stuffed
+    byte segments, one per restart interval (FF 00 -> FF inside a
+    segment; FF D0-D7 separates segments; any other marker ends the
+    scan). One C-speed ``find`` per FF occurrence — no per-byte loop."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    n = len(data)
+    while pos < n:
+        ff = data.find(b"\xff", pos)
+        if ff < 0:
+            cur += data[pos:]
+            break
+        cur += data[pos:ff]
+        nxt = data[ff + 1] if ff + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos = ff + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos = ff + 2
         else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+            break  # real marker: entropy data ends
+    segments.append(bytes(cur))
+    return segments
 
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+
+_LUT_BITS = 16
+_LUT_CACHE: dict = {}
+
+
+def _huff_lut(bits: list, values: list):
+    """(symbol, length) lookup tables indexed by a 16-bit peek — cached
+    per (bits, values) so the standard tables build once per process."""
+    key = (bytes(bits), bytes(values))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << _LUT_BITS, dtype=np.int16)
+    ln_arr = np.zeros(1 << _LUT_BITS, dtype=np.int8)
+    for (ln, code), s in _huff_decode_table(bits, values).items():
+        start = code << (_LUT_BITS - ln)
+        cnt = 1 << (_LUT_BITS - ln)
+        sym[start:start + cnt] = s
+        ln_arr[start:start + cnt] = ln
+    out = (sym.tolist(), ln_arr.tolist())  # plain lists: faster scalar access
+    _LUT_CACHE[key] = out
+    return out
+
+
+class _SegReader:
+    """Bit reader over one de-stuffed entropy segment: 16-bit peeks
+    against the huffman LUTs, small-int bit buffer, 1-padding past the
+    end (per spec) with a hard floor so truncation still errors."""
+
+    __slots__ = ("data", "pos", "n", "buf", "nbits", "limit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.n = len(data)
+        self.buf = 0
+        self.nbits = 0
+        self.limit = self.n * 8 + 64  # allow pad bits, catch runaways
+
+    def _fill16(self):
+        while self.nbits < _LUT_BITS:
+            if self.pos < self.n:
+                self.buf = (self.buf << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.limit -= 8
+                if self.limit < 0:
+                    raise ValueError("JPEG entropy stream truncated")
+                self.buf = (self.buf << 8) | 0xFF  # spec 1-padding
+            self.nbits += 8
+
+    def huff(self, lut) -> int:
+        self._fill16()
+        peek = (self.buf >> (self.nbits - _LUT_BITS)) & 0xFFFF
+        ln = lut[1][peek]
+        if ln == 0:
+            raise ValueError("bad JPEG huffman code")
+        self.nbits -= ln
+        self.buf &= (1 << self.nbits) - 1
+        return lut[0][peek]
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        self._fill16()
+        v = (self.buf >> (self.nbits - k)) & ((1 << k) - 1)
+        self.nbits -= k
+        self.buf &= (1 << self.nbits) - 1
         return v
-
-    def huff(self, table: dict) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad JPEG huffman code")
-
-    def sync_restart(self):
-        """Consume an RSTn marker and reset bit state."""
-        self.n = 0
-        self.acc = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("expected JPEG restart marker")
-
-
-class _RestartMarker(Exception):
-    pass
 
 
 def _extend(v: int, t: int) -> int:
@@ -624,8 +655,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 nv = sum(bits)
                 values = list(seg[p + 17:p + 17 + nv])
                 p += 17 + nv
-                (huff_ac if tc else huff_dc)[th] = _huff_decode_table(
-                    bits, values)
+                (huff_ac if tc else huff_dc)[th] = (bits, values)
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
@@ -669,67 +699,79 @@ def _jpeg_scan(data: bytes, pos: int, frame, sel, qt, huff_dc, huff_ac,
         raise ValueError("bad JPEG sampling factors")
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    planes = []
     for c in comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                               dtype=np.float64))
         if c["tq"] not in qt:
             raise ValueError("JPEG missing quant table")
         if c["id"] not in sel:
             raise ValueError("JPEG scan does not cover all components")
-    reader = _BitReader(data, pos)
+        if sel[c["id"]][0] not in huff_dc or sel[c["id"]][1] not in huff_ac:
+            raise ValueError("JPEG missing huffman table")
+    # huffman tables arrive as (bits, values) pairs
+    dc_luts = {k: _huff_lut(*v) for k, v in huff_dc.items()}
+    ac_luts = {k: _huff_lut(*v) for k, v in huff_ac.items()}
+
+    segments = _destuff_entropy(data, pos)
+    seg_idx = 0
+    reader = _SegReader(segments[0])
     pred = [0] * len(comps)
     mcu_count = 0
+    zz = _ZIGZAG.tolist()
+    # entropy pass: per-component zigzag coefficient rows + block origins
+    coeff_rows: list[list] = [[] for _ in comps]
+    origins: list[list] = [[] for _ in comps]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count \
                     and mcu_count % restart_interval == 0:
-                reader.sync_restart()
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("expected JPEG restart marker")
+                reader = _SegReader(segments[seg_idx])
                 pred = [0] * len(comps)
             mcu_count += 1
             for ci, c in enumerate(comps):
                 dct, act = sel[c["id"]]
-                q = qt[c["tq"]]
+                dlut, alut = dc_luts[dct], ac_luts[act]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coeffs = np.zeros(64, np.int64)
-                        try:
-                            t = reader.huff(huff_dc[dct])
-                            diff = _extend(reader.bits(t), t)
-                            pred[ci] += diff
-                            coeffs[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = reader.huff(huff_ac[act])
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError(
-                                        "JPEG AC run overflow")
-                                coeffs[_ZIGZAG[k]] = _extend(
-                                    reader.bits(s), s)
-                                k += 1
-                        except _RestartMarker:
-                            raise ValueError(
-                                "unexpected JPEG restart marker")
-                        block = (coeffs * q).reshape(8, 8).astype(
-                            np.float64)
-                        pix = _DCT_M.T @ block @ _DCT_M + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                        row = [0] * 64
+                        t = reader.huff(dlut)
+                        diff = _extend(reader.bits(t), t)
+                        pred[ci] += diff
+                        row[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(alut)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            row[zz[k]] = _extend(reader.bits(s), s)
+                            k += 1
+                        coeff_rows[ci].append(row)
+                        origins[ci].append(
+                            ((my * c["v"] + by) * 8,
+                             (mx * c["h"] + bx) * 8))
+    # transform pass: batched dequant + IDCT per component (one einsum)
     out_planes = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                         dtype=np.float64)
+        coeffs = np.array(coeff_rows[ci], dtype=np.float64)
+        blocks = (coeffs * qt[c["tq"]].astype(np.float64)).reshape(
+            -1, 8, 8)
+        pix = np.matmul(np.matmul(_DCT_M.T, blocks), _DCT_M) + 128.0
+        for (y0, x0), blk in zip(origins[ci], pix):
+            plane[y0:y0 + 8, x0:x0 + 8] = blk
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:  # replication upsample
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:fh, :fw])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:fh, :fw])
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     if len(out_planes) != 3:
