@@ -4596,6 +4596,14 @@ from .driver_queries_tpch import QUERIES as _TPCH_QUERIES  # noqa: E402
 QUERIES.update(_TPCH_QUERIES)
 ORACLES.update(_TPCH_ORACLES)
 
+# Crawl-layer batch (stages/crawl.py): snapshot diff, anchor/link-graph
+# aggregates, frontier politeness waves, robots application
+from .driver_queries_crawl import ORACLES as _CRAWL_ORACLES  # noqa: E402
+from .driver_queries_crawl import QUERIES as _CRAWL_QUERIES  # noqa: E402
+
+QUERIES.update(_CRAWL_QUERIES)
+ORACLES.update(_CRAWL_ORACLES)
+
 
 def q_docs_train_order(sf_dir: str):
     """Deterministic global training-order shuffle: every doc gets a

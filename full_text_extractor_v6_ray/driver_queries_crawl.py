@@ -1,0 +1,321 @@
+"""Crawl-layer query batch: snapshot diff, link graph, frontier ops.
+
+Inputs are synthesised DETERMINISTICALLY from doc_id arithmetic so
+DuckDB can rebuild the identical crawl from the same parquet (the
+``docs_canonical_url_dedup`` convention, driver_queries.py). Synthesis
+constants:
+
+- ``url(p) = https://host{p % 97}.example.com/p{p}`` — 97 hosts.
+- each page emits 3 outlinks: target ``t_j = (p*31 + j*17 + 7) % N``
+  (N = corpus row count), anchor ``p{t}-a{(p+j) % 13}``.
+- frontier priority ``(p * 7919) % 1000``.
+
+The operators under test live in ``stages/crawl.py``; every query here
+has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_NH = 97  # synthetic host cardinality
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _url_expr_sql(page: str) -> str:
+    return ("'https://host' || ((" + page + ") % 97) || '.example.com/p' || ("
+            + page + ")")
+
+
+def _synth_url(pages: np.ndarray) -> pa.Array:
+    hosts = pages % _NH
+    return pa.array([f"https://host{h}.example.com/p{p}"
+                     for h, p in zip(hosts, pages)], pa.string())
+
+
+def _edges_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Exploded synthetic link table: (src_page, src_host, target_page,
+    dst_host, anchor) — 3 rows per document."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n = ds.count()  # parquet metadata count, no scan
+
+    def explode(batch: pa.Table) -> pa.Table:
+        p = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for j in range(3):
+            t = (p * 31 + j * 17 + 7) % n
+            anchors = pa.array(
+                [f"p{tt}-a{aa}" for tt, aa in zip(t, (p + j) % 13)],
+                pa.string())
+            parts.append(pa.table({
+                "src_page": pa.array(p),
+                "src_host": pa.array(p % _NH),
+                "target_page": pa.array(t),
+                "dst_host": pa.array(t % _NH),
+                "anchor": anchors,
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_EDGES_SQL = """
+        edges AS (
+            SELECT doc_id AS src_page,
+                   doc_id % 97 AS src_host,
+                   (doc_id * 31 + l.j * 17 + 7)
+                       % (SELECT COUNT(*) FROM documents) AS target_page,
+                   (doc_id * 31 + l.j * 17 + 7)
+                       % (SELECT COUNT(*) FROM documents) % 97 AS dst_host,
+                   'p' || ((doc_id * 31 + l.j * 17 + 7)
+                       % (SELECT COUNT(*) FROM documents))
+                       || '-a' || ((doc_id + l.j) % 13) AS anchor
+            FROM documents
+            CROSS JOIN (VALUES (0), (1), (2)) AS l(j)
+        )
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl_snapshot_diff
+# ---------------------------------------------------------------------------
+
+def q_crawl_snapshot_diff(sf_dir: str):
+    """Incremental recrawl delta (stages/crawl.py snapshot_diff): urls
+    classified new/gone/changed/unchanged across two crawl snapshots
+    via ONE bucketed FULL OUTER join on url.
+
+    Synthesis: snapshot A = every document's page with md5(text);
+    snapshot B drops doc_id%10==0 pages ('gone'), rewrites the body of
+    doc_id%10==1 pages (md5(text||'v2') → 'changed'), and adds a brand
+    new page at id doc_id+N for doc_id%10==2 ('new')."""
+    from .stages.crawl import snapshot_diff
+    from .stages.hashing import md5_hex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()
+
+    def side_a(batch: pa.Table) -> pa.Table:
+        p = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"url": _synth_url(p),
+                         "hash_a": md5_hex(batch.column("text"))})
+
+    def side_b(batch: pa.Table) -> pa.Table:
+        p = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text")
+        mod = p % 10
+        keep = mod != 0
+        kept_p = p[keep]
+        kept_text = text.filter(pa.array(keep)).combine_chunks()
+        suffix = pa.array(np.where((kept_p % 10) == 1, "v2", ""),
+                          pa.string())
+        h_keep = md5_hex(pc.binary_join_element_wise(kept_text, suffix, ""))
+        new_mask = mod == 2
+        new_p = p[new_mask] + n
+        h_new = md5_hex(pc.binary_join_element_wise(
+            text.filter(pa.array(new_mask)).combine_chunks(), "new", ""))
+        return pa.table({
+            "url": pa.concat_arrays([_synth_url(kept_p), _synth_url(new_p)]),
+            "hash_b": pa.concat_arrays([h_keep, h_new]),
+        })
+
+    a = docs.map_batches(side_a, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    b = docs.map_batches(side_b, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return snapshot_diff(a, b, key="url",
+                         prev_hash="hash_a", cur_hash="hash_b")
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+        WITH a AS (
+            SELECT {_url_expr_sql('doc_id')} AS url, md5(text) AS hash_a
+            FROM documents
+        ), b AS (
+            SELECT {_url_expr_sql('doc_id')} AS url,
+                   CASE WHEN doc_id % 10 = 1 THEN md5(text || 'v2')
+                        ELSE md5(text) END AS hash_b
+            FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT {_url_expr_sql(
+                'doc_id + (SELECT COUNT(*) FROM documents)')} AS url,
+                   md5(text || 'new') AS hash_b
+            FROM documents WHERE doc_id % 10 = 2
+        )
+        SELECT COALESCE(a.url, b.url) AS url,
+               CASE WHEN b.url IS NULL THEN 'gone'
+                    WHEN a.url IS NULL THEN 'new'
+                    WHEN a.hash_a = b.hash_b THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.url = b.url
+"""
+
+
+# ---------------------------------------------------------------------------
+# links_anchor_stats / host_link_degree / host_reciprocity
+# ---------------------------------------------------------------------------
+
+def q_links_anchor_stats(sf_dir: str):
+    """Anchor-text aggregation per link target (stages/crawl.py
+    anchor_target_agg): inbound link count, distinct referring hosts,
+    lexicographically-first anchor — map-side combine to
+    (target, host) granularity, ONE bucketed exchange."""
+    from .stages.crawl import anchor_target_agg
+
+    return anchor_target_agg(_edges_ds(sf_dir))
+
+
+def q_host_link_degree(sf_dir: str):
+    """Host-level out-/in-degree over the synthetic link graph
+    (stages/crawl.py host_degree): both degrees from ONE bucketed sum
+    exchange of per-batch partials, no join."""
+    from .stages.crawl import host_degree
+
+    return host_degree(_edges_ds(sf_dir))
+
+
+def q_host_reciprocity(sf_dir: str):
+    """Host-graph reciprocity (stages/crawl.py reciprocity_stats):
+    distinct undirected host pairs and how many link both ways —
+    in-batch pair dedup, one unordered-pair exchange, scalar result."""
+    from .stages.crawl import reciprocity_stats
+
+    return reciprocity_stats(_edges_ds(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# frontier_politeness_waves / frontier_robots_filter
+# ---------------------------------------------------------------------------
+
+def q_frontier_politeness_waves(sf_dir: str):
+    """Per-host politeness-wave assignment for the crawl frontier
+    (stages/crawl.py frontier_waves): wave k = each host's k-th url by
+    (priority desc, id asc) — one bucketed host shuffle, no global
+    sort. Priority is the deterministic (doc_id*7919)%1000 score."""
+    from .stages.crawl import frontier_waves
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        p = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(p),
+            "host": pa.array(p % _NH),
+            "priority": pa.array((p * 7919) % 1000),
+        })
+
+    frontier = ds.map_batches(synth, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return frontier_waves(frontier, "host", "priority", "doc_id")
+
+
+def q_frontier_robots_filter(sf_dir: str):
+    """Robots Disallow application (stages/crawl.py apply_robots_rules):
+    hosts h%7==0 disallow the path prefix '/p{h%10}'; the rule table is
+    dimension-sized, broadcast once via ray.put, probed vectorized per
+    batch. Output = the allowed frontier."""
+    from .stages.crawl import apply_robots_rules
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        p = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(p),
+            "host": pa.array(p % _NH),
+            "path": pa.array([f"/p{pp}" for pp in p], pa.string()),
+        })
+
+    hosts = np.arange(_NH, dtype=np.int64)
+    ruled = hosts[hosts % 7 == 0]
+    rules = pa.table({
+        "host": pa.array(ruled),
+        "prefix": pa.array([f"/p{h % 10}" for h in ruled], pa.string()),
+    })
+    pages = ds.map_batches(synth, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return apply_robots_rules(pages, rules).select_columns(
+        ["doc_id", "host", "path"])
+
+
+QUERIES = {
+    "crawl_snapshot_diff": q_crawl_snapshot_diff,
+    "links_anchor_stats": q_links_anchor_stats,
+    "host_link_degree": q_host_link_degree,
+    "host_reciprocity": q_host_reciprocity,
+    "frontier_politeness_waves": q_frontier_politeness_waves,
+    "frontier_robots_filter": q_frontier_robots_filter,
+}
+
+ORACLES = {
+    "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "links_anchor_stats": f"""
+        WITH {_EDGES_SQL.strip()}
+        SELECT target_page,
+               CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+               MIN(anchor) AS top_anchor
+        FROM edges GROUP BY target_page
+    """,
+    "host_link_degree": f"""
+        WITH {_EDGES_SQL.strip()},
+        o AS (SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS n_out
+              FROM edges GROUP BY src_host),
+        i AS (SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS n_in
+              FROM edges GROUP BY dst_host)
+        SELECT COALESCE(o.host, i.host) AS host,
+               COALESCE(o.n_out, 0) AS n_out,
+               COALESCE(i.n_in, 0) AS n_in
+        FROM o FULL OUTER JOIN i ON o.host = i.host
+    """,
+    "host_reciprocity": f"""
+        WITH {_EDGES_SQL.strip()},
+        directed AS (
+            SELECT DISTINCT LEAST(src_host, dst_host) AS lo,
+                   GREATEST(src_host, dst_host) AS hi,
+                   CASE WHEN src_host < dst_host THEN 1 ELSE 2 END AS dir
+            FROM edges WHERE src_host <> dst_host
+        ), pairs AS (
+            SELECT lo, hi, MIN(dir) AS dmin, MAX(dir) AS dmax
+            FROM directed GROUP BY lo, hi
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN dmin = 1 AND dmax = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reciprocal
+        FROM pairs
+    """,
+    "frontier_politeness_waves": """
+        SELECT doc_id, doc_id % 97 AS host,
+               (doc_id * 7919) % 1000 AS priority,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id % 97
+                   ORDER BY (doc_id * 7919) % 1000 DESC, doc_id ASC
+               ) AS BIGINT) AS wave
+        FROM documents
+    """,
+    "frontier_robots_filter": """
+        WITH pages AS (
+            SELECT doc_id, doc_id % 97 AS host,
+                   '/p' || doc_id AS path
+            FROM documents
+        ), rules AS (
+            SELECT h AS host, '/p' || (h % 10) AS prefix
+            FROM range(0, 97) t(h) WHERE h % 7 = 0
+        )
+        SELECT p.doc_id, p.host, p.path
+        FROM pages p LEFT JOIN rules r ON p.host = r.host
+        WHERE r.host IS NULL
+           OR p.path NOT LIKE r.prefix || '%'
+    """,
+}

@@ -1,0 +1,306 @@
+"""Crawl-layer operators over web-scale link/snapshot tables.
+
+The reference extracts one document at a time and never sees the crawl
+as a whole (its folder walk, ``src/core/folder_processor.py``, is the
+closest analog of a crawl manifest). At 100 TB the *crawl layer* —
+snapshot-over-snapshot deltas, the hyperlink graph, anchor-text
+aggregation, frontier scheduling, robots application — is first-class
+work that the extraction engine has to run before/alongside per-page
+extraction. Each operator here is a thin, explicitly-partitioned
+composition of the repo's shuffle machinery:
+
+- one bucketed exchange per keyed reduce (``bucketed_group_agg`` /
+  ``hash_bucketed_distinct``), partials combined map-side first;
+- big⋈big equality joins through ``bucket_hash_join`` (payload moves
+  once);
+- dimension-sized sides (robots rules) broadcast via ``ray.put``,
+  probed vectorized in every batch — never re-shipped, never shuffled.
+
+All per-batch code is Arrow/numpy kernels; no Python-per-row anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .dedup import bucketed_group_agg, default_num_buckets
+from .joins import bucket_hash_join
+from .window import grouped_row_number
+
+_BUCKET = "_bkt"
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (incremental recrawl planning)
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(prev: "ray.data.Dataset", cur: "ray.data.Dataset",
+                  key: str = "url",
+                  prev_hash: str = "hash_a", cur_hash: str = "hash_b",
+                  num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Classify every url across two crawl snapshots.
+
+    ``prev`` carries (key, prev_hash), ``cur`` carries (key, cur_hash)
+    — content hashes computed upstream (md5 of the page body). Output
+    is one row per distinct url with ``status`` in
+    ``{'new','gone','changed','unchanged'}``: the work-list an
+    incremental recrawl feeds to extraction (only 'new'+'changed' pages
+    re-extract; 'gone' urls tombstone the index).
+
+    Shape: ONE bucketed FULL OUTER hash join on the url — each side's
+    hash column moves once; the classification is a per-batch Arrow
+    ``if_else`` chain. Hash columns must be non-null for present rows
+    (null means absent-from-that-snapshot).
+    """
+    joined = bucket_hash_join(prev, cur, key, key,
+                              num_buckets=num_buckets, how="outer")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ha, hb = batch.column(prev_hash), batch.column(cur_hash)
+        status = pc.if_else(
+            pc.is_null(hb), pa.scalar("gone"),
+            pc.if_else(
+                pc.is_null(ha), pa.scalar("new"),
+                pc.if_else(pc.equal(ha, hb),
+                           pa.scalar("unchanged"), pa.scalar("changed"))))
+        return pa.table({key: batch.column(key), "status": status})
+
+    return joined.map_batches(classify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Host link-graph aggregates
+# ---------------------------------------------------------------------------
+
+def host_degree(edges: "ray.data.Dataset",
+                src_col: str = "src_host", dst_col: str = "dst_host",
+                num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-host total out-/in-link counts over a directed edge list.
+
+    Map-side each batch collapses to at most 2×hosts partial rows
+    (host, n_out, n_in) — the out-count partial carries n_in=0 and vice
+    versa — so ONE bucketed sum exchange produces both degrees with no
+    join. Hot hosts (the web's link graph is power-law) cost O(batches)
+    shuffle rows, never O(edges).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        out = (pa.table({"host": batch.column(src_col)})
+               .group_by("host").aggregate([([], "count_all")])
+               .rename_columns(["host", "n_out"]))
+        out = out.append_column("n_in", pc.multiply(out.column("n_out"),
+                                                    zero))
+        inn = (pa.table({"host": batch.column(dst_col)})
+               .group_by("host").aggregate([([], "count_all")])
+               .rename_columns(["host", "n_in"]))
+        inn = pa.table({"host": inn.column("host"),
+                        "n_out": pc.multiply(inn.column("n_in"), zero),
+                        "n_in": inn.column("n_in")})
+        return pa.concat_tables([out, inn])
+
+    partials = edges.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return bucketed_group_agg(partials, "host",
+                              [("n_out", "sum"), ("n_in", "sum")],
+                              num_buckets=num_buckets)
+
+
+def reciprocity_stats(edges: "ray.data.Dataset",
+                      src_col: str = "src_host", dst_col: str = "dst_host",
+                      num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Host-graph reciprocity: of all distinct undirected host pairs
+    with at least one link, how many are linked in BOTH directions.
+
+    Self-loops are ignored (a host linking itself says nothing about
+    reciprocity). Shape: in-batch distinct on the directed pair →
+    ONE bucketed exchange keyed on the unordered pair (lo, hi) carrying
+    a direction flag → per-bucket (min, max) of the flag: a pair is
+    reciprocal iff both flags appear. The final reduce is
+    O(distinct pairs) rows collapsing to a single (n_pairs,
+    n_reciprocal) row via metadata-sized per-bucket partials.
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def directed_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False)
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        # direction flag relative to the unordered key
+        flag = np.where(s < d, 1, 2).astype(np.int64)
+        t = pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                      "dir": pa.array(flag)})
+        # in-batch dedup of (lo, hi, dir): caps hot-pair shuffle rows
+        g = t.group_by(["lo", "hi", "dir"]).aggregate([([], "count_all")])
+        return g.drop_columns(["count_all"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        lo = batch.column("lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        h = (lo.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ hi.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+        return batch.append_column(
+            _BUCKET, pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def pair_partial(g: pa.Table) -> pa.Table:
+        a = (g.drop_columns([_BUCKET])
+             .group_by(["lo", "hi"]).aggregate([("dir", "min"),
+                                                ("dir", "max")]))
+        both = pc.and_(pc.equal(a.column("dir_min"), pa.scalar(1)),
+                       pc.equal(a.column("dir_max"), pa.scalar(2)))
+        return pa.table({
+            "_g": pa.array([0], pa.int64()),
+            "n_pairs": pa.array([a.num_rows], pa.int64()),
+            "n_reciprocal": pa.array(
+                [int(pc.sum(pc.cast(both, pa.int64())).as_py() or 0)],
+                pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    partials = (edges.map_batches(directed_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .map_batches(add_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(_BUCKET)
+                .map_groups(pair_partial, batch_format="pyarrow"))
+    out = partials.groupby("_g").aggregate(
+        Sum("n_pairs", alias_name="n_pairs"),
+        Sum("n_reciprocal", alias_name="n_reciprocal"))
+    return out.drop_columns(["_g"])
+
+
+def anchor_target_agg(links: "ray.data.Dataset",
+                      target_col: str = "target_page",
+                      anchor_col: str = "anchor",
+                      src_host_col: str = "src_host",
+                      num_buckets: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Per-target anchor-text aggregation over an exploded link table.
+
+    For every link target: total inbound links, distinct referring
+    hosts, and the lexicographically-first anchor text (the
+    deterministic representative — real deployments swap in a
+    frequency-weighted choice, same shuffle shape). Anchor text over
+    in-links is the classic web-corpus relevance signal (it describes
+    the *target*, not the page it sits on).
+
+    Shape: map-side combine to (target, src_host) granularity — hot
+    targets cost O(batches × hosts-per-batch) shuffle rows, never
+    O(links) — then ONE bucketed exchange on target; the per-bucket
+    reduce double-groups vectorized (pair level → target level).
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            target_col: batch.column(target_col),
+            src_host_col: batch.column(src_host_col),
+            anchor_col: batch.column(anchor_col),
+        })
+        g = t.group_by([target_col, src_host_col]).aggregate(
+            [([], "count_all"), (anchor_col, "min")])
+        return g.rename_columns([target_col, src_host_col, "n",
+                                 "min_anchor"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = (batch.column(target_col).to_numpy(zero_copy_only=False)
+             .astype(np.uint64))
+        h = v * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            _BUCKET, pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pair = (g.drop_columns([_BUCKET])
+                .group_by([target_col, src_host_col])
+                .aggregate([("n", "sum"), ("min_anchor", "min")]))
+        tgt = pair.group_by(target_col).aggregate(
+            [("n_sum", "sum"), ([], "count_all"), ("min_anchor_min", "min")])
+        return tgt.rename_columns(
+            [target_col, "n_links", "n_src_hosts", "top_anchor"])
+
+    partials = links.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return (partials.map_batches(add_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby(_BUCKET)
+            .map_groups(reduce_bucket, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Frontier scheduling + robots application
+# ---------------------------------------------------------------------------
+
+def frontier_waves(frontier: "ray.data.Dataset", host_col: str,
+                   priority_col: str, id_col: str,
+                   num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Politeness-wave assignment for a crawl frontier: within each
+    host, urls are ranked by priority (desc, id asc tiebreak); wave k
+    is the set of per-host rank-k urls. A polite crawler fetches one
+    url per host per wave, so the wave number IS the earliest slot a
+    url can be crawled — computed with one bucketed shuffle on host
+    (``grouped_row_number``), no global sort anywhere.
+    """
+    return grouped_row_number(frontier, host_col,
+                              [priority_col, id_col],
+                              ascending=[False, True],
+                              out_col="wave", num_buckets=num_buckets)
+
+
+def apply_robots_rules(pages: "ray.data.Dataset", rules: pa.Table,
+                       host_col: str = "host", path_col: str = "path"
+                       ) -> "ray.data.Dataset":
+    """Filter a url table against per-host Disallow prefix rules.
+
+    ``rules`` is a dimension-sized table (host:int64, prefix:string) —
+    one Disallow path-prefix per host, the compiled form of the
+    robots.txt fleet a crawler refreshes out-of-band. It is ``ray.put``
+    ONCE and probed in every batch with ``np.searchsorted`` on the
+    sorted host column; the per-row variable-length prefix test runs
+    as one ``pc.starts_with`` kernel per DISTINCT prefix (robots rule
+    vocabularies are tiny vs the corpus — documented contract). Rows
+    whose host has a rule AND whose path starts with the rule's prefix
+    are dropped; everything else streams through untouched.
+    """
+    order = pc.sort_indices(rules.column("host"))
+    hosts_sorted = rules.column("host").take(order).to_numpy(
+        zero_copy_only=False)
+    prefixes_sorted = rules.column("prefix").take(order)
+    ref = ray.put((hosts_sorted, prefixes_sorted.to_pylist()))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        rh, rp = ray.get(ref)
+        h = batch.column(host_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rh, h)
+        pos_c = np.clip(pos, 0, max(len(rh) - 1, 0))
+        has_rule = (len(rh) > 0) & (rh[pos_c] == h) if len(rh) else \
+            np.zeros(len(h), dtype=bool)
+        disallowed = np.zeros(len(h), dtype=bool)
+        if len(rh):
+            rule_idx = np.where(has_rule, pos_c, -1)
+            rp_arr = np.array(rp, dtype=object)
+            for pfx in set(rp):
+                rows = np.flatnonzero(
+                    (rule_idx >= 0) & (rp_arr[rule_idx] == pfx))
+                if len(rows) == 0:
+                    continue
+                sw = pc.starts_with(
+                    batch.column(path_col).take(pa.array(rows)),
+                    pattern=pfx).to_numpy(zero_copy_only=False)
+                disallowed[rows[sw]] = True
+        return batch.filter(pa.array(~disallowed))
+
+    return pages.map_batches(filt, batch_format="pyarrow",
+                             zero_copy_batch=True)
