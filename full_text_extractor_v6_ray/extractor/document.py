@@ -153,7 +153,12 @@ def extract_document(
             )
 
         if kind == "html":
-            html_text = payload.decode("utf-8", errors="replace")
+            # charset sniff (BOM > strict UTF-8 > declared > cp1252):
+            # Common-Crawl HTML has a long legacy-encoding tail that a
+            # bare utf-8 decode would mojibake (extractor/charset.py)
+            from .charset import decode_html_payload
+
+            html_text, _enc = decode_html_payload(payload)
             if cfg.use_fast_parser:
                 from .html_fast import parse_html_blocks_fast
                 blocks, title, boiler_chars = parse_html_blocks_fast(

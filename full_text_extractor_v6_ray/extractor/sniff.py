@@ -51,6 +51,13 @@ def sniff_payload(payload: bytes) -> str:
         return "gzip"
     if head.startswith(ZIP_MAGIC):
         return "zip"
+    # see through byte-order marks (UTF-16 HTML interleaves NULs that
+    # would otherwise hide the markup from the ASCII probes below;
+    # decoding happens later in extractor/charset.py)
+    if head[:3] == b"\xef\xbb\xbf":
+        head = head[3:]
+    elif head[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        head = head[2:].replace(b"\x00", b"")
     lowered = head.lstrip()[:256].lower()
     if (
         lowered.startswith(b"<!doctype")
