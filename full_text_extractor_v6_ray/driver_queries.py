@@ -1661,6 +1661,20 @@ def q_images_jpeg_decode(sf_dir: str):
     return decoded.map_batches(project, batch_format="pyarrow")
 
 
+def q_images_jpeg_quality(sf_dir: str):
+    """JPEG quality-factor estimation (extractor/codecs.py
+    jpeg_quality_estimate, header-only marker scan): payloads encoded
+    at 35 + (doc_id % 13) * 5 must give back exactly that number from
+    the quant-table bytes alone — the web-image curation signal
+    (recompression detection / thumbnail filtering) oracled end to end
+    through encode → marker walk → IJG-formula inversion."""
+    from .stages.multimodal import JpegQualityBatch, jpeg_dataset_from_documents
+
+    media = jpeg_dataset_from_documents(sf_dir, varied_quality=True)
+    return media.map_batches(JpegQualityBatch, batch_format="pyarrow",
+                             batch_size=64, concurrency=(1, 4))
+
+
 def q_audio_wav_features(sf_dir: str):
     """REAL RIFF/WAVE decode (extractor/codecs.py): square-wave synthesis
     makes duration, RMS (= amplitude exactly) and zero-crossing rate
@@ -2498,6 +2512,7 @@ QUERIES = {
     "images_real_decode": q_images_real_decode,
     "images_real_resize": q_images_real_resize,
     "images_jpeg_decode": q_images_jpeg_decode,
+    "images_jpeg_quality": q_images_jpeg_quality,
     "audio_wav_features": q_audio_wav_features,
     # links / windows / set ops
     "links_reparsed": q_links_reparsed,
@@ -3188,6 +3203,15 @@ ORACLES = {
                CAST(16 + (doc_id * 3) % 17 AS BIGINT) AS height,
                CAST(3 AS BIGINT) AS channels,
                CAST(0 AS BIGINT) AS mean_intensity_err
+        FROM documents WHERE doc_id % 9 = 0
+    """,
+    "images_jpeg_quality": """
+        -- the encoder wrote quality 35 + (doc_id % 13) * 5 into the
+        -- quant tables; jpeg_quality_estimate must recover it exactly
+        -- from the bytes (std_tables TRUE: Annex K scaling matched)
+        SELECT doc_id,
+               CAST(35 + (doc_id % 13) * 5 AS BIGINT) AS quality,
+               TRUE AS std_tables
         FROM documents WHERE doc_id % 9 = 0
     """,
     "audio_wav_features": """

@@ -846,6 +846,64 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
     return int(zz[0])
 
 
+def jpeg_quality_estimate(data: bytes) -> tuple[int, bool]:
+    """Estimate the libjpeg quality factor from a JPEG's luminance
+    quantization table — header-only scan (no entropy decode), the
+    standard web-image curation signal (heavily recompressed thumbnails
+    score low; originals score high).
+
+    Returns ``(quality, exact)``: the table is inverted through the
+    public IJG scaling formula (``_quality_scale``); when re-scaling
+    the Annex K base table at the candidate quality reproduces the
+    stored table bit-for-bit, ``exact=True`` (the file used standard
+    tables — the overwhelmingly common case). Otherwise the closest
+    least-squares quality is returned with ``exact=False`` (custom
+    tables: mozjpeg/tuned encoders).
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos, n = 2, len(data)
+    luma = None
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                cnt = 64
+                vals = (np.frombuffer(seg, ">u2", count=cnt, offset=p)
+                        if pq else
+                        np.frombuffer(seg, np.uint8, count=cnt, offset=p)
+                        ).astype(np.int64)
+                p += 128 if pq else 64
+                if tq == 0 and luma is None:
+                    raster = np.zeros(64, np.int64)
+                    raster[_ZIGZAG] = vals
+                    luma = raster
+        elif marker == 0xDA:
+            break
+        pos += seglen
+    if luma is None:
+        raise ValueError("JPEG has no luminance quantization table")
+    # all 100 candidate tables at once (100×64 int ops — cheaper than
+    # being clever about the low-quality clipping regime, where a
+    # sum-based seed estimate is biased by the 255 saturation)
+    cands = np.stack([_quality_scale(_QT_LUMA, q) for q in range(1, 101)])
+    errs = np.abs(cands - luma[None, :]).sum(axis=1)
+    q = int(np.argmin(errs)) + 1       # lowest quality wins ties
+    return q, bool(errs[q - 1] == 0)
+
+
 def jpeg_encode(arr: np.ndarray, quality: int = 85,
                 subsample: bool = False) -> bytes:
     """Encode uint8 (h, w) gray or (h, w, 3) RGB as a baseline JPEG

@@ -396,11 +396,16 @@ def real_media_dataset_from_documents(sf_dir: str):
     return docs.map_batches(gen, batch_format="pyarrow", batch_size=64)
 
 
-def jpeg_dataset_from_documents(sf_dir: str):
+def jpeg_dataset_from_documents(sf_dir: str, varied_quality: bool = False):
     """Deterministic REAL baseline-JPEG payloads for every 9th document
     (alternating 4:4:4 and 4:2:0). Dimensions decode exactly (oracled);
     pixel values are lossy by nature, so intensity accuracy is pinned in
-    pytest with tolerance instead of a SQL hash."""
+    pytest with tolerance instead of a SQL hash.
+
+    ``varied_quality=True`` encodes at ``35 + (doc_id % 13) * 5``
+    instead of the fixed 90 — the quality-estimation oracle recomputes
+    that arithmetic in SQL and compares it against what
+    ``jpeg_quality_estimate`` recovers from the bytes alone."""
     import os
     import ray.data
 
@@ -421,14 +426,41 @@ def jpeg_dataset_from_documents(sf_dir: str):
             rgb[:, :, 1] = (d * 17) % 256
             rgb[:, :, 2] = (d * 23) % 256
             ids.append(d)
+            q = 35 + (d % 13) * 5 if varied_quality else 90
             media.append(codecs.jpeg_encode(
-                rgb, quality=90, subsample=bool(d % 2)))
+                rgb, quality=q, subsample=bool(d % 2)))
             mtype.append("image/jpeg")
         return pa.table({"id": pa.array(ids, pa.int64()),
                          "media": pa.array(media, pa.binary()),
                          "media_type": pa.array(mtype, pa.string())})
 
     return docs.map_batches(gen, batch_format="pyarrow", batch_size=64)
+
+
+class JpegQualityBatch:
+    """Header-only JPEG quality estimation (extractor/codecs.py
+    jpeg_quality_estimate): reads only the marker stream up to SOS —
+    no entropy decode, no pixel materialization — so the stage runs at
+    I/O speed over 100 TB of thumbnails. Actor stage for symmetry with
+    the decode stages (state is trivial here, but the pool contract
+    keeps per-stage resources explicit)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..extractor.codecs import jpeg_quality_estimate
+
+        quals, exact = [], []
+        for payload in batch.column("media").to_pylist():
+            try:
+                q, ex = jpeg_quality_estimate(payload)
+            except Exception:
+                q, ex = None, False
+            quals.append(q)
+            exact.append(ex)
+        return pa.table({
+            "doc_id": batch.column("id"),
+            "quality": pa.array(quals, pa.int64()),
+            "std_tables": pa.array(exact, pa.bool_()),
+        })
 
 
 def wav_dataset_from_documents(sf_dir: str):

@@ -571,3 +571,34 @@ def test_jpeg_rejects_progressive_and_garbage():
     good = codecs.jpeg_encode(arr)
     with pytest.raises(ValueError):
         codecs.jpeg_decode(good[:40])
+
+
+def test_jpeg_quality_estimate_exact_all_levels():
+    img = (np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3) * 7) % 256
+    for q in (1, 5, 12, 35, 50, 75, 85, 92, 100):
+        est, exact = codecs.jpeg_quality_estimate(codecs.jpeg_encode(img, quality=q))
+        assert (est, exact) == (q, True)
+    # gray + subsampled variants carry the same luma table
+    gray = np.full((8, 8), 77, np.uint8)
+    assert codecs.jpeg_quality_estimate(codecs.jpeg_encode(gray, quality=63)) == (63, True)
+    rgb = np.full((9, 9, 3), 50, np.uint8)
+    assert codecs.jpeg_quality_estimate(
+        codecs.jpeg_encode(rgb, quality=40, subsample=True)) == (40, True)
+
+
+def test_jpeg_quality_estimate_custom_table_not_exact():
+    # hand-build a DQT segment with a perturbed (non-IJG) table
+    data = codecs.jpeg_encode(np.full((8, 8), 10, np.uint8), quality=80)
+    # locate the DQT payload and bump one coefficient
+    i = data.find(b"\xff\xdb")
+    assert i > 0
+    mutated = bytearray(data)
+    mutated[i + 5] = min(255, mutated[i + 5] + 3)
+    est, exact = codecs.jpeg_quality_estimate(bytes(mutated))
+    assert exact is False
+    assert abs(est - 80) <= 2  # least-squares stays in the neighborhood
+
+
+def test_jpeg_quality_estimate_rejects_non_jpeg():
+    with pytest.raises(ValueError):
+        codecs.jpeg_quality_estimate(b"\x89PNG\r\n")
