@@ -249,7 +249,94 @@ def q_frontier_robots_filter(sf_dir: str):
         ["doc_id", "host", "path"])
 
 
+def q_sitemap_roundtrip(sf_dir: str):
+    """Sitemap XML ingestion end-to-end (stages/crawl.py
+    SitemapParseBatch): every document owns a synthetic ``urlset``
+    sitemap whose 3 entries reuse the link-graph targets; loc/lastmod/
+    priority are pure doc_id arithmetic DuckDB recomputes, so a green
+    hash pins build → parse → unescape → typed projection."""
+    import datetime
+
+    from .stages.crawl import SitemapParseBatch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n = ds.count()
+    epoch = datetime.date(2025, 1, 1)
+
+    def build(batch: pa.Table) -> pa.Table:
+        p = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        xmls = []
+        for d in p:
+            entries = []
+            for j in range(3):
+                t = int((d * 31 + j * 17 + 7) % n)
+                lastmod = (epoch
+                           + datetime.timedelta(days=t % 365)).isoformat()
+                prio = (t % 9 + 1) / 10.0
+                entries.append(
+                    f"  <url>\n    <loc>https://host{t % _NH}.example.com"
+                    f"/p{t}</loc>\n    <lastmod>{lastmod}</lastmod>\n"
+                    f"    <priority>{prio:.1f}</priority>\n  </url>\n")
+            xmls.append('<?xml version="1.0" encoding="UTF-8"?>\n'
+                        '<urlset xmlns="http://www.sitemaps.org/schemas'
+                        '/sitemap/0.9">\n' + "".join(entries) + "</urlset>\n")
+        return pa.table({"site_id": batch.column("doc_id"),
+                         "xml": pa.array(xmls, pa.string())})
+
+    sitemaps = ds.map_batches(build, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    parsed = sitemaps.map_batches(SitemapParseBatch(), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def round1(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("priority"), "priority",
+            pc.round(batch.column("priority"), ndigits=1))
+
+    return parsed.map_batches(round1, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_robots_parse(sf_dir: str):
+    """robots.txt parsing for a specific crawler agent (stages/crawl.py
+    RobotsParseBatch / parse_robots_rules): synthetic per-host robots
+    files exercise comments, allow-all hosts, multi-rule star groups
+    and most-specific-wins agent groups; the exploded (host, prefix,
+    crawl_delay) rule rows are recomputed arithmetically by DuckDB."""
+    import ray.data
+
+    from .stages.crawl import RobotsParseBatch
+
+    hosts = ray.data.range(_NH)
+
+    def build(batch) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False) \
+            if isinstance(batch, pa.Table) else batch["id"]
+        out = []
+        for h in np.asarray(ids):
+            h = int(h)
+            if h % 5 == 4:
+                out.append("# crawl freely\n")
+                continue
+            txt = (f"# robots for host{h}\nUser-agent: *\n"
+                   f"Disallow: /p{h % 10}\n")
+            if h % 2 == 0:
+                txt += "Disallow: /admin\n"
+            txt += f"Crawl-delay: {h % 4}\n"
+            if h % 3 == 0:
+                txt += f"\nUser-agent: graftbot\nDisallow: /g{h % 7}\n"
+            out.append(txt)
+        return pa.table({"host": pa.array(np.asarray(ids, np.int64)),
+                         "robots_txt": pa.array(out, pa.string())})
+
+    robots = hosts.map_batches(build, batch_format="pyarrow")
+    return robots.map_batches(RobotsParseBatch(agent="graftbot"),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
+    "sitemap_roundtrip": q_sitemap_roundtrip,
+    "robots_parse": q_robots_parse,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "links_anchor_stats": q_links_anchor_stats,
     "host_link_degree": q_host_link_degree,
@@ -259,6 +346,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sitemap_roundtrip": """
+        -- mirrors q_sitemap_roundtrip's XML builder arithmetic; the
+        -- Ray side recovers these values by PARSING the XML it built
+        WITH t AS (
+            SELECT doc_id AS site_id,
+                   (doc_id * 31 + l.j * 17 + 7)
+                       % (SELECT COUNT(*) FROM documents) AS t
+            FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS l(j)
+        )
+        SELECT site_id,
+               'https://host' || (t % 97) || '.example.com/p' || t AS url,
+               CAST(DATE '2025-01-01'
+                    + CAST(t % 365 AS INTEGER) AS VARCHAR) AS lastmod,
+               ROUND((t % 9 + 1) / 10.0, 1) AS priority
+        FROM t
+    """,
+    "robots_parse": """
+        -- expected rule rows for agent 'graftbot' over the synthetic
+        -- robots fleet: exact-match group wins where present (h%3=0),
+        -- else the star group's rules + delay apply; h%5=4 hosts are
+        -- comment-only (allow-all, zero rows)
+        WITH hosts AS (SELECT h FROM range(0, 97) t(h) WHERE h % 5 <> 4)
+        SELECT h AS host, '/g' || (h % 7) AS prefix,
+               CAST(-1 AS BIGINT) AS crawl_delay
+        FROM hosts WHERE h % 3 = 0
+        UNION ALL
+        SELECT h, '/p' || (h % 10), CAST(h % 4 AS BIGINT)
+        FROM hosts WHERE h % 3 <> 0
+        UNION ALL
+        SELECT h, '/admin', CAST(h % 4 AS BIGINT)
+        FROM hosts WHERE h % 3 <> 0 AND h % 2 = 0
+    """,
     "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "links_anchor_stats": f"""
         WITH {_EDGES_SQL.strip()}

@@ -304,3 +304,148 @@ def apply_robots_rules(pages: "ray.data.Dataset", rules: pa.Table,
 
     return pages.map_batches(filt, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Crawl front-end parsers: sitemap XML, robots.txt
+# ---------------------------------------------------------------------------
+
+_URLBLOCK_RE = __import__("re").compile(r"<url\b[^>]*>(.*?)</url>",
+                                        __import__("re").S)
+_LOC_RE = __import__("re").compile(r"<loc>\s*(.*?)\s*</loc>",
+                                   __import__("re").S)
+_LASTMOD_RE = __import__("re").compile(r"<lastmod>\s*(.*?)\s*</lastmod>",
+                                       __import__("re").S)
+_PRIORITY_RE = __import__("re").compile(r"<priority>\s*(.*?)\s*</priority>",
+                                        __import__("re").S)
+
+
+def _xml_unescape(s: str) -> str:
+    return (s.replace("&amp;", "&").replace("&lt;", "<")
+            .replace("&gt;", ">").replace("&quot;", '"')
+            .replace("&apos;", "'"))
+
+
+class SitemapParseBatch:
+    """Parse ``urlset`` sitemap XML payloads into one row per ``<url>``
+    entry: (owner passthrough columns, url, lastmod, priority).
+
+    Stateless actor-pool parse stage, the sitemap analog of the WARC
+    record walker (``sources/warc.py``): compiled patterns at module
+    import, one linear regex sweep per payload, malformed entries
+    (missing ``<loc>``) skipped rather than raised — a crawler must
+    survive the web's XML. ``<sitemapindex>`` payloads yield zero rows
+    here (index expansion is a fetch concern, not a parse concern).
+    """
+
+    def __init__(self, xml_col: str = "xml", id_col: str = "site_id"):
+        self.xml_col = xml_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, urls, lastmods, prios = [], [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        for sid, payload in zip(ids, batch.column(self.xml_col).to_pylist()):
+            text = payload.decode("utf-8", errors="replace") \
+                if isinstance(payload, (bytes, bytearray)) else payload
+            for m in _URLBLOCK_RE.finditer(text):
+                block = m.group(1)
+                loc = _LOC_RE.search(block)
+                if not loc or not loc.group(1):
+                    continue
+                lm = _LASTMOD_RE.search(block)
+                pr = _PRIORITY_RE.search(block)
+                ids_out.append(sid)
+                urls.append(_xml_unescape(loc.group(1)))
+                lastmods.append(lm.group(1) if lm else None)
+                try:
+                    prios.append(float(pr.group(1)) if pr else None)
+                except ValueError:
+                    prios.append(None)
+        return pa.table({
+            self.id_col: pa.array(ids_out, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "lastmod": pa.array(lastmods, pa.string()),
+            "priority": pa.array(prios, pa.float64()),
+        })
+
+
+def parse_robots_rules(text: str, agent: str = "*"
+                       ) -> tuple[list[str], int]:
+    """RFC-9309-subset robots.txt parse for one agent.
+
+    Returns ``(disallow_prefixes, crawl_delay)`` (delay -1 when the
+    matched groups declare none). Group semantics: consecutive
+    ``User-agent`` lines open a group; a group matches if any of its
+    agents equals ``agent`` case-insensitively or is ``*``; when ANY
+    group names the agent exactly, only exactly-matching groups apply
+    (most-specific-wins, the RFC rule). Comments (#) stripped, empty
+    Disallow values (allow-all) ignored, unknown fields skipped.
+    """
+    want = agent.lower()
+    groups: list[dict] = []
+    cur_agents: list[str] = []
+    cur: dict | None = None
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if cur is not None and (cur["disallow"] or cur["delay"] >= 0):
+                groups.append(cur)
+                cur = None
+            if cur is None:
+                cur_agents = []
+                cur = {"agents": cur_agents, "disallow": [], "delay": -1}
+            cur_agents.append(value.lower())
+        elif cur is not None:
+            if field == "disallow" and value:
+                cur["disallow"].append(value)
+            elif field == "crawl-delay":
+                try:
+                    cur["delay"] = int(float(value))
+                except ValueError:
+                    pass
+    if cur is not None:
+        groups.append(cur)
+
+    exact = [g for g in groups if want in g["agents"]]
+    matched = exact or [g for g in groups if "*" in g["agents"]]
+    prefixes: list[str] = []
+    delay = -1
+    for g in matched:
+        prefixes.extend(g["disallow"])
+        if g["delay"] >= 0:
+            delay = g["delay"]
+    return prefixes, delay
+
+
+class RobotsParseBatch:
+    """Explode robots.txt payloads into (host, prefix, crawl_delay)
+    rows for one crawler agent — the compiled-rule table that
+    ``apply_robots_rules`` broadcasts. Hosts whose robots.txt yields no
+    Disallow rules for the agent produce zero rows (allow-all)."""
+
+    def __init__(self, agent: str = "*", host_col: str = "host",
+                 text_col: str = "robots_txt"):
+        self.agent = agent
+        self.host_col = host_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts_out, prefixes, delays = [], [], []
+        hosts = batch.column(self.host_col).to_pylist()
+        for h, txt in zip(hosts, batch.column(self.text_col).to_pylist()):
+            pfx, delay = parse_robots_rules(txt or "", self.agent)
+            for p in pfx:
+                hosts_out.append(h)
+                prefixes.append(p)
+                delays.append(delay)
+        return pa.table({
+            self.host_col: pa.array(hosts_out, pa.int64()),
+            "prefix": pa.array(prefixes, pa.string()),
+            "crawl_delay": pa.array(delays, pa.int64()),
+        })

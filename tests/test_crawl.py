@@ -101,3 +101,74 @@ def test_robots_filter_empty_rules_passthrough(ray_session):
                       "prefix": pa.array([], pa.string())})
     got = apply_robots_rules(pages, rules).to_pandas()
     assert len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# sitemap + robots parsers
+# ---------------------------------------------------------------------------
+
+def test_sitemap_parse_entries_and_malformed(ray_session):
+    from full_text_extractor_v6_ray.stages.crawl import SitemapParseBatch
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.com/x?q=1&amp;r=2 </loc>"
+        "<lastmod>2025-03-04</lastmod><priority>0.8</priority></url>"
+        "<url><loc>https://a.com/y</loc></url>"          # no lastmod/prio
+        "<url><lastmod>2025-01-01</lastmod></url>"       # no loc: skipped
+        "<url><loc>https://a.com/z</loc><priority>bogus</priority></url>"
+        "</urlset>")
+    batch = pa.table({"site_id": pa.array([7], pa.int64()),
+                      "xml": pa.array([xml.encode()], pa.binary())})
+    out = SitemapParseBatch()(batch).to_pandas()
+    assert list(out["url"]) == ["https://a.com/x?q=1&r=2",
+                                "https://a.com/y", "https://a.com/z"]
+    assert out["lastmod"].tolist()[0] == "2025-03-04"
+    assert out["priority"].tolist()[0] == 0.8
+    assert pd.isna(out["priority"].tolist()[2])
+    assert (out["site_id"] == 7).all()
+
+
+def test_robots_parser_group_semantics():
+    from full_text_extractor_v6_ray.stages.crawl import parse_robots_rules
+
+    txt = ("# header comment\n"
+           "User-agent: alpha\n"
+           "User-agent: beta\n"       # two agents share one group
+           "Disallow: /shared\n"
+           "Crawl-delay: 7\n"
+           "\n"
+           "User-agent: *\n"
+           "Disallow: /star\n"
+           "Disallow:\n"              # empty = allow-all, ignored
+           "Allow: /ok\n"             # unknown-to-us field skipped
+           "DISALLOW: /case  # trailing comment\n")
+    assert parse_robots_rules(txt, "beta") == (["/shared"], 7)
+    assert parse_robots_rules(txt, "ALPHA") == (["/shared"], 7)
+    # non-listed agent falls through to the star group
+    assert parse_robots_rules(txt, "other") == (["/star", "/case"], -1)
+    assert parse_robots_rules("", "x") == ([], -1)
+    # exact group beats star even when star is first
+    txt2 = "User-agent: *\nDisallow: /a\n\nUser-agent: me\nDisallow: /b\n"
+    assert parse_robots_rules(txt2, "me") == (["/b"], -1)
+
+
+def test_robots_parse_feeds_apply_rules(ray_session):
+    # composition: parse -> compiled table -> apply_robots_rules
+    from full_text_extractor_v6_ray.stages.crawl import (
+        RobotsParseBatch,
+        apply_robots_rules,
+    )
+
+    robots = pa.table({
+        "host": pa.array([1, 2], pa.int64()),
+        "robots_txt": pa.array(
+            ["User-agent: *\nDisallow: /no\n", "# empty\n"], pa.string()),
+    })
+    rules_tbl = RobotsParseBatch(agent="anybot")(robots)
+    rules = pa.table({"host": rules_tbl.column("host"),
+                      "prefix": rules_tbl.column("prefix")})
+    pages = _ds({"host": [1, 1, 2], "path": ["/no/x", "/yes", "/no/x"]})
+    got = apply_robots_rules(pages, rules).to_pandas()
+    assert set(zip(got["host"], got["path"])) == {(1, "/yes"),
+                                                  (2, "/no/x")}
