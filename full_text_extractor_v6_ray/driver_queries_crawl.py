@@ -321,7 +321,7 @@ def q_robots_parse(sf_dir: str):
             txt = (f"# robots for host{h}\nUser-agent: *\n"
                    f"Disallow: /p{h % 10}\n")
             if h % 2 == 0:
-                txt += "Disallow: /admin\n"
+                txt += f"Disallow: /admin\nAllow: /p{h % 10}/pub\n"
             txt += f"Crawl-delay: {h % 4}\n"
             if h % 3 == 0:
                 txt += f"\nUser-agent: graftbot\nDisallow: /g{h % 7}\n"
@@ -366,16 +366,20 @@ ORACLES = {
         -- expected rule rows for agent 'graftbot' over the synthetic
         -- robots fleet: exact-match group wins where present (h%3=0),
         -- else the star group's rules + delay apply; h%5=4 hosts are
-        -- comment-only (allow-all, zero rows)
+        -- comment-only (allow-all, zero rows); even star hosts carry
+        -- an Allow carve-out under their Disallowed prefix
         WITH hosts AS (SELECT h FROM range(0, 97) t(h) WHERE h % 5 <> 4)
-        SELECT h AS host, '/g' || (h % 7) AS prefix,
+        SELECT h AS host, '/g' || (h % 7) AS prefix, FALSE AS allow,
                CAST(-1 AS BIGINT) AS crawl_delay
         FROM hosts WHERE h % 3 = 0
         UNION ALL
-        SELECT h, '/p' || (h % 10), CAST(h % 4 AS BIGINT)
+        SELECT h, '/p' || (h % 10), FALSE, CAST(h % 4 AS BIGINT)
         FROM hosts WHERE h % 3 <> 0
         UNION ALL
-        SELECT h, '/admin', CAST(h % 4 AS BIGINT)
+        SELECT h, '/admin', FALSE, CAST(h % 4 AS BIGINT)
+        FROM hosts WHERE h % 3 <> 0 AND h % 2 = 0
+        UNION ALL
+        SELECT h, '/p' || (h % 10) || '/pub', TRUE, CAST(h % 4 AS BIGINT)
         FROM hosts WHERE h % 3 <> 0 AND h % 2 = 0
     """,
     "crawl_snapshot_diff": _SNAPSHOT_DIFF_SQL,

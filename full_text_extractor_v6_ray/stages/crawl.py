@@ -262,45 +262,54 @@ def frontier_waves(frontier: "ray.data.Dataset", host_col: str,
 def apply_robots_rules(pages: "ray.data.Dataset", rules: pa.Table,
                        host_col: str = "host", path_col: str = "path"
                        ) -> "ray.data.Dataset":
-    """Filter a url table against per-host Disallow prefix rules.
+    """Filter a url table against per-host robots rules with RFC 9309
+    precedence.
 
-    ``rules`` is a dimension-sized table (host:int64, prefix:string) —
-    one Disallow path-prefix per host, the compiled form of the
-    robots.txt fleet a crawler refreshes out-of-band. It is ``ray.put``
-    ONCE and probed in every batch with ``np.searchsorted`` on the
-    sorted host column; the per-row variable-length prefix test runs
-    as one ``pc.starts_with`` kernel per DISTINCT prefix (robots rule
-    vocabularies are tiny vs the corpus — documented contract). Rows
-    whose host has a rule AND whose path starts with the rule's prefix
-    are dropped; everything else streams through untouched.
+    ``rules`` is a dimension-sized table (host:int64, prefix:string
+    [, allow:bool]) — multiple rules per host are fine; a missing
+    ``allow`` column means all-Disallow. The compiled rule fleet is
+    grouped by distinct (prefix, allow) value and ``ray.put`` ONCE;
+    each batch runs one ``pc.starts_with`` kernel + one sorted-host
+    ``isin`` per distinct rule value (robots vocabularies are tiny vs
+    the corpus — documented contract). Per row the LONGEST matching
+    prefix decides, Allow winning length ties (RFC 9309 §2.2.2, the
+    vectorized twin of ``decide_allowed``); unmatched rows are
+    allowed. Disallowed rows are dropped.
     """
-    order = pc.sort_indices(rules.column("host"))
-    hosts_sorted = rules.column("host").take(order).to_numpy(
-        zero_copy_only=False)
-    prefixes_sorted = rules.column("prefix").take(order)
-    ref = ray.put((hosts_sorted, prefixes_sorted.to_pylist()))
+    from collections import defaultdict
+
+    has_allow = "allow" in rules.column_names
+    hosts_np = rules.column("host").to_numpy(zero_copy_only=False)
+    prefixes = rules.column("prefix").to_pylist()
+    allows = (rules.column("allow").to_pylist() if has_allow
+              else [False] * len(prefixes))
+    by_rule: dict = defaultdict(list)
+    for h, p, a in zip(hosts_np, prefixes, allows):
+        by_rule[(p, bool(a))].append(int(h))
+    compiled = [(p, a, np.array(sorted(set(hs)), dtype=np.int64))
+                for (p, a), hs in sorted(by_rule.items())]
+    ref = ray.put(compiled)
 
     def filt(batch: pa.Table) -> pa.Table:
-        rh, rp = ray.get(ref)
+        comp = ray.get(ref)
         h = batch.column(host_col).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(rh, h)
-        pos_c = np.clip(pos, 0, max(len(rh) - 1, 0))
-        has_rule = (len(rh) > 0) & (rh[pos_c] == h) if len(rh) else \
-            np.zeros(len(h), dtype=bool)
-        disallowed = np.zeros(len(h), dtype=bool)
-        if len(rh):
-            rule_idx = np.where(has_rule, pos_c, -1)
-            rp_arr = np.array(rp, dtype=object)
-            for pfx in set(rp):
-                rows = np.flatnonzero(
-                    (rule_idx >= 0) & (rp_arr[rule_idx] == pfx))
-                if len(rows) == 0:
-                    continue
-                sw = pc.starts_with(
-                    batch.column(path_col).take(pa.array(rows)),
-                    pattern=pfx).to_numpy(zero_copy_only=False)
-                disallowed[rows[sw]] = True
-        return batch.filter(pa.array(~disallowed))
+        n = len(h)
+        best_len = np.full(n, -1, dtype=np.int64)
+        best_allow = np.ones(n, dtype=bool)
+        path_arr = batch.column(path_col)
+        for prefix, allow, rhosts in comp:
+            m = np.isin(h, rhosts)
+            if not m.any():
+                continue
+            sw = pc.starts_with(path_arr, pattern=prefix).to_numpy(
+                zero_copy_only=False)
+            m &= sw
+            ln = len(prefix)
+            upd = m & ((best_len < ln)
+                       | ((best_len == ln) & allow & ~best_allow))
+            best_len[upd] = ln
+            best_allow[upd] = allow
+        return batch.filter(pa.array(best_allow))
 
     return pages.map_batches(filt, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -372,15 +381,32 @@ class SitemapParseBatch:
 
 def parse_robots_rules(text: str, agent: str = "*"
                        ) -> tuple[list[str], int]:
-    """RFC-9309-subset robots.txt parse for one agent.
+    """RFC-9309-subset robots.txt parse for one agent (Disallow view).
 
-    Returns ``(disallow_prefixes, crawl_delay)`` (delay -1 when the
-    matched groups declare none). Group semantics: consecutive
+    Returns ``(disallow_prefixes, crawl_delay)`` — the compiled form
+    ``apply_robots_rules`` consumes when Allow precedence is not
+    needed. See ``parse_robots_groups`` for the full (prefix, allow)
+    rule list.
+    """
+    rules, delay = parse_robots_groups(text, agent)
+    return [p for p, allow in rules if not allow], delay
+
+
+def parse_robots_groups(text: str, agent: str = "*"
+                        ) -> tuple[list[tuple[str, bool]], int]:
+    """Full RFC-9309-subset robots.txt parse for one agent.
+
+    Returns ``(rules, crawl_delay)`` with ``rules`` a list of
+    ``(path_prefix, is_allow)`` in file order and delay -1 when the
+    matched groups declare none. Group semantics: consecutive
     ``User-agent`` lines open a group; a group matches if any of its
     agents equals ``agent`` case-insensitively or is ``*``; when ANY
     group names the agent exactly, only exactly-matching groups apply
     (most-specific-wins, the RFC rule). Comments (#) stripped, empty
     Disallow values (allow-all) ignored, unknown fields skipped.
+    Precedence between overlapping Allow/Disallow is the consumer's
+    job (``decide_allowed``: longest matching prefix wins, Allow wins
+    length ties — RFC 9309 §2.2.2).
     """
     want = agent.lower()
     groups: list[dict] = []
@@ -394,16 +420,18 @@ def parse_robots_rules(text: str, agent: str = "*"
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            if cur is not None and (cur["disallow"] or cur["delay"] >= 0):
+            if cur is not None and (cur["rules"] or cur["delay"] >= 0):
                 groups.append(cur)
                 cur = None
             if cur is None:
                 cur_agents = []
-                cur = {"agents": cur_agents, "disallow": [], "delay": -1}
+                cur = {"agents": cur_agents, "rules": [], "delay": -1}
             cur_agents.append(value.lower())
         elif cur is not None:
             if field == "disallow" and value:
-                cur["disallow"].append(value)
+                cur["rules"].append((value, False))
+            elif field == "allow" and value:
+                cur["rules"].append((value, True))
             elif field == "crawl-delay":
                 try:
                     cur["delay"] = int(float(value))
@@ -414,20 +442,32 @@ def parse_robots_rules(text: str, agent: str = "*"
 
     exact = [g for g in groups if want in g["agents"]]
     matched = exact or [g for g in groups if "*" in g["agents"]]
-    prefixes: list[str] = []
+    rules: list[tuple[str, bool]] = []
     delay = -1
     for g in matched:
-        prefixes.extend(g["disallow"])
+        rules.extend(g["rules"])
         if g["delay"] >= 0:
             delay = g["delay"]
-    return prefixes, delay
+    return rules, delay
+
+
+def decide_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
+    """RFC 9309 §2.2.2 precedence for one path: the longest matching
+    prefix rule decides; Allow wins a length tie; no match = allowed."""
+    best_len, best_allow = -1, True
+    for prefix, allow in rules:
+        if path.startswith(prefix):
+            ln = len(prefix)
+            if ln > best_len or (ln == best_len and allow):
+                best_len, best_allow = ln, allow
+    return best_allow
 
 
 class RobotsParseBatch:
-    """Explode robots.txt payloads into (host, prefix, crawl_delay)
-    rows for one crawler agent — the compiled-rule table that
-    ``apply_robots_rules`` broadcasts. Hosts whose robots.txt yields no
-    Disallow rules for the agent produce zero rows (allow-all)."""
+    """Explode robots.txt payloads into (host, prefix, allow,
+    crawl_delay) rows for one crawler agent — the compiled-rule table
+    that ``apply_robots_rules`` broadcasts. Hosts whose robots.txt
+    yields no rules for the agent produce zero rows (allow-all)."""
 
     def __init__(self, agent: str = "*", host_col: str = "host",
                  text_col: str = "robots_txt"):
@@ -436,16 +476,18 @@ class RobotsParseBatch:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hosts_out, prefixes, delays = [], [], []
+        hosts_out, prefixes, allows, delays = [], [], [], []
         hosts = batch.column(self.host_col).to_pylist()
         for h, txt in zip(hosts, batch.column(self.text_col).to_pylist()):
-            pfx, delay = parse_robots_rules(txt or "", self.agent)
-            for p in pfx:
+            rules, delay = parse_robots_groups(txt or "", self.agent)
+            for p, a in rules:
                 hosts_out.append(h)
                 prefixes.append(p)
+                allows.append(a)
                 delays.append(delay)
         return pa.table({
             self.host_col: pa.array(hosts_out, pa.int64()),
             "prefix": pa.array(prefixes, pa.string()),
+            "allow": pa.array(allows, pa.bool_()),
             "crawl_delay": pa.array(delays, pa.int64()),
         })

@@ -167,8 +167,50 @@ def test_robots_parse_feeds_apply_rules(ray_session):
     })
     rules_tbl = RobotsParseBatch(agent="anybot")(robots)
     rules = pa.table({"host": rules_tbl.column("host"),
-                      "prefix": rules_tbl.column("prefix")})
+                      "prefix": rules_tbl.column("prefix"),
+                      "allow": rules_tbl.column("allow")})
     pages = _ds({"host": [1, 1, 2], "path": ["/no/x", "/yes", "/no/x"]})
     got = apply_robots_rules(pages, rules).to_pandas()
     assert set(zip(got["host"], got["path"])) == {(1, "/yes"),
                                                   (2, "/no/x")}
+
+
+def test_decide_allowed_rfc_precedence():
+    from full_text_extractor_v6_ray.stages.crawl import (
+        decide_allowed,
+        parse_robots_groups,
+    )
+
+    txt = ("User-agent: *\n"
+           "Disallow: /\n"
+           "Allow: /public\n"
+           "Disallow: /public/private\n")
+    rules, _ = parse_robots_groups(txt, "bot")
+    assert decide_allowed("/anything", rules) is False       # bare /
+    assert decide_allowed("/public/page", rules) is True     # longer Allow
+    assert decide_allowed("/public/private/x", rules) is False
+    assert decide_allowed("/other", rules) is False
+    # Allow wins an exact length tie
+    tie = [("/dir", False), ("/dir", True)]
+    assert decide_allowed("/dir/x", tie) is True
+    assert decide_allowed("/x", []) is True                  # no rules
+
+
+def test_apply_robots_rules_allow_precedence(ray_session):
+    # vectorized twin of decide_allowed: longest match, Allow wins tie,
+    # multiple rules per host
+    rules = pa.table({
+        "host": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "prefix": pa.array(["/", "/public", "/public/private",
+                            "/dir", "/dir"], pa.string()),
+        "allow": pa.array([False, True, False, False, True], pa.bool_()),
+    })
+    pages = _ds({
+        "host": [1, 1, 1, 1, 2, 3],
+        "path": ["/a", "/public/ok", "/public/private/x", "/public",
+                 "/dir/tie", "/anything"],
+    })
+    got = apply_robots_rules(pages, rules).to_pandas()
+    kept = set(zip(got["host"], got["path"]))
+    assert kept == {(1, "/public/ok"), (1, "/public"),
+                    (2, "/dir/tie"), (3, "/anything")}
