@@ -301,8 +301,13 @@ def apply_robots_rules(pages: "ray.data.Dataset", rules: pa.Table,
             m = np.isin(h, rhosts)
             if not m.any():
                 continue
-            sw = pc.starts_with(path_arr, pattern=prefix).to_numpy(
-                zero_copy_only=False)
+            _, regex = _robots_rule_matcher(prefix)
+            if regex is None:
+                sw = pc.starts_with(path_arr, pattern=prefix).to_numpy(
+                    zero_copy_only=False)
+            else:
+                sw = pc.match_substring_regex(
+                    path_arr, pattern=regex).to_numpy(zero_copy_only=False)
             m &= sw
             ln = len(prefix)
             upd = m & ((best_len < ln)
@@ -451,13 +456,39 @@ def parse_robots_groups(text: str, agent: str = "*"
     return rules, delay
 
 
+@__import__("functools").lru_cache(maxsize=4096)
+def _robots_rule_matcher(rule: str):
+    """Compile one robots path rule to ``(match_fn, regex_or_None)``.
+
+    RFC 9309 §2.2.3 special characters: ``*`` matches any octet
+    sequence, a trailing ``$`` anchors the end of the path. Plain
+    rules (the overwhelming majority) stay as startswith — no regex
+    engine in the hot path for them. Specificity for precedence is
+    the rule's octet length, wildcards included (the de-facto
+    interpretation used by major crawlers).
+    """
+    import re as _re
+
+    if "*" not in rule and not rule.endswith("$"):
+        return (lambda p, r=rule: p.startswith(r)), None
+    body, anchored = (rule[:-1], True) if rule.endswith("$") else (rule,
+                                                                   False)
+    pattern = ("^" + ".*".join(_re.escape(part)
+                               for part in body.split("*"))
+               + ("$" if anchored else ""))
+    cre = _re.compile(pattern)
+    return (lambda p, c=cre: c.match(p) is not None), pattern
+
+
 def decide_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
-    """RFC 9309 §2.2.2 precedence for one path: the longest matching
-    prefix rule decides; Allow wins a length tie; no match = allowed."""
+    """RFC 9309 §2.2.2 precedence for one path: the most specific
+    (longest) matching rule decides; Allow wins a length tie; no match
+    = allowed. Rules may use ``*`` wildcards and ``$`` end anchors."""
     best_len, best_allow = -1, True
-    for prefix, allow in rules:
-        if path.startswith(prefix):
-            ln = len(prefix)
+    for rule, allow in rules:
+        match_fn, _ = _robots_rule_matcher(rule)
+        if match_fn(path):
+            ln = len(rule)
             if ln > best_len or (ln == best_len and allow):
                 best_len, best_allow = ln, allow
     return best_allow

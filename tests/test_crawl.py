@@ -141,7 +141,7 @@ def test_robots_parser_group_semantics():
            "User-agent: *\n"
            "Disallow: /star\n"
            "Disallow:\n"              # empty = allow-all, ignored
-           "Allow: /ok\n"             # unknown-to-us field skipped
+           "Allow: /ok\n"             # allow rule: not in Disallow view
            "DISALLOW: /case  # trailing comment\n")
     assert parse_robots_rules(txt, "beta") == (["/shared"], 7)
     assert parse_robots_rules(txt, "ALPHA") == (["/shared"], 7)
@@ -214,3 +214,30 @@ def test_apply_robots_rules_allow_precedence(ray_session):
     kept = set(zip(got["host"], got["path"]))
     assert kept == {(1, "/public/ok"), (1, "/public"),
                     (2, "/dir/tie"), (3, "/anything")}
+
+
+def test_robots_wildcards_and_anchors():
+    from full_text_extractor_v6_ray.stages.crawl import decide_allowed
+
+    rules = [("/", False), ("/*.php$", False),
+             ("/shop/*/sale", True), ("/shop", False)]
+    assert decide_allowed("/index.php", rules) is False     # $-anchored
+    assert decide_allowed("/index.php5", rules) is False    # bare / rule
+    assert decide_allowed("/shop/x/sale/item", rules) is True
+    assert decide_allowed("/shop/x", rules) is False
+    # a wildcard rule's specificity counts its full octet length
+    assert decide_allowed("/abc", [("/a*c", False), ("/ab", True)]) is False
+
+
+def test_apply_robots_rules_wildcards(ray_session):
+    rules = pa.table({
+        "host": pa.array([1, 1], pa.int64()),
+        "prefix": pa.array(["/*.pdf$", "/docs"], pa.string()),
+        "allow": pa.array([False, True], pa.bool_()),
+    })
+    pages = _ds({"host": [1, 1, 1],
+                 "path": ["/docs/a.pdf", "/x/y.pdf", "/docs/page"]})
+    got = apply_robots_rules(pages, rules).to_pandas()
+    # /docs/a.pdf: /*.pdf$ (len 7) beats /docs (len 5) -> blocked;
+    # /x/y.pdf blocked; /docs/page allowed
+    assert set(got["path"]) == {"/docs/page"}
