@@ -334,8 +334,76 @@ def q_robots_parse(sf_dir: str):
                               batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_frontier_schedule(sf_dir: str):
+    """Composed polite-crawl schedule: politeness waves × per-host
+    robots Crawl-delay → the earliest second each url may be fetched
+    (``fetch_at_s = (wave-1) * delay``). Composes three crawl ops end
+    to end: RobotsParseBatch (delay extraction, agent '*'),
+    frontier_waves (per-host rank, one bucketed shuffle), and a
+    dimension-sized (host → delay) broadcast decorate — the frontier
+    itself never leaves the cluster."""
+    import ray
+    import ray.data
+
+    from .stages.crawl import RobotsParseBatch, frontier_waves
+
+    # per-host delays from the same synthetic robots fleet as
+    # q_robots_parse, parsed for the star agent
+    hosts = ray.data.range(_NH)
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        out = []
+        for h in np.asarray(ids):
+            h = int(h)
+            if h % 5 == 4:
+                out.append("# crawl freely\n")
+                continue
+            txt = (f"User-agent: *\nDisallow: /p{h % 10}\n"
+                   f"Crawl-delay: {h % 4}\n")
+            if h % 3 == 0:
+                txt += f"\nUser-agent: graftbot\nDisallow: /g{h % 7}\n"
+            out.append(txt)
+        return pa.table({"host": pa.array(np.asarray(ids, np.int64)),
+                         "robots_txt": pa.array(out, pa.string())})
+
+    rules = (hosts.map_batches(build, batch_format="pyarrow")
+             .map_batches(RobotsParseBatch(agent="*"),
+                          batch_format="pyarrow", zero_copy_batch=True))
+    # dimension-sized: one delay per ruled host
+    delay_tbl = rules.select_columns(["host", "crawl_delay"]).to_pandas()
+    delay_map = {int(h): max(int(d), 1)
+                 for h, d in zip(delay_tbl["host"], delay_tbl["crawl_delay"])}
+    ref = ray.put(delay_map)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        p = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(p),
+            "host": pa.array(p % _NH),
+            "priority": pa.array((p * 7919) % 1000),
+        })
+
+    waves = frontier_waves(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True),
+        "host", "priority", "doc_id")
+
+    def decorate(df):
+        dm = ray.get(ref)
+        delays = df["host"].map(lambda h: dm.get(int(h), 1)).astype("int64")
+        df = df.copy()
+        df["delay_s"] = delays
+        df["fetch_at_s"] = (df["wave"] - 1) * delays
+        return df[["doc_id", "host", "wave", "delay_s", "fetch_at_s"]]
+
+    return waves.map_batches(decorate, batch_format="pandas")
+
+
 QUERIES = {
     "sitemap_roundtrip": q_sitemap_roundtrip,
+    "frontier_schedule": q_frontier_schedule,
     "robots_parse": q_robots_parse,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "links_anchor_stats": q_links_anchor_stats,
@@ -346,6 +414,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "frontier_schedule": """
+        -- waves (ROW_NUMBER per host) x star-group Crawl-delay from
+        -- the synthetic robots fleet; delay floors at 1s, rule-less
+        -- (comment-only h%5=4) hosts default to 1s
+        WITH waves AS (
+            SELECT doc_id, doc_id % 97 AS host,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id % 97
+                       ORDER BY (doc_id * 7919) % 1000 DESC, doc_id ASC
+                   ) AS BIGINT) AS wave
+            FROM documents
+        ), delays AS (
+            SELECT h AS host,
+                   CASE WHEN h % 5 = 4 THEN 1
+                        ELSE GREATEST(h % 4, 1) END AS delay_s
+            FROM range(0, 97) t(h)
+        )
+        SELECT w.doc_id, w.host, w.wave,
+               CAST(d.delay_s AS BIGINT) AS delay_s,
+               CAST((w.wave - 1) * d.delay_s AS BIGINT) AS fetch_at_s
+        FROM waves w JOIN delays d ON w.host = d.host
+    """,
     "sitemap_roundtrip": """
         -- mirrors q_sitemap_roundtrip's XML builder arithmetic; the
         -- Ray side recovers these values by PARSING the XML it built
