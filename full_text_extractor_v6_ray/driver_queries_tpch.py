@@ -931,10 +931,16 @@ def q9_product_profit(sf_dir: str):
             amount = (_np(t.column("l_extendedprice"))
                       * (1.0 - _np(t.column("l_discount")))
                       - 0.6 * retail * _np(t.column("l_quantity")))
+            # exact integer cents: floor(100x + 0.5) is bit-identical
+            # in numpy and DuckDB (same IEEE expression tree), and the
+            # int64 sum is order-independent — a float SUM rounded to
+            # 2 digits flipped a .xx5 boundary row between engines once
+            # (accumulation order), observed in a full-sweep run
+            cents = np.floor(100.0 * amount + 0.5).astype(np.int64)
             return pa.table({
                 "l_orderkey": t.column("l_orderkey"),
                 "s_nationkey": pa.array(s_nat, pa.int64()),
-                "amount": pa.array(amount, pa.float64())})
+                "amount_cents": pa.array(cents, pa.int64())})
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_partkey", "l_suppkey",
@@ -964,22 +970,32 @@ def q9_product_profit(sf_dir: str):
             df = pd.DataFrame({
                 "nk": _np(batch.column("s_nationkey"), np.int64),
                 "o_year": _np(batch.column("o_year"), np.int64),
-                "amount": _np(batch.column("amount"))})
-            g = df.groupby(["nk", "o_year"], sort=False)["amount"].sum() \
-                .reset_index()
+                "amount_cents": _np(batch.column("amount_cents"),
+                                    np.int64)})
+            g = df.groupby(["nk", "o_year"], sort=False)["amount_cents"] \
+                .sum().reset_index()
             return pa.table({
                 "nation": pa.array(self.names[g["nk"].to_numpy()],
                                    pa.string()),
                 "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
-                "amount": pa.array(g["amount"].to_numpy(), pa.float64())})
+                "amount_cents": pa.array(g["amount_cents"].to_numpy(),
+                                         pa.int64())})
 
     agg = (joined.map_batches(NationYearPartials,
                               fn_constructor_kwargs={"names_ref": names_ref},
                               batch_format="pyarrow", concurrency=(1, 2))
            .groupby(["nation", "o_year"])
-           .aggregate(Sum("amount", alias_name="sum_profit")))
-    return agg.map_batches(lambda b: _round_cols(b, ["sum_profit"], 2),
-                           batch_format="pyarrow")
+           .aggregate(Sum("amount_cents", alias_name="cents")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        profit = pc.round(pc.divide(
+            pc.cast(batch.column("cents"), pa.float64()),
+            pa.scalar(100.0)), ndigits=2)
+        return pa.table({"nation": batch.column("nation"),
+                         "o_year": batch.column("o_year"),
+                         "sum_profit": profit})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1435,12 +1451,16 @@ ORACLES = {
         GROUP BY o_year
     """,
     "q9_product_profit": """
-        SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+        -- per-row exact cents (FLOOR(100x+0.5) matches numpy bit for
+        -- bit) summed as BIGINT: order-independent, no .xx5 boundary
+        SELECT nation, o_year,
+               ROUND(SUM(cents) / 100.0, 2) AS sum_profit
         FROM (SELECT n_name AS nation,
                      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
                          AS o_year,
-                     l_extendedprice * (1 - l_discount)
-                         - 0.6 * p_retailprice * l_quantity AS amount
+                     CAST(FLOOR(100 * (l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity) + 0.5)
+                         AS BIGINT) AS cents
               FROM part
               JOIN lineitem ON p_partkey = l_partkey
               JOIN supplier ON s_suppkey = l_suppkey
