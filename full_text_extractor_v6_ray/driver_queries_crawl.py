@@ -401,9 +401,77 @@ def q_frontier_schedule(sf_dir: str):
     return waves.map_batches(decorate, batch_format="pandas")
 
 
+def q_incremental_delta_urls(sf_dir: str):
+    """Incremental recrawl end-to-end (pipelines/incremental.py): run
+    TWO real rounds through the CDC state machine (manifest write,
+    snapshot diff against the persisted manifest, work-list semi-join,
+    delta extraction) over the same synthetic two-snapshot crawl as
+    ``crawl_snapshot_diff``; return the urls the second round actually
+    re-extracted (its delta parquet). The oracle recomputes the
+    new+changed set arithmetically — a green hash pins manifest
+    persistence + diff + work-list selection, not just the diff."""
+    import datetime
+    import hashlib as _hl
+    import shutil
+
+    from .pipelines.incremental import incremental_extraction_round
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()
+    ts = datetime.datetime(2024, 1, 1)
+
+    def pages_of(batch: pa.Table, which: str) -> pa.Table:
+        p = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        urls, htmls = [], []
+        for d, txt in zip(p, texts):
+            d = int(d)
+            if which == "a":
+                urls.append(f"https://host{d % _NH}.example.com/p{d}")
+                htmls.append(f"<html><body><p>{txt}</p></body>"
+                             f"</html>".encode())
+            else:
+                if d % 10 == 0:
+                    continue  # gone
+                body = txt + ("v2" if d % 10 == 1 else "")
+                urls.append(f"https://host{d % _NH}.example.com/p{d}")
+                htmls.append(f"<html><body><p>{body}</p></body>"
+                             f"</html>".encode())
+                if d % 10 == 2:
+                    nd = d + n
+                    urls.append(
+                        f"https://host{nd % _NH}.example.com/p{nd}")
+                    htmls.append(f"<html><body><p>{txt}new</p></body>"
+                                 f"</html>".encode())
+        m = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([ts] * m, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([""] * m, pa.string()),
+            "lang": pa.array(["en"] * m, pa.string()),
+        })
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    state = f"/tmp/graft_incr_{tag}"
+    shutil.rmtree(state, ignore_errors=True)
+    incremental_extraction_round(
+        docs.map_batches(lambda b: pages_of(b, "a"),
+                         batch_format="pyarrow", zero_copy_batch=True),
+        state)
+    incremental_extraction_round(
+        docs.map_batches(lambda b: pages_of(b, "b"),
+                         batch_format="pyarrow", zero_copy_batch=True),
+        state)
+    delta = ray.data.read_parquet(os.path.join(state, "delta", "round-1"),
+                                  columns=["url"])
+    return delta
+
+
 QUERIES = {
     "sitemap_roundtrip": q_sitemap_roundtrip,
     "frontier_schedule": q_frontier_schedule,
+    "incremental_delta_urls": q_incremental_delta_urls,
     "robots_parse": q_robots_parse,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "links_anchor_stats": q_links_anchor_stats,
@@ -414,6 +482,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_delta_urls": f"""
+        -- the work list round 2 must re-extract: changed bodies
+        -- (doc_id%10=1) plus brand-new pages (id doc_id+N for
+        -- doc_id%10=2); gone/unchanged pages must NOT appear
+        SELECT {_url_expr_sql('doc_id')} AS url
+        FROM documents WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT {_url_expr_sql(
+            'doc_id + (SELECT COUNT(*) FROM documents)')} AS url
+        FROM documents WHERE doc_id % 10 = 2
+    """,
     "frontier_schedule": """
         -- waves (ROW_NUMBER per host) x star-group Crawl-delay from
         -- the synthetic robots fleet; delay floors at 1s, rule-less
