@@ -102,3 +102,25 @@ def test_incremental_resurrected_url(ray_session, state_dir):
               for r in read_current_corpus(state_dir).take_all()}
     assert set(corpus) == {"https://h.ex/a", "https://h.ex/b"}
     assert "alpha v2" in corpus["https://h.ex/a"]
+
+
+def test_incremental_join_fallback_equivalence(ray_session, tmp_path):
+    # broadcast_max=0 forces the bucketed semi-join path; results must
+    # match the broadcast path exactly
+    import ray.data
+
+    v1 = {f"https://j{i}.ex/p{i}": f"j body {i}" for i in range(8)}
+    v2 = dict(v1)
+    v2["https://j3.ex/p3"] = "j body 3 CHANGED"
+    v2["https://j9.ex/p9"] = "j body 9"
+
+    outs = {}
+    for mode, bmax in (("broadcast", 10**9), ("join", 0)):
+        d = str(tmp_path / mode)
+        incremental_extraction_round(_pages(v1), d, broadcast_max=bmax)
+        s = incremental_extraction_round(_pages(v2), d, broadcast_max=bmax)
+        assert s["extracted_rows"] == 2
+        delta = ray.data.read_parquet(os.path.join(d, "delta", "round-1"))
+        outs[mode] = sorted((r["url"], r["extracted_text"])
+                            for r in delta.take_all())
+    assert outs["broadcast"] == outs["join"]
