@@ -75,21 +75,43 @@ def incremental_extraction_round(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     pcfg: PipelineConfig = DEFAULT_PIPELINE_CONFIG,
     broadcast_max: int = 2_000_000,
+    hash_col: str | None = None,
 ) -> dict:
     """Run one incremental round over url-unique ``pages`` (url, warc_ts,
     html[, text, lang]); returns the round summary. Writes are atomic:
     delta/tombstones parquet first, the manifest (the commit record)
     last via tmp→rename, so a crashed round is invisible and re-runs
-    cleanly."""
+    cleanly.
+
+    ``hash_col`` names a crawler-recorded content-hash column (e.g. the
+    ``payload_digest`` column ``read_warc_dir(include_digest=True)``
+    surfaces from ``WARC-Payload-Digest`` headers) to TRUST instead of
+    md5-hashing every payload — at 100 TB that removes the whole
+    corpus-wide hash scan; rows where the column is null fall back to
+    md5(html) per row."""
     done = _rounds(state_dir)
     k = (done[-1] + 1) if done else 0
     os.makedirs(os.path.join(state_dir, "manifest"), exist_ok=True)
 
     def slim(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "url": batch.column("url"),
-            "hash_b": md5_hex(batch.column("html")),
-        })
+        if hash_col is not None:
+            given = batch.column(hash_col)
+            if given.null_count == 0:
+                h = given
+            else:
+                # rare path: md5 only the digest-less payloads, stitch
+                # back in row order (digest coverage in real crawls is
+                # ~total, so the boxing here touches few rows)
+                mask = pc.is_null(given).to_numpy(zero_copy_only=False)
+                fb = iter(md5_hex(batch.column("html").filter(
+                    pa.array(mask))).to_pylist())
+                vals = given.to_pylist()
+                h = pa.array([next(fb) if m else v
+                              for v, m in zip(vals, mask)], pa.string())
+        else:
+            h = md5_hex(batch.column("html"))
+        return pa.table({"url": batch.column("url"),
+                         "hash_b": pc.cast(h, pa.string())})
 
     # slim rows materialize ONCE: the diff and the manifest write both
     # consume them, and recomputing would re-hash the wide pages

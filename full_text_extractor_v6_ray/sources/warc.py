@@ -92,9 +92,13 @@ def _parse_warc_date(raw: bytes) -> datetime.datetime:
 
 
 def iter_warc_records(payload: bytes,
-                      max_records: int = MAX_RECORDS_PER_SEGMENT):
-    """Yield (url, warc_ts, block) for every CONTENT record in a raw
-    (already-inflated) WARC segment.
+                      max_records: int = MAX_RECORDS_PER_SEGMENT,
+                      with_digest: bool = False):
+    """Yield (url, warc_ts, block) — or (url, warc_ts, block, digest)
+    with ``with_digest=True`` — for every CONTENT record in a raw
+    (already-inflated) WARC segment. ``digest`` is the raw
+    ``WARC-Payload-Digest`` header string (e.g. ``sha1:BASE32...``) or
+    None when the record carries none.
 
     warcinfo / request / metadata records are skipped by their
     ``Content-Length``; ``application/http; msgtype=response`` blocks
@@ -128,7 +132,14 @@ def iter_warc_records(payload: bytes,
                 body = block[http_end + 4:] if http_end >= 0 else b""
             url = headers.get(b"warc-target-uri", b"").decode(
                 "utf-8", errors="replace")
-            yield url, _parse_warc_date(headers.get(b"warc-date", b"")), body
+            when = _parse_warc_date(headers.get(b"warc-date", b""))
+            if with_digest:
+                raw = headers.get(b"warc-payload-digest")
+                digest = raw.decode("ascii", errors="replace") \
+                    if raw else None
+                yield url, when, body, digest
+            else:
+                yield url, when, body
         pos = body_start + n
         # record separator: \r\n\r\n per spec; tolerate a lone \r\n
         if payload.startswith(b"\r\n\r\n", pos):
@@ -156,9 +167,11 @@ class WarcToPages:
     manifest aggregates."""
 
     def __init__(self, max_inflated: int = MAX_INFLATED_BYTES,
-                 include_provenance: bool = False):
+                 include_provenance: bool = False,
+                 include_digest: bool = False):
         self.max_inflated = max_inflated
         self.include_provenance = include_provenance
+        self.include_digest = include_digest
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls: list[str] = []
@@ -166,16 +179,20 @@ class WarcToPages:
         blocks: list[bytes] = []
         files: list[str] = []
         idxs: list[int] = []
+        digests: list[str | None] = []
         for path, payload in zip(batch.column("path").to_pylist(),
                                  batch.column("bytes").to_pylist()):
             if payload[:2] == _GZ_MAGIC:
                 payload = gunzip_members(payload, self.max_inflated)
             base = os.path.basename(path)
-            for i, (url, when, body) in enumerate(
-                    iter_warc_records(payload)):
+            for i, rec in enumerate(
+                    iter_warc_records(payload, with_digest=True)):
+                url, when, body, digest = rec
                 urls.append(url)
                 ts.append(when)
                 blocks.append(body)
+                if self.include_digest:
+                    digests.append(digest)
                 if self.include_provenance:
                     files.append(base)
                     idxs.append(i)
@@ -187,22 +204,32 @@ class WarcToPages:
             pa.array([""] * n, pa.string()),
             pa.array([""] * n, pa.string()),
         ]
-        if not self.include_provenance:
+        fields: list = list(PAGES_SCHEMA)
+        if self.include_provenance:
+            fields += [pa.field(k, t) for k, t in _PROVENANCE_FIELDS]
+            arrays += [pa.array(files, pa.string()),
+                       pa.array(idxs, pa.int64())]
+        if self.include_digest:
+            # the crawler-recorded payload digest (WARC-Payload-Digest):
+            # incremental rounds trust it instead of re-hashing payloads
+            fields.append(pa.field("payload_digest", pa.string()))
+            arrays.append(pa.array(digests, pa.string()))
+        if len(fields) == len(PAGES_SCHEMA):
             return pa.Table.from_arrays(arrays, schema=PAGES_SCHEMA)
-        schema = pa.schema(list(PAGES_SCHEMA) + [
-            pa.field(k, t) for k, t in _PROVENANCE_FIELDS])
-        return pa.Table.from_arrays(
-            arrays + [pa.array(files, pa.string()),
-                      pa.array(idxs, pa.int64())], schema=schema)
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
 def read_warc_dir(folder: str,
-                  include_provenance: bool = False) -> "ray.data.Dataset":
+                  include_provenance: bool = False,
+                  include_digest: bool = False) -> "ray.data.Dataset":
     """Folder of .warc / .warc.gz segments -> streaming pages Dataset.
 
     Paths sort lexicographically so two runs (and two cluster sizes)
     shard the identical segment list; an empty folder yields an empty
     Dataset with the exact pages schema (compose without special-casing).
+    ``include_digest`` surfaces ``WARC-Payload-Digest`` as a
+    ``payload_digest`` column (null where absent) — the hash an
+    incremental round trusts instead of re-reading every payload.
     """
     import ray.data
 
@@ -213,14 +240,16 @@ def read_warc_dir(folder: str,
     paths = [os.path.join(folder, n) for n in names
              if n.endswith(".warc") or n.endswith(".warc.gz")]
     if not paths:
-        schema = PAGES_SCHEMA
+        fields: list = list(PAGES_SCHEMA)
         if include_provenance:
-            schema = pa.schema(list(PAGES_SCHEMA) + [
-                pa.field(k, t) for k, t in _PROVENANCE_FIELDS])
-        return ray.data.from_arrow(schema.empty_table())
+            fields += [pa.field(k, t) for k, t in _PROVENANCE_FIELDS]
+        if include_digest:
+            fields.append(pa.field("payload_digest", pa.string()))
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
     ds = ray.data.read_binary_files(paths, include_paths=True)
     return ds.map_batches(
-        WarcToPages(include_provenance=include_provenance),
+        WarcToPages(include_provenance=include_provenance,
+                    include_digest=include_digest),
         batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -360,7 +389,8 @@ def build_warc_segment(records, gzip_members: bool = False,
                        http_envelope_every: int = 0,
                        warcinfo: bool = True,
                        warc_type: bytes = b"resource",
-                       content_type: bytes = b"text/html") -> bytes:
+                       content_type: bytes = b"text/html",
+                       payload_digest: bool = False) -> bytes:
     """records: iterable of (url: str, ts: datetime, body: bytes) ->
     one WARC segment. ``http_envelope_every=k`` wraps every k-th record
     as an ``application/http; msgtype=response`` block (0 = none) so
@@ -393,12 +423,21 @@ def build_warc_segment(records, gzip_members: bool = False,
             block = body
             ctype = content_type
             wtype = warc_type
+        digest_line = b""
+        if payload_digest:
+            # spec shape: sha1 of the PAYLOAD (entity body, not the
+            # HTTP envelope), base32 — what Common Crawl records
+            import base64 as _b64
+            import hashlib as _hl
+            d = _b64.b32encode(_hl.sha1(body).digest())
+            digest_line = b"WARC-Payload-Digest: sha1:" + d + b"\r\n"
         parts.append(finish(
             b"WARC/1.0\r\n"
             b"WARC-Type: " + wtype + b"\r\n"
             b"WARC-Target-URI: " + url.encode() + b"\r\n"
             b"WARC-Date: "
             + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            + digest_line +
             b"Content-Type: " + ctype + b"\r\n"
             b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
             + block + b"\r\n\r\n"))

@@ -124,3 +124,73 @@ def test_incremental_join_fallback_equivalence(ray_session, tmp_path):
         outs[mode] = sorted((r["url"], r["extracted_text"])
                             for r in delta.take_all())
     assert outs["broadcast"] == outs["join"]
+
+
+def test_incremental_trusts_warc_payload_digest(ray_session, tmp_path):
+    # segments carry WARC-Payload-Digest; the round must diff on the
+    # recorded digests (hash_col) without re-hashing payloads
+    import ray.data
+
+    from full_text_extractor_v6_ray.sources.warc import (
+        build_warc_segment,
+        read_warc_dir,
+    )
+
+    def write_round(d, bodies):
+        os.makedirs(d, exist_ok=True)
+        recs = [(u, _TS, b) for u, b in sorted(bodies.items())]
+        with open(os.path.join(d, "seg-00000.warc"), "wb") as f:
+            f.write(build_warc_segment(recs, payload_digest=True))
+
+    v1 = {f"https://w{i}.ex/p{i}": _html(f"warc body {i}")
+          for i in range(5)}
+    v2 = dict(v1)
+    v2["https://w2.ex/p2"] = _html("warc body 2 CHANGED")
+    del v2["https://w4.ex/p4"]
+
+    d1, d2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    write_round(d1, v1)
+    write_round(d2, v2)
+    state = str(tmp_path / "state")
+
+    s0 = incremental_extraction_round(
+        read_warc_dir(d1, include_digest=True), state,
+        hash_col="payload_digest")
+    assert s0["n_new"] == 5
+    s1 = incremental_extraction_round(
+        read_warc_dir(d2, include_digest=True), state,
+        hash_col="payload_digest")
+    assert s1["n_changed"] == 1 and s1["n_gone"] == 1
+    assert s1["n_unchanged"] == 3 and s1["extracted_rows"] == 1
+    delta = ray.data.read_parquet(os.path.join(state, "delta", "round-1"))
+    rows = delta.take_all()
+    assert [r["url"] for r in rows] == ["https://w2.ex/p2"]
+    assert "CHANGED" in rows[0]["extracted_text"]
+
+
+def test_digest_null_rows_fall_back_to_md5(ray_session, tmp_path):
+    # pages with a null digest hash via md5; a changed digest-less page
+    # is still detected
+    import ray.data
+
+    def pages_with_digest(rows, digests):
+        urls = sorted(rows)
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([_TS] * len(urls), pa.timestamp("us")),
+            "html": pa.array([_html(rows[u]) for u in urls], pa.binary()),
+            "text": pa.array([""] * len(urls), pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+            "payload_digest": pa.array([digests.get(u) for u in urls],
+                                       pa.string()),
+        }))
+
+    state = str(tmp_path / "fb")
+    v1 = {"https://f.ex/a": "aaa", "https://f.ex/b": "bbb"}
+    dg = {"https://f.ex/a": "sha1:AAA"}  # b has no digest
+    incremental_extraction_round(pages_with_digest(v1, dg), state,
+                                 hash_col="payload_digest")
+    v2 = {"https://f.ex/a": "aaa", "https://f.ex/b": "bbb CHANGED"}
+    s = incremental_extraction_round(pages_with_digest(v2, dg), state,
+                                     hash_col="payload_digest")
+    assert s["n_changed"] == 1 and s["n_unchanged"] == 1
