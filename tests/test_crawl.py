@@ -241,3 +241,25 @@ def test_apply_robots_rules_wildcards(ray_session):
     # /docs/a.pdf: /*.pdf$ (len 7) beats /docs (len 5) -> blocked;
     # /x/y.pdf blocked; /docs/page allowed
     assert set(got["path"]) == {"/docs/page"}
+
+
+def test_sitemapindex_parse():
+    from full_text_extractor_v6_ray.stages.crawl import (
+        SitemapIndexParseBatch,
+        SitemapParseBatch,
+    )
+
+    idx = ('<?xml version="1.0"?><sitemapindex>'
+           "<sitemap><loc>https://a.com/maps/1.xml</loc>"
+           "<lastmod>2025-02-01</lastmod></sitemap>"
+           "<sitemap><loc>https://a.com/maps/2.xml</loc></sitemap>"
+           "<sitemap><lastmod>2025-01-01</lastmod></sitemap>"  # no loc
+           "</sitemapindex>")
+    batch = pa.table({"site_id": pa.array([3], pa.int64()),
+                      "xml": pa.array([idx], pa.string())})
+    out = SitemapIndexParseBatch()(batch).to_pandas()
+    assert list(out["sitemap_url"]) == ["https://a.com/maps/1.xml",
+                                        "https://a.com/maps/2.xml"]
+    assert out["lastmod"].tolist() == ["2025-02-01", None]
+    # an index payload yields zero rows through the urlset parser
+    assert SitemapParseBatch()(batch).num_rows == 0
