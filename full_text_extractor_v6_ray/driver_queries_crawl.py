@@ -370,11 +370,15 @@ def q_frontier_schedule(sf_dir: str):
     rules = (hosts.map_batches(build, batch_format="pyarrow")
              .map_batches(RobotsParseBatch(agent="*"),
                           batch_format="pyarrow", zero_copy_batch=True))
-    # dimension-sized: one delay per ruled host
+    # dimension-sized: one delay per ruled host, broadcast as a sorted
+    # (hosts, delays) pair so the decorate below is a searchsorted probe
+    # (vectorized C path) instead of a per-row Python dict lookup
     delay_tbl = rules.select_columns(["host", "crawl_delay"]).to_pandas()
-    delay_map = {int(h): max(int(d), 1)
-                 for h, d in zip(delay_tbl["host"], delay_tbl["crawl_delay"])}
-    ref = ray.put(delay_map)
+    dm = {int(h): max(int(d), 1)
+          for h, d in zip(delay_tbl["host"], delay_tbl["crawl_delay"])}
+    d_hosts = np.array(sorted(dm), dtype=np.int64)
+    d_vals = np.array([dm[h] for h in sorted(dm)], dtype=np.int64)
+    ref = ray.put((d_hosts, d_vals))
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
@@ -391,8 +395,13 @@ def q_frontier_schedule(sf_dir: str):
         "host", "priority", "doc_id")
 
     def decorate(df):
-        dm = ray.get(ref)
-        delays = df["host"].map(lambda h: dm.get(int(h), 1)).astype("int64")
+        hs, dl = ray.get(ref)
+        h = df["host"].to_numpy(dtype=np.int64, copy=False)
+        idx = np.clip(np.searchsorted(hs, h), 0, max(len(hs) - 1, 0))
+        if len(hs):
+            delays = np.where(hs[idx] == h, dl[idx], 1).astype(np.int64)
+        else:
+            delays = np.ones(len(h), dtype=np.int64)
         df = df.copy()
         df["delay_s"] = delays
         df["fetch_at_s"] = (df["wave"] - 1) * delays

@@ -621,6 +621,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may precede
+        # the marker code — skip them so a padded file doesn't mis-walk
+        while pos + 2 <= n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -867,6 +873,12 @@ def jpeg_quality_estimate(data: bytes) -> tuple[int, bool]:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may precede
+        # the marker code — skip them so a padded file doesn't mis-walk
+        while pos + 2 <= n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:

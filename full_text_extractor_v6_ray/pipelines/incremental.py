@@ -32,7 +32,10 @@ a re-run of the same round is a no-op (idempotence test).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import warnings
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -55,6 +58,25 @@ def _rounds(state_dir: str) -> list[int]:
         if f.startswith("round-") and not f.endswith(".tmp"):
             out.append(int(f[len("round-"):]))
     return sorted(out)
+
+
+def _manifest_meta(state_dir: str, k: int) -> dict | None:
+    """Read the committed round-``k`` manifest's ``_meta.json`` (hash
+    kind etc.); None for pre-meta state dirs."""
+    p = os.path.join(state_dir, "manifest", f"round-{k}", "_meta.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _fresh_dir(path: str) -> str:
+    """rmtree+makedirs: a re-run after a mid-round crash must not leave
+    the crashed attempt's partial uuid-named parquet files beside the
+    new ones (write_parquet appends, it never clears)."""
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
 
 
 def _status_filter(ds: "ray.data.Dataset", statuses: set[str]
@@ -92,6 +114,24 @@ def incremental_extraction_round(
     done = _rounds(state_dir)
     k = (done[-1] + 1) if done else 0
     os.makedirs(os.path.join(state_dir, "manifest"), exist_ok=True)
+
+    # Hash-mode guard: a round hashed with md5 diffed against a manifest
+    # of WARC digests (or vice versa) silently classifies the WHOLE
+    # corpus as 'changed' — refuse instead of wasting a full round.
+    hash_kind = f"col:{hash_col}" if hash_col is not None else "md5"
+    if done:
+        meta = _manifest_meta(state_dir, done[-1])
+        if meta is None:
+            warnings.warn(
+                f"manifest round-{done[-1]} predates hash-kind metadata; "
+                f"cannot verify it was produced with {hash_kind!r}",
+                stacklevel=2)
+        elif meta.get("hash_kind") != hash_kind:
+            raise ValueError(
+                f"hash mode mismatch: manifest round-{done[-1]} was built "
+                f"with {meta.get('hash_kind')!r} but this round uses "
+                f"{hash_kind!r} — diffing across hash functions marks the "
+                "entire corpus changed; pass the same hash_col")
 
     def slim(batch: pa.Table) -> pa.Table:
         if hash_col is not None:
@@ -179,13 +219,12 @@ def incremental_extraction_round(
         lambda b, _k=k: b.append_column(
             "round", pa.array([_k] * b.num_rows, pa.int64())),
         batch_format="pyarrow", zero_copy_batch=True)
-    delta_dir = os.path.join(state_dir, "delta", f"round-{k}")
-    os.makedirs(delta_dir, exist_ok=True)
+    delta_dir = _fresh_dir(os.path.join(state_dir, "delta", f"round-{k}"))
     delta.write_parquet(delta_dir)
 
     gone = _status_filter(diff, {"gone"})
-    tomb_dir = os.path.join(state_dir, "tombstones", f"round-{k}")
-    os.makedirs(tomb_dir, exist_ok=True)
+    tomb_dir = _fresh_dir(
+        os.path.join(state_dir, "tombstones", f"round-{k}"))
     gone.map_batches(
         lambda b, _k=k: pa.table({
             "url": b.column("url"),
@@ -194,13 +233,17 @@ def incremental_extraction_round(
 
     # manifest last = the commit point (distributed parquet write into a
     # tmp dir, then one atomic dir rename — never driver-materialized)
-    man_tmp = os.path.join(state_dir, "manifest", f"round-{k}.tmp")
+    man_tmp = _fresh_dir(
+        os.path.join(state_dir, "manifest", f"round-{k}.tmp"))
     man_final = os.path.join(state_dir, "manifest", f"round-{k}")
-    os.makedirs(man_tmp, exist_ok=True)
     cur.map_batches(
         lambda b: pa.table({"url": b.column("url"),
                             "hash": b.column("hash_b")}),
         batch_format="pyarrow", zero_copy_batch=True).write_parquet(man_tmp)
+    # the underscore prefix keeps parquet readers (pyarrow dataset
+    # ignore_prefixes) from treating the meta file as data
+    with open(os.path.join(man_tmp, "_meta.json"), "w") as f:
+        json.dump({"hash_kind": hash_kind, "round": k}, f)
     os.rename(man_tmp, man_final)
 
     return {
@@ -214,33 +257,40 @@ def incremental_extraction_round(
     }
 
 
+def _round_files(state_dir: str, sub: str, rounds: list[int]) -> list[str]:
+    """Parquet files of COMMITTED rounds only — an uncommitted round dir
+    (crash between delta write and manifest rename, or a mid-compaction
+    base) must be invisible to readers."""
+    root = os.path.join(state_dir, sub)
+    files: list[str] = []
+    for r in rounds:
+        full = os.path.join(root, f"round-{r}")
+        if not os.path.isdir(full):
+            continue
+        files.extend(os.path.join(full, f) for f in sorted(os.listdir(full))
+                     if f.endswith(".parquet"))
+    return files
+
+
 def read_current_corpus(state_dir: str) -> "ray.data.Dataset":
     """Reconstruct the live corpus from base+deltas: per url keep the
     highest-round delta row, then drop urls whose latest tombstone is
     newer — one keyed keep-one exchange over the delta rows plus a
     dimension-over-time tombstone decorate (tombstones accumulate at
     the rate urls die, far below corpus size; read as a Dataset and
-    bucket-joined, never driver-materialized)."""
+    bucket-joined, never driver-materialized). Only rounds with a
+    committed manifest are read."""
     from ..stages.dedup import keyed_keep_one
     from ..stages.joins import bucket_hash_join, lookup_hash_join
 
-    delta_root = os.path.join(state_dir, "delta")
-    files = []
-    for d in sorted(os.listdir(delta_root)):
-        full = os.path.join(delta_root, d)
-        files.extend(os.path.join(full, f) for f in sorted(os.listdir(full))
-                     if f.endswith(".parquet"))
+    done = _rounds(state_dir)
+    files = _round_files(state_dir, "delta", done)
+    if not files:
+        raise ValueError(f"no committed rounds under {state_dir!r}")
     live = keyed_keep_one(ray.data.read_parquet(files), "url",
                           [("round", "descending")])
 
-    tomb_root = os.path.join(state_dir, "tombstones")
-    tfiles = []
-    if os.path.isdir(tomb_root):
-        for d in sorted(os.listdir(tomb_root)):
-            full = os.path.join(tomb_root, d)
-            tfiles.extend(os.path.join(full, f)
-                          for f in sorted(os.listdir(full))
-                          if f.endswith(".parquet"))
+    tfiles = _round_files(state_dir, "tombstones", done)
     if not tfiles:
         return live
     tombs = keyed_keep_one(ray.data.read_parquet(tfiles), "url",
@@ -273,3 +323,62 @@ def read_current_corpus(state_dir: str) -> "ray.data.Dataset":
     return lookup_hash_join(live, keep_urls, "url", "url",
                             left_schema=live_schema,
                             right_schema=pa.schema([("url", pa.string())]))
+
+
+def compact_state(state_dir: str) -> dict:
+    """Fold the delta chain + tombstones into a fresh single base round.
+
+    After thousands of CDC rounds ``read_current_corpus`` lists and
+    keep-one-reduces EVERY delta round — file count and reduce input
+    grow with cumulative churn. Compaction writes the live corpus (the
+    exact ``read_current_corpus`` output, ``round`` provenance column
+    preserved byte-for-byte) as a NEW round ``k+1`` whose manifest is a
+    copy of round ``k``'s (content hashes are unchanged by folding),
+    then deletes the superseded rounds. The corpus every reader sees is
+    identical before and after.
+
+    Crash safety mirrors a normal round: the manifest rename is the
+    commit point; until it lands the new base dir is invisible (readers
+    walk committed rounds only). If the cleanup phase crashes midway,
+    stale rounds coexist with the new base harmlessly — keep-one on the
+    descending ``round`` column already resolves every url to the
+    newest row and old tombstones only shadow rows they already
+    shadowed — and the next compaction removes them. Re-running
+    compaction is idempotent (it just folds the base into another base).
+    """
+    done = _rounds(state_dir)
+    if not done:
+        raise ValueError(f"no committed rounds under {state_dir!r}")
+    k = done[-1]
+    nk = k + 1
+
+    live = read_current_corpus(state_dir)
+    base_dir = _fresh_dir(os.path.join(state_dir, "delta", f"round-{nk}"))
+    live.write_parquet(base_dir)
+
+    # manifest/round-nk := manifest/round-k (hash map is fold-invariant);
+    # copytree keeps _meta.json so the hash-kind guard survives compaction
+    man_tmp = os.path.join(state_dir, "manifest", f"round-{nk}.tmp")
+    shutil.rmtree(man_tmp, ignore_errors=True)
+    shutil.copytree(os.path.join(state_dir, "manifest", f"round-{k}"),
+                    man_tmp)
+    meta = _manifest_meta(state_dir, k)
+    if meta is not None:
+        meta["round"] = nk
+        with open(os.path.join(man_tmp, "_meta.json"), "w") as f:
+            json.dump(meta, f)
+    os.rename(man_tmp, os.path.join(state_dir, "manifest", f"round-{nk}"))
+
+    # cleanup (post-commit): manifests first so the committed-round set
+    # shrinks to {nk} before any data dir disappears
+    for r in done:
+        shutil.rmtree(os.path.join(state_dir, "manifest", f"round-{r}"),
+                      ignore_errors=True)
+    for r in done:
+        shutil.rmtree(os.path.join(state_dir, "delta", f"round-{r}"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(state_dir, "tombstones", f"round-{r}"),
+                      ignore_errors=True)
+
+    return {"compacted_into_round": nk, "folded_rounds": done,
+            "state_dir": state_dir}

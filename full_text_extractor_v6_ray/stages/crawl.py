@@ -328,12 +328,17 @@ def apply_robots_rules(pages: "ray.data.Dataset", rules: pa.Table,
             if not m.any():
                 continue
             _, regex = _robots_rule_matcher(prefix)
+            # fill_null(False): a null path must not poison the numpy
+            # AND below (object-dtype None) — null path ⇒ rule doesn't
+            # match ⇒ row stays allowed
             if regex is None:
-                sw = pc.starts_with(path_arr, pattern=prefix).to_numpy(
-                    zero_copy_only=False)
+                sw = pc.fill_null(
+                    pc.starts_with(path_arr, pattern=prefix),
+                    False).to_numpy(zero_copy_only=False)
             else:
-                sw = pc.match_substring_regex(
-                    path_arr, pattern=regex).to_numpy(zero_copy_only=False)
+                sw = pc.fill_null(
+                    pc.match_substring_regex(path_arr, pattern=regex),
+                    False).to_numpy(zero_copy_only=False)
             m &= sw
             ln = len(prefix)
             upd = m & ((best_len < ln)

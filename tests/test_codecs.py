@@ -599,6 +599,25 @@ def test_jpeg_quality_estimate_custom_table_not_exact():
     assert abs(est - 80) <= 2  # least-squares stays in the neighborhood
 
 
+def test_jpeg_marker_fill_bytes_tolerated():
+    # ITU T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    # fill bytes; a padded file must still parse (quality estimate AND
+    # full decode)
+    img = (np.arange(24 * 24 * 3, dtype=np.uint8).reshape(24, 24, 3)
+           % 251)
+    data = codecs.jpeg_encode(img, quality=77)
+    # pad every marker boundary after SOI with fill bytes
+    padded = bytearray(data[:2])
+    pos, n = 2, len(data)
+    padded += b"\xff"  # fill before the first marker
+    padded += data[2:]
+    padded = bytes(padded)
+    assert codecs.jpeg_quality_estimate(padded) == \
+        codecs.jpeg_quality_estimate(data)
+    assert np.array_equal(codecs.jpeg_decode(padded),
+                          codecs.jpeg_decode(data))
+
+
 def test_jpeg_quality_estimate_rejects_non_jpeg():
     with pytest.raises(ValueError):
         codecs.jpeg_quality_estimate(b"\x89PNG\r\n")

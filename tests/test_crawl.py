@@ -95,6 +95,23 @@ def test_robots_filter_prefix_semantics(ray_session):
     assert kept == {(1, "/pub"), (2, "/private/x")}
 
 
+def test_robots_filter_null_path_allowed(ray_session):
+    # a null path must not poison the batch (kernels return null ->
+    # object-dtype None killed the numpy AND pre-fix); the row is
+    # treated as non-matching and stays allowed
+    pages = _ds({"host": [1, 1, 1],
+                 "path": ["/private/x", None, "/pub"]})
+    rules = pa.table({"host": pa.array([1], pa.int64()),
+                      "prefix": pa.array(["/priv"], pa.string())})
+    got = apply_robots_rules(pages, rules).to_pandas()
+    assert set(got["path"].fillna("<null>")) == {"<null>", "/pub"}
+    # wildcard (regex) rule path too
+    rules2 = pa.table({"host": pa.array([1], pa.int64()),
+                       "prefix": pa.array(["/priv*x"], pa.string())})
+    got2 = apply_robots_rules(pages, rules2).to_pandas()
+    assert set(got2["path"].fillna("<null>")) == {"<null>", "/pub"}
+
+
 def test_robots_filter_empty_rules_passthrough(ray_session):
     pages = _ds({"host": [1, 2], "path": ["/a", "/b"]})
     rules = pa.table({"host": pa.array([], pa.int64()),

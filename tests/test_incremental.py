@@ -12,6 +12,7 @@ import pyarrow as pa
 import pytest
 
 from full_text_extractor_v6_ray.pipelines.incremental import (
+    compact_state,
     incremental_extraction_round,
     read_current_corpus,
 )
@@ -194,3 +195,104 @@ def test_digest_null_rows_fall_back_to_md5(ray_session, tmp_path):
     s = incremental_extraction_round(pages_with_digest(v2, dg), state,
                                      hash_col="payload_digest")
     assert s["n_changed"] == 1 and s["n_unchanged"] == 1
+
+def _corpus_table(state_dir):
+    batches = list(read_current_corpus(state_dir)
+                   .iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches).combine_chunks().sort_by("url")
+
+
+def test_compact_state_preserves_corpus(ray_session, state_dir):
+    import ray.data
+
+    v1 = {f"https://c{i}.ex/p{i}": f"c body {i} v1" for i in range(6)}
+    incremental_extraction_round(_pages(v1), state_dir)
+    v2 = dict(v1)
+    v2["https://c1.ex/p1"] = "c body 1 v2"
+    del v2["https://c2.ex/p2"]
+    v2["https://c9.ex/p9"] = "c body 9"
+    incremental_extraction_round(_pages(v2), state_dir)
+
+    before = _corpus_table(state_dir)
+    s = compact_state(state_dir)
+    assert s["folded_rounds"] == [0, 1]
+    after = _corpus_table(state_dir)
+    # byte-equal reconstruction, round provenance included
+    assert after.equals(before)
+
+    # superseded rounds are gone; exactly one base round remains
+    deltas = sorted(os.listdir(os.path.join(state_dir, "delta")))
+    assert deltas == ["round-2"]
+    assert sorted(os.listdir(os.path.join(state_dir, "manifest"))) == \
+        ["round-2"]
+    tomb_root = os.path.join(state_dir, "tombstones")
+    assert not os.path.isdir(tomb_root) or os.listdir(tomb_root) == []
+
+    # idempotent: compacting a compacted state is a fold of one base
+    compact_state(state_dir)
+    assert _corpus_table(state_dir).equals(before)
+
+    # a subsequent incremental round diffs against the copied manifest
+    v3 = dict(v2)
+    v3["https://c3.ex/p3"] = "c body 3 v3"
+    s3 = incremental_extraction_round(_pages(v3), state_dir)
+    assert s3["n_changed"] == 1 and s3["n_new"] == 0
+    assert s3["n_unchanged"] == len(v2) - 1
+    corpus = {r["url"]: r["extracted_text"]
+              for r in read_current_corpus(state_dir).take_all()}
+    assert "c body 3 v3" in corpus["https://c3.ex/p3"]
+    assert set(corpus) == set(v3)
+
+
+def test_hash_kind_mismatch_rejected(ray_session, state_dir):
+    v1 = {"https://hk.ex/a": "aaa", "https://hk.ex/b": "bbb"}
+    incremental_extraction_round(_pages(v1), state_dir)  # md5 mode
+    with pytest.raises(ValueError, match="hash mode mismatch"):
+        incremental_extraction_round(
+            _pages(v1).map_batches(
+                lambda b: b.append_column(
+                    "payload_digest",
+                    pa.array(["sha1:X"] * b.num_rows, pa.string())),
+                batch_format="pyarrow"),
+            state_dir, hash_col="payload_digest")
+    # same mode still fine
+    s = incremental_extraction_round(_pages(v1), state_dir)
+    assert s["n_unchanged"] == 2
+
+
+def test_crashed_round_rerun_leaves_no_partial_files(ray_session, state_dir):
+    import ray.data
+
+    v1 = {f"https://r{i}.ex/p{i}": f"r body {i}" for i in range(4)}
+    incremental_extraction_round(_pages(v1), state_dir)
+
+    # simulate a round-1 attempt that crashed after partially writing
+    # delta/tombstone/manifest-tmp dirs
+    junk_delta = os.path.join(state_dir, "delta", "round-1")
+    os.makedirs(junk_delta, exist_ok=True)
+    stray = pa.table({"url": pa.array(["https://stale.ex/x"]),
+                      "round": pa.array([1], pa.int64())})
+    import pyarrow.parquet as pq
+    pq.write_table(stray, os.path.join(junk_delta, "crashed.parquet"))
+    os.makedirs(os.path.join(state_dir, "manifest", "round-1.tmp"),
+                exist_ok=True)
+    pq.write_table(stray, os.path.join(
+        state_dir, "manifest", "round-1.tmp", "crashed.parquet"))
+
+    # an uncommitted round is invisible to readers
+    urls = {r["url"] for r in read_current_corpus(state_dir).take_all()}
+    assert "https://stale.ex/x" not in urls
+
+    v2 = dict(v1)
+    v2["https://r0.ex/p0"] = "r body 0 v2"
+    s = incremental_extraction_round(_pages(v2), state_dir)
+    assert s["round"] == 1 and s["n_changed"] == 1
+
+    delta = ray.data.read_parquet(os.path.join(state_dir, "delta",
+                                               "round-1"))
+    assert [r["url"] for r in delta.take_all()] == ["https://r0.ex/p0"]
+    man = ray.data.read_parquet(os.path.join(state_dir, "manifest",
+                                             "round-1"))
+    assert man.count() == len(v2)
+    assert "https://stale.ex/x" not in {
+        r["url"] for r in man.take_all()}
