@@ -1393,6 +1393,57 @@ def q_containers_extract(sf_dir: str):
     return wrapped.groupby("method").aggregate(Count(alias_name="n_docs"))
 
 
+def q_ole2_extract(sf_dir: str):
+    """S8 legacy-binary-Office breadth end-to-end (extractor/ole2.py):
+    each document deterministically written (by doc_id % 3) as a real
+    MS-CFB compound file — .doc (FIB + piece table + one HYPERLINK
+    field), .xls (BIFF8 SST + LABELSST/NUMBER cells), or .ppt (text
+    atoms) — then routed through sniff->extract. Oracled per-document:
+    method, extracted char count, and link count are pure doc_id
+    arithmetic over the planted content."""
+    from .extractor.document import extract_document
+    from .extractor.ole2 import build_doc, build_ppt, build_xls
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    class WriteAndExtract:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, methods, n_chars, n_links = [], [], [], []
+            for doc_id in batch.column("doc_id").to_pylist():
+                k = doc_id % 3
+                if k == 0:
+                    payload = build_doc(
+                        [f"Legacy doc {doc_id}.",
+                         f"Second paragraph {doc_id * 3}."],
+                        pieces_compressed=[True, False],
+                        links=[(f"Anchor {doc_id}",
+                                f"https://legacy.example/{doc_id}")])
+                elif k == 1:
+                    payload = build_xls([
+                        (f"S{doc_id % 4}",
+                         [["metric", "value"],
+                          [f"m{doc_id}", doc_id * 7]])])
+                else:
+                    payload = build_ppt(
+                        [f"Slide {doc_id}",
+                         f"Body {doc_id}\rPoint {doc_id * 2}"],
+                        as_bytes=[False, True])
+                res = extract_document(payload)
+                ids.append(doc_id)
+                methods.append(res.method)
+                n_chars.append(len(res.extracted_text))
+                n_links.append(len(res.links))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "method": pa.array(methods, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_links": pa.array(n_links, pa.int64()),
+            })
+
+    return ds.map_batches(WriteAndExtract, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4))
+
+
 def q_pptx_chart_series(sf_dir: str):
     """M12 parity for BINARY payloads (pptx chart XML parts): every
     doc_id % 5 == 0 document is wrapped as a pptx zip carrying one
@@ -2502,6 +2553,7 @@ QUERIES = {
     "knn_cosine_ivf_top10": q_knn_cosine_ivf_top10,
     "embeddings_norms": q_embeddings_norms,
     "containers_extract": q_containers_extract,
+    "ole2_extract": q_ole2_extract,
     "warc_segment_roundtrip": q_warc_segment_roundtrip,
     "warc_cdx_index": q_warc_cdx_index,
     "pptx_chart_series": q_pptx_chart_series,
@@ -3255,6 +3307,38 @@ ORACLES = {
                                ELSE 'docx' END AS method,
                count(*) AS n_docs
         FROM documents GROUP BY 1
+    """,
+    "ole2_extract": """
+        -- mirrors q_ole2_extract's planted compound files: the
+        -- extracted text of each .doc/.xls/.ppt payload is pure doc_id
+        -- arithmetic, so method / char count / link count recompute
+        -- exactly
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'doc'
+                               WHEN 1 THEN 'xls'
+                               ELSE 'ppt' END AS method,
+               CASE doc_id % 3
+                 WHEN 0 THEN length(
+                   'Legacy doc ' || CAST(doc_id AS VARCHAR) || '.'
+                   || chr(10) || chr(10)
+                   || 'Second paragraph ' || CAST(doc_id * 3 AS VARCHAR)
+                   || '.' || chr(10) || chr(10)
+                   || 'Anchor ' || CAST(doc_id AS VARCHAR))
+                 WHEN 1 THEN length(
+                   '## S' || CAST(doc_id % 4 AS VARCHAR)
+                   || chr(10) || chr(10) || '| metric | value |'
+                   || chr(10) || chr(10)
+                   || '| m' || CAST(doc_id AS VARCHAR) || ' | '
+                   || CAST(doc_id * 7 AS VARCHAR) || ' |')
+                 ELSE length(
+                   'Slide ' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || chr(10)
+                   || 'Body ' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || chr(10)
+                   || 'Point ' || CAST(doc_id * 2 AS VARCHAR))
+               END AS n_chars,
+               CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS n_links
+        FROM documents
     """,
     "warc_segment_roundtrip": """
         -- mirrors q_warc_segment_roundtrip's deterministic segment

@@ -139,6 +139,26 @@ def extract_document(
                 error=err,
             )
 
+        if kind == "ole2":
+            # legacy binary Office family (S8 breadth): .doc/.xls/.ppt
+            # via the in-process MS-CFB walker (reference routes these
+            # to MarkItDown, config.py:78-92 / file_converter.py:90-97)
+            from .ole2 import extract_ole2
+
+            text, link_pairs, method, err = extract_ole2(payload)
+            if err and not text and not link_pairs:
+                if text_fallback:
+                    return _fallback_text(text_fallback)
+                return ExtractResult(method="error", error=err)
+            return ExtractResult(
+                extracted_text=text,
+                links=list(link_pairs),
+                method=method,
+                n_blocks_kept=text.count("\n\n") + 1 if text else 0,
+                quality_score=1.0 if text else 0.0,
+                error=err,
+            )
+
         if kind == "pdf":
             text, link_pairs, err = extract_pdf(payload)
             if err and not text:

@@ -12,6 +12,7 @@ PDF_MAGIC = b"%PDF-"
 GZIP_MAGIC = b"\x1f\x8b"
 ZIP_MAGIC = b"PK\x03\x04"
 WARC_MAGIC = b"WARC/"
+OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 # Extension surface (SURVEY.md §2.9, completing the extractor-handler
 # registry in document.py): custom sniffers run BEFORE the builtin
@@ -51,6 +52,8 @@ def sniff_payload(payload: bytes) -> str:
         return "gzip"
     if head.startswith(ZIP_MAGIC):
         return "zip"
+    if head.startswith(OLE2_MAGIC):
+        return "ole2"   # legacy binary Office compound file
     # see through byte-order marks (UTF-16 HTML interleaves NULs that
     # would otherwise hide the markup from the ASCII probes below;
     # decoding happens later in extractor/charset.py)
