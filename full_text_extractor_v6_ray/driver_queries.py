@@ -1444,6 +1444,76 @@ def q_ole2_extract(sf_dir: str):
                           batch_size=256, concurrency=(1, 4))
 
 
+def q_textdata_extract(sf_dir: str):
+    """S8 "Others"-category breadth end-to-end (extractor/textdata.py +
+    the epub route in ooxml.extract_zip): each document deterministically
+    written (by doc_id % 4) as a CSV, JSON, XML, or EPUB payload and
+    routed through sniff->extract. Oracled per-document: method, char
+    count and link count are pure doc_id arithmetic."""
+    import io as _io
+    import zipfile as _zipfile
+
+    from .extractor.document import extract_document
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def _epub(doc_id: int) -> bytes:
+        buf = _io.BytesIO()
+        with _zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype", "application/epub+zip")
+            zf.writestr("META-INF/container.xml",
+                        '<container><rootfiles><rootfile '
+                        'full-path="OEBPS/content.opf"/></rootfiles>'
+                        "</container>")
+            zf.writestr(
+                "OEBPS/content.opf",
+                '<package><manifest>'
+                '<item id="c0" href="ch0.xhtml"/>'
+                '<item id="c1" href="ch1.xhtml"/>'
+                '</manifest><spine><itemref idref="c0"/>'
+                '<itemref idref="c1"/></spine></package>')
+            zf.writestr(
+                "OEBPS/ch0.xhtml",
+                f"<html><body><h1>Book {doc_id}</h1>"
+                f"<p>Para {doc_id * 5}.</p></body></html>")
+            zf.writestr(
+                "OEBPS/ch1.xhtml",
+                f'<html><body><p>See <a href="https://b.ex/{doc_id}">'
+                f"ref {doc_id}</a> now.</p></body></html>")
+        return buf.getvalue()
+
+    class WriteAndExtract:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, methods, n_chars, n_links = [], [], [], []
+            for doc_id in batch.column("doc_id").to_pylist():
+                k = doc_id % 4
+                if k == 0:
+                    payload = (f"metric,value\nm{doc_id},{doc_id * 7}\n"
+                               ).encode()
+                elif k == 1:
+                    payload = (f'{{"doc": {doc_id}, '
+                               f'"score": {doc_id * 3}}}').encode()
+                elif k == 2:
+                    payload = (f'<?xml version="1.0"?><r><a>{doc_id}</a>'
+                               f"<b>v{doc_id * 2}</b></r>").encode()
+                else:
+                    payload = _epub(doc_id)
+                res = extract_document(payload)
+                ids.append(doc_id)
+                methods.append(res.method)
+                n_chars.append(len(res.extracted_text))
+                n_links.append(len(res.links))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "method": pa.array(methods, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_links": pa.array(n_links, pa.int64()),
+            })
+
+    return ds.map_batches(WriteAndExtract, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4))
+
+
 def q_pptx_chart_series(sf_dir: str):
     """M12 parity for BINARY payloads (pptx chart XML parts): every
     doc_id % 5 == 0 document is wrapped as a pptx zip carrying one
@@ -2554,6 +2624,7 @@ QUERIES = {
     "embeddings_norms": q_embeddings_norms,
     "containers_extract": q_containers_extract,
     "ole2_extract": q_ole2_extract,
+    "textdata_extract": q_textdata_extract,
     "warc_segment_roundtrip": q_warc_segment_roundtrip,
     "warc_cdx_index": q_warc_cdx_index,
     "pptx_chart_series": q_pptx_chart_series,
@@ -3338,6 +3409,37 @@ ORACLES = {
                    || 'Point ' || CAST(doc_id * 2 AS VARCHAR))
                END AS n_chars,
                CASE doc_id % 3 WHEN 0 THEN 1 ELSE 0 END AS n_links
+        FROM documents
+    """,
+    "textdata_extract": """
+        -- mirrors q_textdata_extract's planted csv/json/xml/epub
+        -- payloads: every conversion's output is pure doc_id arithmetic
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'csv'
+                               WHEN 1 THEN 'json'
+                               WHEN 2 THEN 'xml'
+                               ELSE 'epub' END AS method,
+               CASE doc_id % 4
+                 WHEN 0 THEN length(
+                   '| metric | value |' || chr(10) || chr(10)
+                   || '| m' || CAST(doc_id AS VARCHAR) || ' | '
+                   || CAST(doc_id * 7 AS VARCHAR) || ' |')
+                 WHEN 1 THEN length(
+                   'doc: ' || CAST(doc_id AS VARCHAR) || chr(10)
+                   || 'score: ' || CAST(doc_id * 3 AS VARCHAR))
+                 WHEN 2 THEN length(
+                   'r.a: ' || CAST(doc_id AS VARCHAR) || chr(10)
+                   || 'r.b: v' || CAST(doc_id * 2 AS VARCHAR))
+                 ELSE length(
+                   '# Book ' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || chr(10)
+                   || 'Para ' || CAST(doc_id * 5 AS VARCHAR) || '.'
+                   || chr(10) || chr(10)
+                   || 'See [ref ' || CAST(doc_id AS VARCHAR)
+                   || '](https://b.ex/' || CAST(doc_id AS VARCHAR)
+                   || ') now.')
+               END AS n_chars,
+               CASE doc_id % 4 WHEN 3 THEN 1 ELSE 0 END AS n_links
         FROM documents
     """,
     "warc_segment_roundtrip": """

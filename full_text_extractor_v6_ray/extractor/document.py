@@ -139,6 +139,26 @@ def extract_document(
                 error=err,
             )
 
+        if kind in ("csv", "json", "xml"):
+            # standalone structured-text payloads (S8 breadth, the
+            # reference's "Others" MarkItDown category, config.py:55-58)
+            from .textdata import csv_to_text, json_to_text, xml_to_text
+
+            conv = {"csv": csv_to_text, "json": json_to_text,
+                    "xml": xml_to_text}[kind]
+            text, err = conv(payload)
+            if err and not text:
+                if text_fallback:
+                    return _fallback_text(text_fallback)
+                return ExtractResult(method="error", error=err)
+            return ExtractResult(
+                extracted_text=text,
+                method=kind,
+                n_blocks_kept=text.count("\n\n") + 1 if text else 0,
+                quality_score=1.0 if text else 0.0,
+                error=err,
+            )
+
         if kind == "ole2":
             # legacy binary Office family (S8 breadth): .doc/.xls/.ppt
             # via the in-process MS-CFB walker (reference routes these

@@ -207,9 +207,63 @@ def _extract_pptx(zf: zipfile.ZipFile) -> tuple[str, list[tuple[str, str]]]:
     return "\n\n".join(paragraphs), links
 
 
+# ---------------------------------------------------------------------------
+# epub (zip + OPF spine + xhtml chapters)
+# ---------------------------------------------------------------------------
+
+_EPUB_ROOTFILE = re.compile(r"<rootfile\b[^>]*?full-path=\"([^\"]+)\"")
+_OPF_ITEM = re.compile(r"<item\b[^>]*?/?>")
+_OPF_ATTR_ID = re.compile(r"\bid=\"([^\"]+)\"")
+_OPF_ATTR_HREF = re.compile(r"\bhref=\"([^\"]+)\"")
+_OPF_ITEMREF = re.compile(r"<itemref\b[^>]*?idref=\"([^\"]+)\"")
+
+
+def _extract_epub(zf: zipfile.ZipFile
+                  ) -> tuple[str, list[tuple[str, str]]]:
+    """EPUB: META-INF/container.xml -> OPF -> spine order; each xhtml
+    chapter re-enters the HTML extractor (epub is zip+xhtml — the OCF/
+    OPF spec shape); chapter texts joined in reading order."""
+    import posixpath
+
+    from .document import extract_document
+
+    container = _read_member(zf, "META-INF/container.xml") or ""
+    rm = _EPUB_ROOTFILE.search(container)
+    if not rm:
+        return "", []
+    opf_path = rm.group(1)
+    opf = _read_member(zf, opf_path) or ""
+    hrefs: dict[str, str] = {}
+    for item in _OPF_ITEM.finditer(opf):
+        im = _OPF_ATTR_ID.search(item.group(0))
+        hm = _OPF_ATTR_HREF.search(item.group(0))
+        if im and hm:
+            hrefs[im.group(1)] = _unescape(hm.group(1))
+    base = posixpath.dirname(opf_path)
+    texts: list[str] = []
+    links: list[tuple[str, str]] = []
+    for sm in _OPF_ITEMREF.finditer(opf):
+        href = hrefs.get(sm.group(1))
+        if not href:
+            continue
+        path = posixpath.normpath(posixpath.join(base, href) if base
+                                  else href)
+        try:
+            info = zf.getinfo(path)
+        except KeyError:
+            continue
+        if info.file_size > _MAX_MEMBER_BYTES:
+            raise ValueError("zip_member_too_large")
+        res = extract_document(zf.read(path))
+        if res.extracted_text:
+            texts.append(res.extracted_text)
+        links.extend(res.links)
+    return "\n\n".join(texts), links
+
+
 def extract_zip(payload: bytes) -> tuple[str, list[tuple[str, str]], str, str]:
     """ZIP payload -> (text, links, method, error). Routes by OOXML part
-    names; unknown zips report ``zip_unsupported``."""
+    names / the EPUB OCF layout; unknown zips report ``zip_unsupported``."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(payload))
     except Exception:
@@ -225,6 +279,12 @@ def extract_zip(payload: bytes) -> tuple[str, list[tuple[str, str]], str, str]:
         if "ppt/presentation.xml" in names:
             text, links = _extract_pptx(zf)
             return text, links, "pptx", "" if text or links else "pptx_empty"
+        is_epub = "META-INF/container.xml" in names or (
+            "mimetype" in names
+            and zf.read("mimetype").strip() == b"application/epub+zip")
+        if is_epub:
+            text, links = _extract_epub(zf)
+            return text, links, "epub", "" if text or links else "epub_empty"
         return "", [], "zip", "zip_unsupported"
     except Exception as exc:
         return "", [], "zip", f"zip_error:{type(exc).__name__}"
