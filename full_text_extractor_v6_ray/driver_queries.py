@@ -5330,3 +5330,49 @@ ORACLES.update({
         FROM documents GROUP BY source
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Driver-sample rotation (round-4 verdict item 5): the driver's
+# correctness gate samples the FIRST ~50 registered queries each round,
+# so registration order decides which queries earn a driver-verified
+# row. Rounds 1-4 sampled the same leading block; the flagship
+# crawl/CDC/training-data/TPC-H queries (all green in the committed
+# full sweeps) never got one. Promote oracled-but-never-driver-sampled
+# queries to the front; everything else keeps its relative order (keys
+# and semantics unchanged — this is ordering only).
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # round-5 additions
+    "ole2_extract", "textdata_extract",
+    # incremental CDC + crawl layer
+    "incremental_delta_urls", "crawl_snapshot_diff", "host_link_degree",
+    "host_reciprocity", "links_anchor_stats", "frontier_politeness_waves",
+    "frontier_robots_filter", "frontier_schedule", "robots_parse",
+    "sitemap_roundtrip",
+    # training-data pipeline family
+    "docs_mixture_quota", "docs_mixture_resample", "docs_train_order",
+    "docs_shard_manifest", "docs_paragraph_dedup",
+    "docs_exact_substring_dedup", "docs_exact_substring_keepfirst",
+    "docs_decontaminate", "docs_decontaminated", "docs_dup_ngrams",
+    "docs_bigram_logprob", "docs_perplexity_buckets", "docs_tfidf_top3",
+    "docs_top_bigrams", "docs_bm25_top10", "docs_inverted_index",
+    "docs_packed_chunks", "docs_chunk_assignment", "docs_dsir_weights",
+    "docs_bpe_token_count", "docs_normalized_dedup",
+    "docs_canonical_url_dedup", "docs_template_ratio", "docs_repetition",
+    # TPC-H flagships
+    "q3_shipping_priority", "q5_local_supplier_volume", "q8_market_share",
+    "q9_product_profit", "q14_promo_revenue", "q17_small_qty_revenue",
+    "q18_large_volume_customers", "q21_waiting_suppliers",
+    # analytics breadth
+    "lineitem_mad", "events_user_entropy", "cosupplier_triangles",
+    "customer_name_fuzzy_pairs", "events_funnel",
+    "events_cohort_retention", "lineitem_profile", "docs_union_evolved",
+]
+
+_reordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+for _n, _fn in QUERIES.items():
+    _reordered.setdefault(_n, _fn)
+QUERIES = _reordered
+del _reordered
