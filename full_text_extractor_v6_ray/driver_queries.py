@@ -5347,7 +5347,8 @@ _DRIVER_PRIORITY = [
     # round-5 additions
     "ole2_extract", "textdata_extract",
     # incremental CDC + crawl layer
-    "incremental_delta_urls", "crawl_snapshot_diff", "host_link_degree",
+    "crawl_round_e2e", "incremental_delta_urls",
+    "crawl_snapshot_diff", "host_link_degree",
     "host_reciprocity", "links_anchor_stats", "frontier_politeness_waves",
     "frontier_robots_filter", "frontier_schedule", "robots_parse",
     "sitemap_roundtrip",

@@ -410,6 +410,101 @@ def q_frontier_schedule(sf_dir: str):
     return waves.map_batches(decorate, batch_format="pandas")
 
 
+def q_crawl_round_e2e(sf_dir: str):
+    """The composed crawl round (pipelines/crawl_round.py) end-to-end
+    over a synthesized WARC snapshot: robots records (host%3==0:
+    Disallow /p<h%7>, Crawl-delay h%4+1), sitemap records (host%2==0:
+    /s1 pri 0.9, /s2 pri 0.2), content pages /p<doc_id> on 40 hosts —
+    parse+apply robots, discover sitemap urls, politeness waves, CDC
+    extraction round, then aggregate the resulting SCHEDULE per host.
+    Every count/wave/delay is pure doc_id arithmetic."""
+    import datetime
+    import hashlib as _hl
+    import shutil
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .pipelines.crawl_round import crawl_round
+    from .sources.warc import build_warc_segment
+
+    nh = 40
+    epoch = datetime.datetime(2024, 3, 1)
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    warc_dir = f"/tmp/graft_crawlround_{tag}/warc"
+    state_dir = f"/tmp/graft_crawlround_{tag}/state"
+    shutil.rmtree(f"/tmp/graft_crawlround_{tag}", ignore_errors=True)
+    os.makedirs(warc_dir, exist_ok=True)
+
+    # meta segment: robots + sitemaps for the 40 hosts (driver-side,
+    # dimension-sized)
+    meta_recs = []
+    for h in range(nh):
+        if h % 3 == 0:
+            meta_recs.append((
+                f"https://h{h}.ex/robots.txt", epoch,
+                (f"User-agent: *\nDisallow: /p{h % 7}\n"
+                 f"Crawl-delay: {h % 4 + 1}\n").encode()))
+        if h % 2 == 0:
+            meta_recs.append((
+                f"https://h{h}.ex/sitemap.xml", epoch,
+                ('<?xml version="1.0"?><urlset>'
+                 f"<url><loc>https://h{h}.ex/s1</loc>"
+                 "<priority>0.9</priority></url>"
+                 f"<url><loc>https://h{h}.ex/s2</loc>"
+                 "<priority>0.2</priority></url></urlset>").encode()))
+    with open(os.path.join(warc_dir, "seg-meta.warc"), "wb") as f:
+        f.write(build_warc_segment(meta_recs, payload_digest=True))
+
+    # content segments, sharded by doc_id block (distributed write)
+    def add_seg(batch: pa.Table) -> pa.Table:
+        seg = np.asarray(batch.column("doc_id").to_numpy(
+            zero_copy_only=False)) // 500
+        return batch.append_column("seg", pa.array(seg, pa.int64()))
+
+    def write_segment(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        recs = [(f"https://h{int(p) % nh}.ex/p{int(p)}",
+                 epoch,
+                 (f"<html><body><p>Doc {int(p)} body.</p></body></html>"
+                  ).encode()) for p in ids]
+        seg = int(ids[0] // 500)
+        payload = build_warc_segment(recs, payload_digest=True)
+        tmp = os.path.join(warc_dir, f"seg-{seg:06d}.warc.tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(warc_dir, f"seg-{seg:06d}.warc"))
+        return pa.table({"seg": pa.array([seg], pa.int64())})
+
+    (ds.map_batches(add_seg, batch_format="pyarrow", zero_copy_batch=True)
+       .groupby("seg").map_groups(write_segment, batch_format="pyarrow")
+       .count())   # barrier: all segments on disk before the round
+
+    out = crawl_round(warc_dir, state_dir)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.match_substring_regex(
+            batch.column("url"), pattern=r"/s[12]$"), pa.int64())
+        return pa.table({
+            "host": batch.column("host"),
+            "wave": batch.column("wave"),
+            "delay_s": batch.column("delay_s"),
+            "is_disc": disc,
+            "is_recrawl": pc.subtract(pa.scalar(1, pa.int64()), disc),
+        })
+
+    sched = out["schedule"].map_batches(flags, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    return sched.groupby("host").aggregate(
+        Count(alias_name="n_frontier"),
+        Sum(on="is_recrawl", alias_name="n_recrawl"),
+        Sum(on="is_disc", alias_name="n_discovered"),
+        Max(on="wave", alias_name="max_wave"),
+        Max(on="delay_s", alias_name="delay_s"),
+    )
+
+
 def q_incremental_delta_urls(sf_dir: str):
     """Incremental recrawl end-to-end (pipelines/incremental.py): run
     TWO real rounds through the CDC state machine (manifest write,
@@ -478,6 +573,7 @@ def q_incremental_delta_urls(sf_dir: str):
 
 
 QUERIES = {
+    "crawl_round_e2e": q_crawl_round_e2e,
     "sitemap_roundtrip": q_sitemap_roundtrip,
     "frontier_schedule": q_frontier_schedule,
     "incremental_delta_urls": q_incremental_delta_urls,
@@ -491,6 +587,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "crawl_round_e2e": """
+        -- recompute the composed round's per-host schedule: a page
+        -- /p<doc_id> on host h=doc_id%40 is disallowed iff h%3=0 and
+        -- its id string starts with h%7 (Disallow /p<h%7> prefix
+        -- semantics); sitemap hosts (h%2=0) contribute /s1+/s2;
+        -- frontier waves are one-per-host-slot so max_wave = frontier
+        -- size; Crawl-delay h%4+1 where robots exist, else 1
+        WITH per_host AS (
+            SELECT doc_id % 40 AS h,
+                   SUM(CASE WHEN (doc_id % 40) % 3 = 0
+                             AND CAST(doc_id AS VARCHAR) LIKE
+                                 CAST((doc_id % 40) % 7 AS VARCHAR) || '%'
+                            THEN 0 ELSE 1 END) AS n_allowed
+            FROM documents GROUP BY 1)
+        SELECT 'h' || CAST(h AS VARCHAR) || '.ex' AS host,
+               CAST(n_allowed + CASE WHEN h % 2 = 0 THEN 2 ELSE 0 END
+                    AS BIGINT) AS n_frontier,
+               CAST(n_allowed AS BIGINT) AS n_recrawl,
+               CAST(CASE WHEN h % 2 = 0 THEN 2 ELSE 0 END
+                    AS BIGINT) AS n_discovered,
+               CAST(n_allowed + CASE WHEN h % 2 = 0 THEN 2 ELSE 0 END
+                    AS BIGINT) AS max_wave,
+               CAST(CASE WHEN h % 3 = 0 THEN h % 4 + 1 ELSE 1 END
+                    AS BIGINT) AS delay_s
+        FROM per_host
+    """,
     "incremental_delta_urls": f"""
         -- the work list round 2 must re-extract: changed bodies
         -- (doc_id%10=1) plus brand-new pages (id doc_id+N for

@@ -112,6 +112,72 @@ def main() -> None:
         f, "host", "priority", "doc_id").count()
     results["frontier_waves_sec"] = round(time.perf_counter() - t, 2)
 
+    # composed crawl round (pipelines/crawl_round.py): robots parse +
+    # apply, sitemap discovery, politeness schedule and the CDC
+    # extraction round end-to-end over an on-disk WARC snapshot
+    # (snapshot synthesis is excluded from the timed window)
+    import datetime
+    import shutil
+
+    from full_text_extractor_v6_ray.pipelines.crawl_round import crawl_round
+    from full_text_extractor_v6_ray.sources.warc import build_warc_segment
+
+    np_pages = min(N, 200_000)
+    nhc = 1_009
+    root = "/tmp/crawl_bench_round"
+    snap, state = os.path.join(root, "warc"), os.path.join(root, "state")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(snap, exist_ok=True)
+    epoch = datetime.datetime(2024, 3, 1)
+
+    meta = []
+    for h in range(nhc):
+        if h % 3 == 0:
+            meta.append((f"https://h{h}.ex/robots.txt", epoch,
+                         (f"User-agent: *\nDisallow: /p{h % 7}\n"
+                          f"Crawl-delay: {h % 4 + 1}\n").encode()))
+        if h % 2 == 0:
+            meta.append((f"https://h{h}.ex/sitemap.xml", epoch,
+                         ('<?xml version="1.0"?><urlset>'
+                          f"<url><loc>https://h{h}.ex/s1</loc>"
+                          "<priority>0.9</priority></url>"
+                          f"<url><loc>https://h{h}.ex/s2</loc>"
+                          "<priority>0.2</priority></url>"
+                          "</urlset>").encode()))
+    with open(os.path.join(snap, "seg-meta.warc"), "wb") as fh:
+        fh.write(build_warc_segment(meta, payload_digest=True))
+
+    cbase = ray.data.range(np_pages,
+                           override_num_blocks=max(CPUS * 2, 32))
+
+    def add_seg(batch: pa.Table) -> pa.Table:
+        p = batch.column("id").to_numpy(zero_copy_only=False)
+        return batch.append_column("seg", pa.array(p // 1000, pa.int64()))
+
+    def write_segment(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("id").to_numpy(zero_copy_only=False))
+        recs = [(f"https://h{int(p) % nhc}.ex/p{int(p)}", epoch,
+                 (f"<html><body><h1>Page {int(p)}</h1><p>Body text for "
+                  f"page {int(p)} with some words.</p></body></html>"
+                  ).encode()) for p in ids]
+        seg = int(ids[0] // 1000)
+        with open(os.path.join(snap, f"seg-{seg:06d}.warc"), "wb") as fh:
+            fh.write(build_warc_segment(recs, payload_digest=True))
+        return pa.table({"seg": pa.array([seg], pa.int64())})
+
+    (cbase.map_batches(add_seg, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby("seg").map_groups(write_segment,
+                                     batch_format="pyarrow").count())
+
+    t = time.perf_counter()
+    out = crawl_round(snap, state)
+    results["crawl_round_schedule_rows"] = out["schedule"].count()
+    results["crawl_round_sec"] = round(time.perf_counter() - t, 2)
+    results["crawl_round_pages"] = np_pages
+    results["crawl_round_extracted"] = out["summary"]["extracted_rows"]
+    shutil.rmtree(root, ignore_errors=True)
+
     results.update({"n_urls": N, "n_edges": 3 * N, "num_cpus": CPUS,
                     "n_hosts": NH})
     print(json.dumps(results))
