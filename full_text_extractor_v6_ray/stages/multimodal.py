@@ -56,20 +56,88 @@ def _decode_fake(payload: bytes):
     return body[:expected].reshape(h, w, c)
 
 
+# ---------------------------------------------------------------------------
+# Native-codec seam (round-4 verdict item 6). The pure-Python JPEG
+# kernel is the honest 100 TB bottleneck (~0.24-2.3 MPix/s/core); the
+# day the environment gains libjpeg-turbo/PIL/cv2, registering a
+# native decoder here swaps the hot kernel WITHOUT touching any stage:
+# ``decode_image_payload`` consults the registry first and falls back
+# to the in-repo codecs on any native error. ``enable_native_codecs``
+# auto-registers PIL for the LOSSLESS formats (png/bmp/gif — output is
+# bit-specified, so results are identical by construction); JPEG stays
+# explicit opt-in because IDCT rounding is not bit-specified across
+# decoders and the repo's oracles pin exact pixel stats.
+# ---------------------------------------------------------------------------
+
+_NATIVE_DECODERS: dict = {}
+
+
+def register_native_decoder(fmt: str, fn) -> None:
+    """Register ``fn(payload) -> uint8 ndarray`` as the preferred
+    decoder for ``fmt`` in {'png','bmp','gif','jpeg'}."""
+    _NATIVE_DECODERS[fmt] = fn
+
+
+def unregister_native_decoder(fmt: str) -> None:
+    _NATIVE_DECODERS.pop(fmt, None)
+
+
+def enable_native_codecs() -> list[str]:
+    """Auto-register PIL (when importable) for the lossless formats;
+    returns the formats that got a native decoder."""
+    if not _HAVE_PIL:
+        return []
+    import io  # pragma: no cover - PIL absent in this sandbox
+
+    def _pil(payload: bytes) -> np.ndarray:  # pragma: no cover
+        return np.asarray(Image.open(io.BytesIO(payload)))
+
+    for fmt in ("png", "bmp", "gif"):  # pragma: no cover
+        register_native_decoder(fmt, _pil)
+    return ["png", "bmp", "gif"]  # pragma: no cover
+
+
+enable_native_codecs()
+
+_PURE_DECODERS = {
+    "png": lambda p: _codecs.png_decode(p),
+    "bmp": lambda p: _codecs.bmp_decode(p),
+    "gif": lambda p: _codecs.gif_decode(p),
+    "jpeg": lambda p: _codecs.jpeg_decode(p),
+}
+
+
+def _sniff_image_format(payload: bytes) -> str | None:
+    if payload.startswith(_codecs.PNG_SIG):
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"GIF8":
+        return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return None
+
+
 def decode_image_payload(payload: bytes) -> np.ndarray:
-    """Container-sniffing image decode: FAKEIMG / PNG / BMP (real codecs,
-    ``extractor/codecs.py``), PIL last-resort if present. Returns uint8
-    (h, w) gray or (h, w, c). Raises on anything undecodable."""
+    """Container-sniffing image decode: FAKEIMG / PNG / BMP / GIF /
+    baseline JPEG. A registered native decoder is preferred per format
+    (pure-codec fallback on native error); PIL last-resort for unknown
+    containers if present. Returns uint8 (h, w) gray or (h, w, c).
+    Raises on anything undecodable."""
     if payload.startswith(FAKEIMG_MAGIC):
         return _decode_fake(payload)
-    if payload.startswith(_codecs.PNG_SIG):
-        return _codecs.png_decode(payload)
-    if payload[:2] == b"BM":
-        return _codecs.bmp_decode(payload)
-    if payload[:4] == b"GIF8":
-        return _codecs.gif_decode(payload)
-    if payload[:3] == b"\xff\xd8\xff":
-        return _codecs.jpeg_decode(payload)
+    fmt = _sniff_image_format(payload)
+    if fmt is not None:
+        native = _NATIVE_DECODERS.get(fmt)
+        if native is not None:
+            try:
+                arr = np.asarray(native(payload))
+                if arr.dtype == np.uint8 and arr.ndim in (2, 3):
+                    return arr
+            except Exception:
+                pass            # degrade to the in-repo codec
+        return _PURE_DECODERS[fmt](payload)
     if _HAVE_PIL:  # pragma: no cover
         import io
         return np.asarray(Image.open(io.BytesIO(payload)))

@@ -621,3 +621,65 @@ def test_jpeg_marker_fill_bytes_tolerated():
 def test_jpeg_quality_estimate_rejects_non_jpeg():
     with pytest.raises(ValueError):
         codecs.jpeg_quality_estimate(b"\x89PNG\r\n")
+
+
+# ---------------------------------------------------------------------------
+# native-codec seam (stages/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def test_native_decoder_dispatch_and_fallback():
+    from full_text_extractor_v6_ray.stages import multimodal as mm
+
+    img = (np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+           % 251)
+    png = codecs.png_encode(img)
+    pure = mm.decode_image_payload(png)
+    assert np.array_equal(pure, img)
+
+    calls = []
+
+    def fake_native(payload):
+        calls.append(len(payload))
+        return img.copy()
+
+    mm.register_native_decoder("png", fake_native)
+    try:
+        out = mm.decode_image_payload(png)
+        assert calls and np.array_equal(out, pure)  # dispatched + equal
+
+        # a native decoder that fails degrades to the pure codec
+        def broken(payload):
+            raise RuntimeError("native blew up")
+
+        mm.register_native_decoder("png", broken)
+        out2 = mm.decode_image_payload(png)
+        assert np.array_equal(out2, pure)
+
+        # a native decoder returning garbage shape is rejected too
+        mm.register_native_decoder("png", lambda p: np.zeros(3))
+        out3 = mm.decode_image_payload(png)
+        assert np.array_equal(out3, pure)
+    finally:
+        mm.unregister_native_decoder("png")
+    # unregistered: pure path again, no stale native state
+    assert np.array_equal(mm.decode_image_payload(png), pure)
+
+
+def test_native_seam_covers_all_formats():
+    from full_text_extractor_v6_ray.stages import multimodal as mm
+
+    gray = (np.arange(8 * 8, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    payloads = {
+        "png": codecs.png_encode(gray),
+        "bmp": codecs.bmp_encode(np.stack([gray] * 3, axis=-1)),
+        "jpeg": codecs.jpeg_encode(gray, quality=90),
+    }
+    for fmt, payload in payloads.items():
+        assert mm._sniff_image_format(payload) == fmt
+        pure = mm.decode_image_payload(payload)
+        marker = pure.copy()
+        mm.register_native_decoder(fmt, lambda p, _m=marker: _m)
+        try:
+            assert np.array_equal(mm.decode_image_payload(payload), pure)
+        finally:
+            mm.unregister_native_decoder(fmt)
