@@ -1514,6 +1514,42 @@ def q_textdata_extract(sf_dir: str):
                           batch_size=256, concurrency=(1, 4))
 
 
+def q_zip_iterate_extract(sf_dir: str):
+    """The reference's "ZIP (iterates over contents)" category
+    (config.py:55-58) end-to-end: each document becomes a generic
+    archive holding a csv member and a txt member; the router iterates
+    members in name order under per-member headers. Oracled: the
+    joined text is pure doc_id arithmetic."""
+    import io as _io
+    import zipfile as _zipfile
+
+    from .extractor.document import extract_document
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    class WrapAndExtract:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, n_chars = [], []
+            for doc_id in batch.column("doc_id").to_pylist():
+                buf = _io.BytesIO()
+                with _zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("a_data.csv",
+                                f"k,v\nrow{doc_id},{doc_id * 7}\n")
+                    zf.writestr("b_notes.txt",
+                                f"note for {doc_id * 3}")
+                res = extract_document(buf.getvalue())
+                assert res.method == "zip"
+                ids.append(doc_id)
+                n_chars.append(len(res.extracted_text))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            })
+
+    return ds.map_batches(WrapAndExtract, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4))
+
+
 def q_pptx_chart_series(sf_dir: str):
     """M12 parity for BINARY payloads (pptx chart XML parts): every
     doc_id % 5 == 0 document is wrapped as a pptx zip carrying one
@@ -2625,6 +2661,7 @@ QUERIES = {
     "containers_extract": q_containers_extract,
     "ole2_extract": q_ole2_extract,
     "textdata_extract": q_textdata_extract,
+    "zip_iterate_extract": q_zip_iterate_extract,
     "warc_segment_roundtrip": q_warc_segment_roundtrip,
     "warc_cdx_index": q_warc_cdx_index,
     "pptx_chart_series": q_pptx_chart_series,
@@ -3440,6 +3477,20 @@ ORACLES = {
                    || ') now.')
                END AS n_chars,
                CASE doc_id % 4 WHEN 3 THEN 1 ELSE 0 END AS n_links
+        FROM documents
+    """,
+    "zip_iterate_extract": """
+        -- mirrors q_zip_iterate_extract: generic-archive iteration
+        -- joins per-member extractions under '## <name>' headers
+        SELECT doc_id,
+               length('## a_data.csv' || chr(10) || chr(10)
+                 || '| k | v |' || chr(10) || chr(10)
+                 || '| row' || CAST(doc_id AS VARCHAR) || ' | '
+                 || CAST(doc_id * 7 AS VARCHAR) || ' |'
+                 || chr(10) || chr(10) || '## b_notes.txt'
+                 || chr(10) || chr(10)
+                 || 'note for ' || CAST(doc_id * 3 AS VARCHAR)
+               ) AS n_chars
         FROM documents
     """,
     "warc_segment_roundtrip": """
@@ -5345,7 +5396,7 @@ ORACLES.update({
 
 _DRIVER_PRIORITY = [
     # round-5 additions
-    "ole2_extract", "textdata_extract",
+    "ole2_extract", "textdata_extract", "zip_iterate_extract",
     # incremental CDC + crawl layer
     "crawl_round_e2e", "incremental_delta_urls",
     "crawl_snapshot_diff", "host_link_degree",

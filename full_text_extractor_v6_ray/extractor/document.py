@@ -122,10 +122,15 @@ def extract_document(
             return res
 
         if kind == "zip":
-            # OOXML fallback family (S8 breadth): docx / xlsx / pptx
+            # OOXML fallback family (S8 breadth): docx / xlsx / pptx /
+            # epub; any other archive iterates members back through the
+            # router (depth-bounded like gzip/warc)
             from .ooxml import extract_zip
 
-            text, link_pairs, method, err = extract_zip(payload)
+            if _depth >= _MAX_CONTAINER_DEPTH:
+                return ExtractResult(method="error", error="container_depth")
+            text, link_pairs, method, err = extract_zip(payload,
+                                                        depth=_depth)
             if err and not text and not link_pairs:
                 if text_fallback:
                     return _fallback_text(text_fallback)

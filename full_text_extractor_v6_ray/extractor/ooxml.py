@@ -261,9 +261,44 @@ def _extract_epub(zf: zipfile.ZipFile
     return "\n\n".join(texts), links
 
 
-def extract_zip(payload: bytes) -> tuple[str, list[tuple[str, str]], str, str]:
+_MAX_ZIP_MEMBERS = 64
+
+
+def _extract_zip_generic(zf: zipfile.ZipFile, depth: int
+                         ) -> tuple[str, list[tuple[str, str]]]:
+    """Generic archive: iterate members in name order (bounded), route
+    each payload back through the extractor, join under per-member
+    headers — the reference's "ZIP (iterates over contents)" category
+    (config.py:55-58). Text-like members that sniff unknown degrade to
+    their own decoded text."""
+    from .document import extract_document
+
+    texts: list[str] = []
+    links: list[tuple[str, str]] = []
+    infos = sorted((i for i in zf.infolist() if not i.is_dir()),
+                   key=lambda i: i.filename)[:_MAX_ZIP_MEMBERS]
+    for info in infos:
+        if info.file_size > _MAX_MEMBER_BYTES:
+            raise ValueError("zip_member_too_large")
+        data = zf.read(info.filename)
+        try:
+            fallback = data.decode("utf-8")
+        except UnicodeDecodeError:
+            fallback = ""
+        res = extract_document(data, text_fallback=fallback,
+                               _depth=depth + 1)
+        if res.extracted_text:
+            texts.append(f"## {info.filename}")
+            texts.append(res.extracted_text)
+        links.extend(res.links)
+    return "\n\n".join(texts), links
+
+
+def extract_zip(payload: bytes, depth: int = 0
+                ) -> tuple[str, list[tuple[str, str]], str, str]:
     """ZIP payload -> (text, links, method, error). Routes by OOXML part
-    names / the EPUB OCF layout; unknown zips report ``zip_unsupported``."""
+    names / the EPUB OCF layout; any other zip iterates its members
+    through the router (``zip`` method)."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(payload))
     except Exception:
@@ -285,7 +320,8 @@ def extract_zip(payload: bytes) -> tuple[str, list[tuple[str, str]], str, str]:
         if is_epub:
             text, links = _extract_epub(zf)
             return text, links, "epub", "" if text or links else "epub_empty"
-        return "", [], "zip", "zip_unsupported"
+        text, links = _extract_zip_generic(zf, depth)
+        return text, links, "zip", "" if text or links else "zip_empty"
     except Exception as exc:
         return "", [], "zip", f"zip_error:{type(exc).__name__}"
 

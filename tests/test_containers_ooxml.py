@@ -149,10 +149,14 @@ def test_pptx_slides_in_order_with_links():
     assert res.links and res.links[0][1] == "https://deck.test/ref"
 
 
-def test_unknown_zip_reports_unsupported():
+def test_unknown_zip_iterates_members():
     payload = _zip_bytes({"random/file.bin": "zzz"})
     res = extract_document(payload)
-    assert res.method == "error" and res.error == "zip_unsupported"
+    # generic archives iterate members through the router (reference
+    # "ZIP iterates over contents"); a text-like member degrades to
+    # its own decoded text under a per-member header
+    assert res.method == "zip" and res.error == ""
+    assert res.extracted_text == "## random/file.bin\n\nzzz"
 
 
 def test_bad_zip_degrades():

@@ -130,12 +130,51 @@ def test_epub_without_container_reports_empty():
     assert res.method == "error" and res.error == "epub_empty"
 
 
-def test_zip_unsupported_still_reported():
+def test_generic_zip_iterates_members():
+    # the reference's "ZIP (iterates over contents)" category: members
+    # route back through the extractor under per-member headers, in
+    # name order
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
-        zf.writestr("random.txt", "nothing office about this")
+        zf.writestr("b_table.csv", "x,y\n1,2\n")
+        zf.writestr("a_page.html",
+                    "<html><body><p>Inner page text.</p></body></html>")
+        zf.writestr("c_notes.txt", "plain member notes")
     res = extract_document(buf.getvalue())
-    assert res.method == "error" and res.error == "zip_unsupported"
+    assert res.method == "zip" and res.error == ""
+    assert res.extracted_text.split("\n\n") == [
+        "## a_page.html", "Inner page text.",
+        "## b_table.csv", "| x | y |", "| 1 | 2 |",
+        "## c_notes.txt", "plain member notes"]
+
+
+def test_generic_zip_nested_depth_bounded():
+    def wrap(inner: bytes, name: str) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(name, inner)
+        return buf.getvalue()
+
+    payload = b"deep text payload"
+    z = wrap(payload, "leaf.txt")
+    for i in range(4):
+        z = wrap(z, f"level{i}.zip")
+    res = extract_document(z)
+    # the innermost levels exceed the container depth bound and
+    # contribute nothing, but the walk terminates cleanly
+    assert res.method in ("zip", "error")
+    assert "deep text payload" not in res.extracted_text
+
+
+def test_memberless_zip_reports_empty():
+    # a zip with only a directory entry has the PK\x03\x04 magic but
+    # nothing extractable (a fully empty zip is just an end-of-central-
+    # directory record and correctly sniffs unknown)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("dir/"), b"")
+    res = extract_document(buf.getvalue())
+    assert res.method == "error" and res.error == "zip_empty"
 
 
 # ---------------------------------------------------------------------------
