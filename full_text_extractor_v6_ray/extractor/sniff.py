@@ -38,7 +38,9 @@ def unregister_sniffer(fn) -> None:
 
 
 def _looks_json(payload: bytes) -> bool:
-    head = payload.lstrip()[:1]
+    # probe a bounded slice first — lstrip on the full payload would
+    # copy megabytes per page on the hot sniff path
+    head = payload[:64].lstrip()[:1]
     if head not in (b"{", b"["):
         return False
     import json as _json
