@@ -258,6 +258,8 @@ _XLS_NUMBER = 0x0203
 _XLS_RK = 0x027E
 _XLS_MULRK = 0x00BD
 _XLS_BOOLERR = 0x0205
+_XLS_FORMULA = 0x0006
+_XLS_STRING = 0x0207
 
 
 def _biff_records(stream: bytes, start: int = 0):
@@ -387,9 +389,40 @@ def _xls_cells(cf: CompoundFile) -> str:
     lines: list[str] = []
     for name, ply in sheets:
         cells: dict[int, dict[int, str]] = {}
+        pending_string: tuple[int, int] | None = None
         for rtype, data, _off in _biff_records(wb, ply):
             if rtype == _XLS_EOF:
                 break
+            if rtype == _XLS_FORMULA:
+                # cached result (MS-XLS 2.4.127 FormulaValue): a plain
+                # f64 unless the high word is 0xFFFF, then byte 0 tags
+                # string (0: value arrives in the next STRING record) /
+                # bool (1) / error (2) / blank (3)
+                row, col, _xf = struct.unpack_from("<HHH", data, 0)
+                if struct.unpack_from("<H", data, 12)[0] == 0xFFFF:
+                    tag = data[6]
+                    if tag == 0:
+                        pending_string = (row, col)
+                    elif tag == 1:
+                        cells.setdefault(row, {})[col] = \
+                            "TRUE" if data[8] else "FALSE"
+                else:
+                    (v,) = struct.unpack_from("<d", data, 6)
+                    cells.setdefault(row, {})[col] = _fmt_num(v)
+                continue
+            if rtype == _XLS_STRING:
+                if pending_string is not None:
+                    (cch,) = struct.unpack_from("<H", data, 0)
+                    wide = data[2] & 0x01
+                    if wide:
+                        s = data[3:3 + 2 * cch].decode("utf-16-le",
+                                                       "replace")
+                    else:
+                        s = data[3:3 + cch].decode("cp1252", "replace")
+                    r0, c0 = pending_string
+                    cells.setdefault(r0, {})[c0] = s
+                    pending_string = None
+                continue
             if rtype == _XLS_LABELSST:
                 row, col, _xf, isst = struct.unpack_from("<HHHI", data, 0)
                 if isst < len(sst):

@@ -245,3 +245,47 @@ def test_extract_document_ole2_fallback_to_text():
     assert "plain fallback text" in res.extracted_text
     res2 = extract_document(data)
     assert res2.method == "error" and res2.error == "ole2_unsupported"
+
+
+def test_xls_formula_cached_results():
+    # FORMULA records carry the cached result: numeric f64, bool, or a
+    # string delivered by the following STRING record (MS-XLS 2.4.127)
+    from full_text_extractor_v6_ray.extractor.ole2 import (
+        _XLS_BOF, _XLS_BOUNDSHEET, _XLS_EOF, _XLS_FORMULA, _XLS_SST,
+        _XLS_STRING, _biff)
+
+    def formula(row, col, value_bytes, extra=b""):
+        # row, col, ixfe, 8-byte FormulaValue, grbit+chn+cce stub
+        return _biff(_XLS_FORMULA, struct.pack("<HHH", row, col, 0)
+                     + value_bytes + struct.pack("<HIH", 0, 0, 0) + extra)
+
+    num = formula(0, 0, struct.pack("<d", 12.5))
+    sval = formula(0, 1, struct.pack("<BBIH", 0, 0, 0, 0xFFFF))
+    srec = _biff(_XLS_STRING, struct.pack("<HB", 5, 0x01)
+                 + "hello".encode("utf-16-le"))
+    # FormulaValue is exactly 8 bytes: tag=1 (bool), pad, value=1, pad,
+    # u16 pad, fExprO=0xFFFF at bytes 6-7
+    bval = formula(1, 0, struct.pack("<BBBBHH", 1, 0, 1, 0, 0, 0xFFFF))
+    bof_s = _biff(_XLS_BOF, struct.pack("<HHHHII", 0x0600, 0x0010,
+                                        0, 0, 0, 0))
+    sheet = bof_s + num + sval + srec + bval + _biff(_XLS_EOF, b"")
+
+    bof_g = _biff(_XLS_BOF, struct.pack("<HHHHII", 0x0600, 0x0005,
+                                        0, 0, 0, 0))
+    sst = _biff(_XLS_SST, struct.pack("<II", 0, 0))
+    name = "F"
+    probe = (bof_g
+             + _biff(_XLS_BOUNDSHEET,
+                     struct.pack("<IHBB", 0, 0, len(name), 0x01)
+                     + name.encode("utf-16-le"))
+             + sst + _biff(_XLS_EOF, b""))
+    globals_blob = (bof_g
+                    + _biff(_XLS_BOUNDSHEET,
+                            struct.pack("<IHBB", len(probe), 0,
+                                        len(name), 0x01)
+                            + name.encode("utf-16-le"))
+                    + sst + _biff(_XLS_EOF, b""))
+    data = build_cfb([("Workbook", globals_blob + sheet)])
+    text, _, method, err = extract_ole2(data)
+    assert err == ""
+    assert text.split("\n\n") == ["## F", "| 12.5 | hello |", "| TRUE |"]

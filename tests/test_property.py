@@ -213,3 +213,50 @@ def test_explode_bands_slim_and_consistent(texts):
     # empty batch guard (ADVICE item): width from num_perm, not row 0
     empty = explode_bands(sigs.slice(0, 0))
     assert empty.num_rows == 0
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_ole2_prefixed_bytes_never_raise(tail):
+    # arbitrary bytes behind the OLE2 magic: the CFB walker must degrade
+    # to an error string, never raise or hang
+    from full_text_extractor_v6_ray.extractor.document import (
+        extract_document,
+    )
+
+    res = extract_document(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + tail)
+    assert res.method in ("error", "doc", "xls", "ppt", "ole2")
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_new_sniff_kinds_never_raise(payload):
+    # the csv/json/xml sniffs + converters run on every unknown payload;
+    # arbitrary bytes must flow through without raising
+    from full_text_extractor_v6_ray.extractor.document import (
+        extract_document,
+    )
+    from full_text_extractor_v6_ray.extractor.sniff import sniff_payload
+
+    kind = sniff_payload(payload)
+    assert isinstance(kind, str)
+    res = extract_document(payload, text_fallback="fb")
+    assert isinstance(res.extracted_text, str)
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet="abcXYZ09_.-", min_size=1, max_size=12),
+    st.binary(min_size=0, max_size=6000)), min_size=1, max_size=5,
+    unique_by=lambda t: t[0]))
+@settings(max_examples=60, deadline=None)
+def test_cfb_roundtrip_property(streams):
+    # any stream set round-trips bit-exact through the CFB writer/reader
+    # (mini-stream and regular placement both exercised by the size mix)
+    from full_text_extractor_v6_ray.extractor.ole2 import (
+        CompoundFile,
+        build_cfb,
+    )
+
+    cf = CompoundFile(build_cfb(streams))
+    for name, blob in streams:
+        assert cf.stream(name) == blob
