@@ -1550,6 +1550,70 @@ def q_zip_iterate_extract(sf_dir: str):
                           batch_size=256, concurrency=(1, 4))
 
 
+def q_doc_properties(sf_dir: str):
+    """Document-property extraction parity (reference
+    metadata_extractor.py:93-180 core_properties walk): even doc_ids
+    become OOXML zips with docProps/core.xml+app.xml
+    (``ooxml_core_properties``), odd doc_ids become .doc compound files
+    with a SummaryInformation property-set stream (MS-OLEPS,
+    ``ole2_summary_properties``). Both walks surface the same fields;
+    every value is doc_id arithmetic."""
+    import datetime as _dt
+    import io as _io
+    import zipfile as _zipfile
+
+    from .extractor.ole2 import build_doc, ole2_summary_properties
+    from .extractor.ooxml import ooxml_core_properties
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    epoch = _dt.datetime(2024, 1, 1)
+
+    class WriteAndRead:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, titles, authors, revs, createds = [], [], [], [], []
+            for doc_id in batch.column("doc_id").to_pylist():
+                title = f"Title {doc_id}"
+                author = f"Author {doc_id % 7}"
+                rev = doc_id % 10
+                created = epoch + _dt.timedelta(seconds=doc_id)
+                if doc_id % 2 == 0:
+                    buf = _io.BytesIO()
+                    with _zipfile.ZipFile(buf, "w") as zf:
+                        zf.writestr("word/document.xml", "<w:document/>")
+                        zf.writestr(
+                            "docProps/core.xml",
+                            "<cp:coreProperties>"
+                            f"<dc:title>{title}</dc:title>"
+                            f"<dc:creator>{author}</dc:creator>"
+                            f"<cp:revision>{rev}</cp:revision>"
+                            '<dcterms:created xsi:type="dcterms:W3CDTF">'
+                            f"{created.strftime('%Y-%m-%dT%H:%M:%SZ')}"
+                            "</dcterms:created></cp:coreProperties>")
+                    props = ooxml_core_properties(buf.getvalue())
+                else:
+                    payload = build_doc(
+                        ["body"], summary={"title": title,
+                                           "author": author,
+                                           "revision": rev,
+                                           "created": created})
+                    props = ole2_summary_properties(payload)
+                ids.append(doc_id)
+                titles.append(props["title"])
+                authors.append(props["author"])
+                revs.append(props["revision"])
+                createds.append(props["created"])
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "title": pa.array(titles, pa.string()),
+                "author": pa.array(authors, pa.string()),
+                "revision": pa.array(revs, pa.string()),
+                "created": pa.array(createds, pa.string()),
+            })
+
+    return ds.map_batches(WriteAndRead, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4))
+
+
 def q_pptx_chart_series(sf_dir: str):
     """M12 parity for BINARY payloads (pptx chart XML parts): every
     doc_id % 5 == 0 document is wrapped as a pptx zip carrying one
@@ -2662,6 +2726,7 @@ QUERIES = {
     "ole2_extract": q_ole2_extract,
     "textdata_extract": q_textdata_extract,
     "zip_iterate_extract": q_zip_iterate_extract,
+    "doc_properties": q_doc_properties,
     "warc_segment_roundtrip": q_warc_segment_roundtrip,
     "warc_cdx_index": q_warc_cdx_index,
     "pptx_chart_series": q_pptx_chart_series,
@@ -3491,6 +3556,19 @@ ORACLES = {
                  || chr(10) || chr(10)
                  || 'note for ' || CAST(doc_id * 3 AS VARCHAR)
                ) AS n_chars
+        FROM documents
+    """,
+    "doc_properties": """
+        -- mirrors q_doc_properties' planted property sets (OOXML
+        -- core.xml for even ids, OLE2 SummaryInformation for odd):
+        -- every surfaced field is doc_id arithmetic
+        SELECT doc_id,
+               'Title ' || CAST(doc_id AS VARCHAR) AS title,
+               'Author ' || CAST(doc_id % 7 AS VARCHAR) AS author,
+               CAST(doc_id % 10 AS VARCHAR) AS revision,
+               strftime(TIMESTAMP '2024-01-01 00:00:00'
+                        + doc_id * INTERVAL 1 SECOND,
+                        '%Y-%m-%dT%H:%M:%SZ') AS created
         FROM documents
     """,
     "warc_segment_roundtrip": """
@@ -5397,6 +5475,7 @@ ORACLES.update({
 _DRIVER_PRIORITY = [
     # round-5 additions
     "ole2_extract", "textdata_extract", "zip_iterate_extract",
+    "doc_properties",
     # incremental CDC + crawl layer
     "crawl_round_e2e", "incremental_delta_urls",
     "crawl_snapshot_diff", "host_link_degree",

@@ -505,6 +505,126 @@ def _ppt_text(cf: CompoundFile) -> str:
 
 
 # ---------------------------------------------------------------------------
+# SummaryInformation property set (MS-OLEPS) — the binary-Office analog
+# of the OOXML docProps/core.xml walk (reference metadata_extractor.py)
+# ---------------------------------------------------------------------------
+
+_SUMMARY_STREAM = "\x05SummaryInformation"
+_FMTID_SUMMARY = bytes.fromhex("e085 9ff2 f94f 6810 ab91 08002b27b3d9"
+                               .replace(" ", ""))
+# PIDSI property ids -> field names (MS-OLEPS / MS-PROPSTORE)
+_PIDSI = {2: "title", 3: "subject", 4: "author", 5: "keywords",
+          6: "comments", 8: "last_modified_by", 9: "revision",
+          12: "created", 13: "modified"}
+_VT_LPSTR = 30
+_VT_LPWSTR = 31
+_VT_I4 = 3
+_VT_FILETIME = 64
+_FILETIME_EPOCH_DELTA = 11644473600  # 1601 -> 1970, seconds
+
+
+def _filetime_iso(ft: int) -> str:
+    import datetime
+
+    secs = ft // 10_000_000 - _FILETIME_EPOCH_DELTA
+    try:
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            seconds=secs)
+    except OverflowError:
+        return ""
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def ole2_summary_properties(payload: bytes) -> dict[str, str]:
+    """Document properties from the ``\\x05SummaryInformation``
+    property-set stream (MS-OLEPS): title/subject/author/keywords/
+    comments/last_modified_by/revision/created/modified, every value
+    normalized to a string, missing -> "". Never raises."""
+    out = {k: "" for k in _PIDSI.values()}
+    try:
+        cf = CompoundFile(payload)
+        s = cf.stream(_SUMMARY_STREAM)
+        if s is None or len(s) < 48:
+            return out
+        (byte_order,) = struct.unpack_from("<H", s, 0)
+        if byte_order != 0xFFFE:
+            return out
+        (n_sections,) = struct.unpack_from("<I", s, 24)
+        sec_off = None
+        for i in range(min(n_sections, 4)):
+            fmtid = s[28 + 20 * i:28 + 20 * i + 16]
+            if fmtid == _FMTID_SUMMARY:
+                (sec_off,) = struct.unpack_from("<I", s, 28 + 20 * i + 16)
+                break
+        if sec_off is None:
+            return out
+        (_cb, n_props) = struct.unpack_from("<II", s, sec_off)
+        for i in range(min(n_props, 64)):
+            pid, off = struct.unpack_from("<II", s, sec_off + 8 + 8 * i)
+            name = _PIDSI.get(pid)
+            if name is None:
+                continue
+            base = sec_off + off
+            (vt,) = struct.unpack_from("<I", s, base)
+            if vt == _VT_LPSTR:
+                (n,) = struct.unpack_from("<I", s, base + 4)
+                raw = s[base + 8:base + 8 + n]
+                out[name] = normalize_text(
+                    raw.split(b"\x00", 1)[0].decode("cp1252", "replace"))
+            elif vt == _VT_LPWSTR:
+                (n,) = struct.unpack_from("<I", s, base + 4)
+                raw = s[base + 8:base + 8 + 2 * n]
+                out[name] = normalize_text(
+                    raw.decode("utf-16-le", "replace").split("\x00", 1)[0])
+            elif vt == _VT_I4:
+                (v,) = struct.unpack_from("<i", s, base + 4)
+                out[name] = str(v)
+            elif vt == _VT_FILETIME:
+                (ft,) = struct.unpack_from("<Q", s, base + 4)
+                out[name] = _filetime_iso(ft)
+    except Exception:
+        pass
+    return out
+
+
+def build_summary_stream(props: dict) -> bytes:
+    """Write a SummaryInformation property-set stream: strings as
+    VT_LPSTR, ints as VT_I4, ``datetime`` values as VT_FILETIME."""
+    import datetime
+
+    entries = []
+    for name, value in props.items():
+        pid = next(k for k, v in _PIDSI.items() if v == name)
+        if isinstance(value, datetime.datetime):
+            ft = (int(value.timestamp() if value.tzinfo else
+                      (value - datetime.datetime(1970, 1, 1))
+                      .total_seconds()) + _FILETIME_EPOCH_DELTA
+                  ) * 10_000_000
+            body = struct.pack("<IQ", _VT_FILETIME, ft)
+        elif isinstance(value, int):
+            body = struct.pack("<Ii", _VT_I4, value)
+        else:
+            raw = str(value).encode("cp1252", "replace") + b"\x00"
+            pad = (4 - len(raw) % 4) % 4
+            body = struct.pack("<II", _VT_LPSTR, len(raw)) + raw + b"\x00" * pad
+        entries.append((pid, body))
+
+    head_sz = 8 + 8 * len(entries)
+    offs, blob = [], b""
+    for _pid, body in entries:
+        offs.append(head_sz + len(blob))
+        blob += body
+    section = struct.pack("<II", head_sz + len(blob), len(entries))
+    for (pid, _), off in zip(entries, offs):
+        section += struct.pack("<II", pid, off)
+    section += blob
+    header = (struct.pack("<HHI", 0xFFFE, 0, 0) + b"\x00" * 16
+              + struct.pack("<I", 1) + _FMTID_SUMMARY
+              + struct.pack("<I", 48))
+    return header + section
+
+
+# ---------------------------------------------------------------------------
 # router entry
 # ---------------------------------------------------------------------------
 
@@ -664,7 +784,8 @@ def build_cfb(streams: list[tuple[str, bytes]], cutoff: int = 4096) -> bytes:
 
 def build_doc(paragraphs: list[str],
               pieces_compressed: list[bool] | None = None,
-              links: list[tuple[str, str]] | None = None) -> bytes:
+              links: list[tuple[str, str]] | None = None,
+              summary: dict | None = None) -> bytes:
     """Write a .doc: FIB + CLX piece table, one piece per paragraph
     (UTF-16LE by default; ``pieces_compressed[i]`` selects the cp1252
     fCompressed encoding for piece i). ``links`` plants HYPERLINK
@@ -700,7 +821,10 @@ def build_doc(paragraphs: list[str],
     clx = b"\x02" + struct.pack("<I", len(plc)) + plc
     struct.pack_into("<I", wd, _FIB_FC_CLX, 0)
     struct.pack_into("<I", wd, _FIB_FC_CLX + 4, len(clx))
-    return build_cfb([("WordDocument", bytes(wd)), ("1Table", clx)])
+    streams = [("WordDocument", bytes(wd)), ("1Table", clx)]
+    if summary is not None:
+        streams.append((_SUMMARY_STREAM, build_summary_stream(summary)))
+    return build_cfb(streams)
 
 
 def _biff(rtype: int, payload: bytes) -> bytes:

@@ -327,6 +327,62 @@ def extract_zip(payload: bytes, depth: int = 0
 
 
 # ---------------------------------------------------------------------------
+# core/app properties (reference metadata_extractor.py parity: the
+# python-pptx core_properties walk reads docProps/core.xml; the
+# application properties read docProps/app.xml)
+# ---------------------------------------------------------------------------
+
+_CORE_FIELDS = {
+    "title": r"<dc:title[^>]*>(.*?)</dc:title>",
+    "subject": r"<dc:subject[^>]*>(.*?)</dc:subject>",
+    "author": r"<dc:creator[^>]*>(.*?)</dc:creator>",
+    "keywords": r"<cp:keywords[^>]*>(.*?)</cp:keywords>",
+    "comments": r"<dc:description[^>]*>(.*?)</dc:description>",
+    "category": r"<cp:category[^>]*>(.*?)</cp:category>",
+    "last_modified_by": r"<cp:lastModifiedBy[^>]*>(.*?)</cp:lastModifiedBy>",
+    "revision": r"<cp:revision[^>]*>(.*?)</cp:revision>",
+    "created": r"<dcterms:created[^>]*>(.*?)</dcterms:created>",
+    "modified": r"<dcterms:modified[^>]*>(.*?)</dcterms:modified>",
+}
+_APP_FIELDS = {
+    "application": r"<Application[^>]*>(.*?)</Application>",
+    "app_version": r"<AppVersion[^>]*>(.*?)</AppVersion>",
+    "company": r"<Company[^>]*>(.*?)</Company>",
+    "n_slides": r"<Slides[^>]*>(.*?)</Slides>",
+    "n_words": r"<Words[^>]*>(.*?)</Words>",
+    "n_pages": r"<Pages[^>]*>(.*?)</Pages>",
+}
+
+
+def ooxml_core_properties(payload: bytes) -> dict[str, str]:
+    """Core + application document properties from an OOXML zip's
+    ``docProps/core.xml`` / ``docProps/app.xml`` — the reference's
+    defensive-getattr core_properties walk
+    (/root/reference/src/processors/powerpoint/metadata_extractor.py:
+    93-135, 111-180): every field normalized to a string, missing
+    properties become "" rather than errors. Never raises."""
+    out = {k: "" for k in (*_CORE_FIELDS, *_APP_FIELDS)}
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except Exception:
+        return out
+    try:
+        core = _read_member(zf, "docProps/core.xml") or ""
+        for k, pat in _CORE_FIELDS.items():
+            m = re.search(pat, core, re.DOTALL)
+            if m:
+                out[k] = normalize_text(_unescape(m.group(1)))
+        app = _read_member(zf, "docProps/app.xml") or ""
+        for k, pat in _APP_FIELDS.items():
+            m = re.search(pat, app, re.DOTALL)
+            if m:
+                out[k] = normalize_text(_unescape(m.group(1)))
+    except Exception:
+        pass
+    return out
+
+
+# ---------------------------------------------------------------------------
 # pptx chart parts (M12 parity for binary payloads)
 # ---------------------------------------------------------------------------
 

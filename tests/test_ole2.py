@@ -289,3 +289,76 @@ def test_xls_formula_cached_results():
     text, _, method, err = extract_ole2(data)
     assert err == ""
     assert text.split("\n\n") == ["## F", "| 12.5 | hello |", "| TRUE |"]
+
+
+def test_summary_properties_roundtrip():
+    import datetime
+
+    from full_text_extractor_v6_ray.extractor.ole2 import (
+        ole2_summary_properties,
+    )
+
+    d = build_doc(["body text"], summary={
+        "title": "Q Report", "subject": "numbers", "author": "A. Writer",
+        "keywords": "q,report", "comments": "draft",
+        "last_modified_by": "B. Editor", "revision": 7,
+        "created": datetime.datetime(2023, 5, 1, 12, 30, 0),
+        "modified": datetime.datetime(2023, 6, 2, 8, 0, 0)})
+    props = ole2_summary_properties(d)
+    assert props["title"] == "Q Report"
+    assert props["author"] == "A. Writer"
+    assert props["last_modified_by"] == "B. Editor"
+    assert props["revision"] == "7"
+    assert props["created"] == "2023-05-01T12:30:00Z"
+    assert props["modified"] == "2023-06-02T08:00:00Z"
+    # the body stream is untouched by the property stream
+    text, _, method, err = extract_ole2(d)
+    assert method == "doc" and "body text" in text
+
+
+def test_summary_properties_absent_or_garbage():
+    from full_text_extractor_v6_ray.extractor.ole2 import (
+        ole2_summary_properties,
+    )
+
+    assert all(v == "" for v in
+               ole2_summary_properties(build_doc(["x"])).values())
+    assert all(v == "" for v in
+               ole2_summary_properties(b"not ole2").values())
+    # wrong byte-order marker -> ignored cleanly
+    bad = build_cfb([("\x05SummaryInformation", b"\x00" * 64)])
+    assert all(v == "" for v in ole2_summary_properties(bad).values())
+
+
+def test_ooxml_core_properties():
+    import io
+    import zipfile
+
+    from full_text_extractor_v6_ray.extractor.ooxml import (
+        ooxml_core_properties,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<w:document/>")
+        zf.writestr("docProps/core.xml",
+                    "<cp:coreProperties>"
+                    "<dc:title>T &amp; Co</dc:title>"
+                    "<dc:creator>Ann</dc:creator>"
+                    "<cp:lastModifiedBy>Bob</cp:lastModifiedBy>"
+                    "<cp:revision>3</cp:revision>"
+                    '<dcterms:created xsi:type="dcterms:W3CDTF">'
+                    "2024-01-05T10:00:00Z</dcterms:created>"
+                    "</cp:coreProperties>")
+        zf.writestr("docProps/app.xml",
+                    "<Properties><Application>MSO</Application>"
+                    "<Slides>12</Slides><Words>120</Words></Properties>")
+    props = ooxml_core_properties(buf.getvalue())
+    assert props["title"] == "T & Co" and props["author"] == "Ann"
+    assert props["last_modified_by"] == "Bob"
+    assert props["revision"] == "3"
+    assert props["created"] == "2024-01-05T10:00:00Z"
+    assert props["application"] == "MSO"
+    assert props["n_slides"] == "12" and props["n_words"] == "120"
+    # zips without docProps degrade to empty strings
+    assert all(v == "" for v in ooxml_core_properties(b"PK").values())
