@@ -172,9 +172,10 @@ _HYPERLINK_FIELD = re.compile(
     "\x13\\s*HYPERLINK\\s+\"([^\"\x14]+)\"[^\x14]*\x14([^\x15]*)\x15",
     re.DOTALL)
 
-# document content specials dropped after field/link handling
-_DOC_DROP = dict.fromkeys(map(ord, "\x01\x02\x05\x08\x13\x14\x15\x1f\x28"),
-                          None)
+# document content specials dropped after field/link handling:
+# picture/footnote/annotation refs, field chars, optional hyphen
+_DOC_DROP = dict.fromkeys(
+    map(ord, "\x01\x02\x05\x08\x13\x14\x15\x1f"), None)
 
 
 def _doc_raw_text(cf: CompoundFile) -> str:

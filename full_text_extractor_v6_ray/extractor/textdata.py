@@ -77,10 +77,10 @@ def json_to_text(payload: bytes) -> tuple[str, str]:
     """JSON bytes -> (key-path lines, error)."""
     try:
         obj = _json.loads(payload.decode("utf-8-sig"))
+        out: list[str] = []
+        _flatten_json(obj, "", out)   # RecursionError on hostile depth
     except Exception as exc:
         return "", f"json_error:{type(exc).__name__}"
-    out: list[str] = []
-    _flatten_json(obj, "", out)
     return "\n".join(out), "" if out else "json_empty"
 
 
@@ -92,10 +92,6 @@ def xml_to_text(payload: bytes) -> tuple[str, str]:
     """XML bytes -> (element-path text lines, error)."""
     import xml.etree.ElementTree as ET
 
-    try:
-        root = ET.fromstring(payload)
-    except Exception as exc:
-        return "", f"xml_error:{type(exc).__name__}"
     out: list[str] = []
 
     def walk(el, path: str) -> None:
@@ -112,5 +108,9 @@ def xml_to_text(payload: bytes) -> tuple[str, str]:
             if tail:
                 out.append(f"{p}: {tail}")
 
-    walk(root, "")
+    try:
+        root = ET.fromstring(payload)
+        walk(root, "")                # RecursionError on hostile depth
+    except Exception as exc:
+        return "", f"xml_error:{type(exc).__name__}"
     return "\n".join(out), "" if out else "xml_empty"

@@ -88,6 +88,15 @@ def test_doc_paragraphs_and_unicode_pieces():
     assert text == "First paragraph.\n\nZwölf Boxkämpfer — naïve."
 
 
+def test_doc_punctuation_survives_special_char_strip():
+    # regression: the specials table must drop ONLY control chars —
+    # printable punctuation passes through untouched
+    d = build_doc(["Call f(x), use [a] {b} 'c' \"d\" 100% & <e>."])
+    text, _, _, err = extract_ole2(d)
+    assert err == ""
+    assert text == "Call f(x), use [a] {b} 'c' \"d\" 100% & <e>."
+
+
 def test_doc_hyperlink_fields():
     d = build_doc(["Intro para."],
                   links=[("Click here", "https://ex.com/a"),
