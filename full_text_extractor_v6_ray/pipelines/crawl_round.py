@@ -16,10 +16,12 @@ single pipeline a scheduler would run per recrawl cycle.
                     │
              schedule (url, host, wave, delay_s, fetch_at_s)
 
-Scale shape: the snapshot streams THREE filtered map-side passes (one
-per record class) — no pass materializes the wide html rows, and at
-100 TB three streaming IO passes beat pinning the snapshot in the
-object store. Robots/sitemap records are a per-host trickle (the
+Scale shape: the snapshot streams TWO filtered map-side passes of its
+own (one fused meta pass parses robots AND sitemaps together; one
+content pass feeds the CDC round, which adds its slim-hash scan and
+work-filter pass) — no pass materializes the wide html rows, and at
+100 TB a handful of streaming IO passes beat pinning the snapshot in
+the object store. Robots/sitemap records are a per-host trickle (the
 dimension-table contract `apply_robots_rules` already documents); the
 only corpus-wide exchanges are the frontier wave ranking (slim url
 rows) and the CDC hash diff, both bucketed. Host keys are int64
@@ -112,31 +114,63 @@ def crawl_round(warc_dir: str, state_dir: str, agent: str = "*",
     """
     pages = read_warc_dir(warc_dir, include_digest=True)
 
-    # robots records -> compiled rule table (dimension-sized contract)
-    robots_rows = _filter_class(pages, "robots").map_batches(
-        lambda b: pa.table({
-            "host": b.column("host_id"),
-            "robots_txt": pc.cast(b.column("html"), pa.string()),
-        }),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).map_batches(RobotsParseBatch(agent=agent), batch_format="pyarrow",
-                  zero_copy_batch=True)
-    rules = pa.concat_tables(
-        list(robots_rows.iter_batches(batch_format="pyarrow"))
-        or [pa.schema([("host", pa.int64()), ("prefix", pa.string()),
-                       ("allow", pa.bool_()),
-                       ("crawl_delay", pa.int64())]).empty_table()]
-    ).combine_chunks()
+    # ONE meta pass over the snapshot yields BOTH robots rules and
+    # sitemap-discovered urls (meta records are a per-host trickle, so
+    # the two parses ride the same filtered read instead of costing a
+    # full snapshot pass each — at 100 TB that's one less IO sweep)
+    def parse_meta(batch: pa.Table) -> pa.Table:
+        b = _decorate_host_path(batch)
+        p = b.column("path")
+        robots_mask = pc.fill_null(_is_robots(p), False)
+        sitemap_mask = pc.and_(pc.fill_null(_is_sitemap(p), False),
+                               pc.invert(robots_mask))
+        rb = b.filter(robots_mask)
+        rules_t = RobotsParseBatch(agent=agent)(pa.table({
+            "host": rb.column("host_id"),
+            "robots_txt": pc.cast(rb.column("html"), pa.string())}))
+        sm = b.filter(sitemap_mask)
+        disc_t = SitemapParseBatch(xml_col="xml", id_col="site_id")(
+            pa.table({"site_id": sm.column("host_id"),
+                      "xml": pc.cast(sm.column("html"), pa.string())}))
+        # union the two row kinds under a tag; absent columns null
+        n_r, n_d = rules_t.num_rows, disc_t.num_rows
+        return pa.table({
+            "kind": pa.array(["rule"] * n_r + ["disc"] * n_d),
+            "host": pa.concat_arrays(
+                [rules_t.column("host").combine_chunks(),
+                 disc_t.column("site_id").combine_chunks()]),
+            "prefix": pa.concat_arrays(
+                [rules_t.column("prefix").combine_chunks(),
+                 pa.nulls(n_d, pa.string())]),
+            "allow": pa.concat_arrays(
+                [rules_t.column("allow").combine_chunks(),
+                 pa.nulls(n_d, pa.bool_())]),
+            "crawl_delay": pa.concat_arrays(
+                [rules_t.column("crawl_delay").combine_chunks(),
+                 pa.nulls(n_d, pa.int64())]),
+            "url": pa.concat_arrays(
+                [pa.nulls(n_r, pa.string()),
+                 disc_t.column("url").combine_chunks()]),
+            "priority": pa.concat_arrays(
+                [pa.nulls(n_r, pa.float64()),
+                 disc_t.column("priority").combine_chunks()]),
+        })
 
-    # sitemap records -> discovered urls with priorities
-    discovered = _filter_class(pages, "sitemap").map_batches(
-        lambda b: pa.table({
-            "site_id": b.column("host_id"),
-            "xml": pc.cast(b.column("html"), pa.string()),
-        }),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).map_batches(SitemapParseBatch(xml_col="xml", id_col="site_id"),
-                  batch_format="pyarrow", zero_copy_batch=True)
+    meta = pa.concat_tables(
+        list(pages.map_batches(parse_meta, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .iter_batches(batch_format="pyarrow"))
+        or [pa.schema([("kind", pa.string()), ("host", pa.int64()),
+                       ("prefix", pa.string()), ("allow", pa.bool_()),
+                       ("crawl_delay", pa.int64()), ("url", pa.string()),
+                       ("priority", pa.float64())]).empty_table()]
+    ).combine_chunks()
+    is_rule = pc.equal(meta.column("kind"), "rule")
+    rules = (meta.filter(is_rule)
+             .select(["host", "prefix", "allow", "crawl_delay"]))
+    disc_tbl = (meta.filter(pc.invert(is_rule))
+                .select(["url", "priority"]))
+    discovered = ray.data.from_arrow(disc_tbl)
 
     # content records -> robots-filtered pages
     content = _filter_class(pages, "content")
