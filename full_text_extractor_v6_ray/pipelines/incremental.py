@@ -98,6 +98,8 @@ def incremental_extraction_round(
     pcfg: PipelineConfig = DEFAULT_PIPELINE_CONFIG,
     broadcast_max: int = 2_000_000,
     hash_col: str | None = None,
+    slim: "ray.data.Dataset | None" = None,
+    slim_hash_kind: str = "md5",
 ) -> dict:
     """Run one incremental round over url-unique ``pages`` (url, warc_ts,
     html[, text, lang]); returns the round summary. Writes are atomic:
@@ -110,7 +112,16 @@ def incremental_extraction_round(
     surfaces from ``WARC-Payload-Digest`` headers) to TRUST instead of
     md5-hashing every payload — at 100 TB that removes the whole
     corpus-wide hash scan; rows where the column is null fall back to
-    md5(html) per row."""
+    md5(html) per row.
+
+    ``slim`` supplies the (url, hash) rows directly — e.g. a CDX
+    capture index built at crawl time (``sources/warc.build_cdx_index``
+    — its ``digest`` column is md5 of the record body, exactly this
+    pipeline's md5 mode), projected to columns ``url`` + ``hash``. The
+    round then never scans ``pages`` for hashing at all: pages are read
+    ONCE, filtered to the work list. The rows must cover exactly the
+    urls of ``pages`` (url-unique); ``slim_hash_kind`` names the hash
+    function for the manifest-mode guard ("md5" for CDX digests)."""
     done = _rounds(state_dir)
     k = (done[-1] + 1) if done else 0
     os.makedirs(os.path.join(state_dir, "manifest"), exist_ok=True)
@@ -118,7 +129,12 @@ def incremental_extraction_round(
     # Hash-mode guard: a round hashed with md5 diffed against a manifest
     # of WARC digests (or vice versa) silently classifies the WHOLE
     # corpus as 'changed' — refuse instead of wasting a full round.
-    hash_kind = f"col:{hash_col}" if hash_col is not None else "md5"
+    if slim is not None:
+        hash_kind = slim_hash_kind
+    elif hash_col is not None:
+        hash_kind = f"col:{hash_col}"
+    else:
+        hash_kind = "md5"
     if done:
         meta = _manifest_meta(state_dir, done[-1])
         if meta is None:
@@ -133,7 +149,7 @@ def incremental_extraction_round(
                 f"{hash_kind!r} — diffing across hash functions marks the "
                 "entire corpus changed; pass the same hash_col")
 
-    def slim(batch: pa.Table) -> pa.Table:
+    def _slim(batch: pa.Table) -> pa.Table:
         if hash_col is not None:
             given = batch.column(hash_col)
             if given.null_count == 0:
@@ -155,8 +171,15 @@ def incremental_extraction_round(
 
     # slim rows materialize ONCE: the diff and the manifest write both
     # consume them, and recomputing would re-hash the wide pages
-    cur = pages.map_batches(slim, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
+    if slim is not None:
+        cur = slim.map_batches(
+            lambda b: pa.table({
+                "url": b.column("url"),
+                "hash_b": pc.cast(b.column("hash"), pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+    else:
+        cur = pages.map_batches(_slim, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
 
     if not done:
         # bootstrap: everything is 'new'

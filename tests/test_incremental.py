@@ -296,3 +296,64 @@ def test_crashed_round_rerun_leaves_no_partial_files(ray_session, state_dir):
     assert man.count() == len(v2)
     assert "https://stale.ex/x" not in {
         r["url"] for r in man.take_all()}
+
+
+def test_cdx_slim_source_equivalence(ray_session, tmp_path):
+    # a CDX capture index (md5 digests of record bodies) can drive the
+    # diff directly: rounds via slim= must equal rounds via page scan
+    import ray.data
+
+    from full_text_extractor_v6_ray.sources.warc import (
+        build_cdx_index,
+        build_warc_segment,
+        read_warc_dir,
+    )
+
+    def write_round(d, bodies):
+        os.makedirs(d, exist_ok=True)
+        recs = [(u, _TS, b) for u, b in sorted(bodies.items())]
+        with open(os.path.join(d, "seg-00000.warc"), "wb") as f:
+            f.write(build_warc_segment(recs))
+
+    v1 = {f"https://cx{i}.ex/p{i}": _html(f"cdx body {i}")
+          for i in range(6)}
+    v2 = dict(v1)
+    v2["https://cx2.ex/p2"] = _html("cdx body 2 CHANGED")
+    del v2["https://cx5.ex/p5"]
+
+    dirs = {}
+    for tag, bodies in (("r0", v1), ("r1", v2)):
+        d = str(tmp_path / tag)
+        write_round(d, bodies)
+        dirs[tag] = d
+
+    def cdx_slim(d):
+        return build_cdx_index(d).map_batches(
+            lambda b: pa.table({"url": b.column("url"),
+                                "hash": b.column("digest")}),
+            batch_format="pyarrow")
+
+    out = {}
+    for mode in ("scan", "cdx"):
+        state = str(tmp_path / f"state_{mode}")
+        sums = []
+        for tag in ("r0", "r1"):
+            pages = read_warc_dir(dirs[tag])
+            kw = {"slim": cdx_slim(dirs[tag])} if mode == "cdx" else {}
+            sums.append(incremental_extraction_round(pages, state, **kw))
+        corpus = sorted(
+            (r["url"], r["extracted_text"])
+            for r in read_current_corpus(state).take_all())
+        out[mode] = (sums, corpus)
+
+    (s_scan, c_scan), (s_cdx, c_cdx) = out["scan"], out["cdx"]
+    assert [s["extracted_rows"] for s in s_cdx] == \
+        [s["extracted_rows"] for s in s_scan] == [6, 1]
+    assert s_cdx[1]["n_changed"] == 1 and s_cdx[1]["n_gone"] == 1
+    assert c_cdx == c_scan
+    # hash kinds interop: a cdx round after a scan round is fine (both
+    # are md5 of the body)
+    state = str(tmp_path / "state_scan")
+    s = incremental_extraction_round(read_warc_dir(dirs["r1"]), state,
+                                     slim=cdx_slim(dirs["r1"]))
+    assert s["n_unchanged"] == 5 and s["extracted_rows"] == 0
