@@ -110,3 +110,21 @@ def test_crawl_round_cdc_second_round_noop(ray_session, tmp_path):
     corpus = {r["url"]: r["extracted_text"]
               for r in read_current_corpus(state).take_all()}
     assert "CHANGED" in corpus["https://h2.ex/y"]
+
+
+def test_crawl_round_no_meta_records(ray_session, tmp_path):
+    # a snapshot with zero robots/sitemap records: everything is
+    # allowed, default delays, frontier = the content urls
+    recs = [(f"https://nm{i}.ex/p{i}", _TS, _html(f"plain {i}"))
+            for i in range(4)]
+    d = str(tmp_path / "warc")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "seg-00000.warc"), "wb") as f:
+        f.write(build_warc_segment(recs, payload_digest=True))
+
+    out = crawl_round(d, str(tmp_path / "state"))
+    assert out["summary"]["extracted_rows"] == 4
+    assert out["rules"].num_rows == 0
+    rows = out["schedule"].take_all()
+    assert len(rows) == 4
+    assert all(r["delay_s"] == 1 and r["wave"] == 1 for r in rows)
