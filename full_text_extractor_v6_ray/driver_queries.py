@@ -1614,6 +1614,19 @@ def q_doc_properties(sf_dir: str):
                           batch_size=256, concurrency=(1, 4))
 
 
+def q_docs_gopher_quality(sf_dir: str):
+    """Gopher document-quality rule suite (Rae et al. 2021 §A1.1,
+    ``stages/text_ops.gopher_quality_flags``): word count, mean word
+    length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stop-word count, and the composed keep
+    decision — all Arrow-kernel vectorized and recomputed exactly in
+    SQL (DuckDB list lambdas over the same RE2 ``\\s+`` split)."""
+    from .stages.text_ops import gopher_quality_flags
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_quality_flags(ds)
+
+
 def q_pptx_chart_series(sf_dir: str):
     """M12 parity for BINARY payloads (pptx chart XML parts): every
     doc_id % 5 == 0 document is wrapped as a pptx zip carrying one
@@ -2727,6 +2740,7 @@ QUERIES = {
     "textdata_extract": q_textdata_extract,
     "zip_iterate_extract": q_zip_iterate_extract,
     "doc_properties": q_doc_properties,
+    "docs_gopher_quality": q_docs_gopher_quality,
     "warc_segment_roundtrip": q_warc_segment_roundtrip,
     "warc_cdx_index": q_warc_cdx_index,
     "pptx_chart_series": q_pptx_chart_series,
@@ -3557,6 +3571,76 @@ ORACLES = {
                  || 'note for ' || CAST(doc_id * 3 AS VARCHAR)
                ) AS n_chars
         FROM documents
+    """,
+    "docs_gopher_quality": r"""
+        -- Gopher rule suite recomputed with DuckDB list lambdas over
+        -- the identical RE2 \s+ split (empty tokens filtered, per-line
+        -- trim set ' \t\r')
+        WITH base AS (
+            SELECT doc_id, COALESCE(text, '') AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, t,
+                list_filter(regexp_split_to_array(t, '\s+'),
+                            w -> w <> '') AS words,
+                list_filter(list_transform(str_split(t, chr(10)),
+                            ln -> trim(ln, ' ' || chr(9) || chr(13))),
+                            x -> x <> '') AS lines
+            FROM base
+        ), m AS (
+            SELECT doc_id,
+                len(words) AS n_words,
+                len(lines) AS n_lines,
+                length(regexp_replace(t, '\s+', '', 'g')) AS nonws,
+                (length(t) - length(replace(t, '#', '')))
+                  + CAST((length(t) - length(replace(t, '...', ''))) / 3
+                         AS BIGINT) AS n_sym,
+                len(list_filter(words,
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                len(list_filter(words, w -> lower(w) IN
+                    ('the','be','to','of','and','that','have','with')
+                    )) AS n_stop,
+                len(list_filter(lines, x -> x LIKE '•%'
+                    OR x LIKE '-%' OR x LIKE '*%')) AS n_bullet,
+                len(list_filter(lines, x -> x LIKE '%...'
+                    OR x LIKE '%…')) AS n_ell
+            FROM tok
+        )
+        SELECT doc_id,
+            CAST(n_words AS BIGINT) AS n_words,
+            CASE WHEN n_words > 0
+                 THEN CAST(nonws AS DOUBLE) / n_words
+                 ELSE 0.0 END AS mean_word_len,
+            CASE WHEN n_words > 0
+                 THEN CAST(n_sym AS DOUBLE) / n_words
+                 ELSE 0.0 END AS symbol_ratio,
+            CASE WHEN n_lines > 0
+                 THEN CAST(n_bullet AS DOUBLE) / n_lines
+                 ELSE 0.0 END AS bullet_frac,
+            CASE WHEN n_lines > 0
+                 THEN CAST(n_ell AS DOUBLE) / n_lines
+                 ELSE 0.0 END AS ellipsis_frac,
+            CASE WHEN n_words > 0
+                 THEN CAST(n_alpha AS DOUBLE) / n_words
+                 ELSE 0.0 END AS alpha_frac,
+            CAST(n_stop AS BIGINT) AS n_stop_words,
+            (n_words BETWEEN 50 AND 100000
+             AND (CASE WHEN n_words > 0
+                       THEN CAST(nonws AS DOUBLE) / n_words
+                       ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+             AND (CASE WHEN n_words > 0
+                       THEN CAST(n_sym AS DOUBLE) / n_words
+                       ELSE 0.0 END) <= 0.1
+             AND (CASE WHEN n_lines > 0
+                       THEN CAST(n_bullet AS DOUBLE) / n_lines
+                       ELSE 0.0 END) <= 0.9
+             AND (CASE WHEN n_lines > 0
+                       THEN CAST(n_ell AS DOUBLE) / n_lines
+                       ELSE 0.0 END) <= 0.3
+             AND (CASE WHEN n_words > 0
+                       THEN CAST(n_alpha AS DOUBLE) / n_words
+                       ELSE 0.0 END) >= 0.8
+             AND n_stop >= 2) AS keep
+        FROM m
     """,
     "doc_properties": """
         -- mirrors q_doc_properties' planted property sets (OOXML
@@ -5492,6 +5576,7 @@ _DRIVER_PRIORITY = [
     "docs_packed_chunks", "docs_chunk_assignment", "docs_dsir_weights",
     "docs_bpe_token_count", "docs_normalized_dedup",
     "docs_canonical_url_dedup", "docs_template_ratio", "docs_repetition",
+    "docs_gopher_quality",
     # TPC-H flagships
     "q3_shipping_priority", "q5_local_supplier_volume", "q8_market_share",
     "q9_product_profit", "q14_promo_revenue", "q17_small_qty_revenue",

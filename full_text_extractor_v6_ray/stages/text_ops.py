@@ -818,3 +818,141 @@ class CompressionRatioBatch:
         return batch.append_column("compression_ratio",
                                    pa.array(np.round(ratios, 4),
                                             pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, §A1.1 — the standard web-text
+# document-quality rule suite)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+_LINE_TRIM = " \t\r"
+
+
+def gopher_quality_flags(docs: "ray.data.Dataset",
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_words: int = 50,
+                         max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         max_bullet_frac: float = 0.9,
+                         max_ellipsis_frac: float = 0.3,
+                         min_alpha_frac: float = 0.8,
+                         min_stop_words: int = 2) -> "ray.data.Dataset":
+    """Per-document Gopher quality signals + the keep decision.
+
+    Signals (each thresholded per the published rule set): word count,
+    mean word length (non-whitespace chars / words), symbol-to-word
+    ratio (# and ``...``), fraction of non-empty lines starting with a
+    bullet / ending with an ellipsis, fraction of words containing an
+    alphabetic character, and stop-word count over the 8-word Gopher
+    list. Everything is Arrow-kernel + segment-sum vectorized (split ->
+    flatten -> parent-index add.at, the vocab_stats shape); definitions
+    are chosen to be DuckDB-mirrorable exactly (RE2 ``\\s+`` split,
+    empty tokens filtered, per-line trim set ``' \\t\\r'``).
+    """
+
+    def flags(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = pc.fill_null(pc.cast(batch.column(text_col),
+                                    pa.string()), "")
+
+        toks = pc.split_pattern_regex(text, pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        par = pc.list_parent_indices(toks).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nonempty_w = pc.not_equal(flat, "").to_numpy(
+            zero_copy_only=False)
+
+        n_words = np.zeros(n, np.int64)
+        np.add.at(n_words, par[nonempty_w], 1)
+
+        is_stop = np.logical_and(
+            pc.is_in(pc.utf8_lower(flat),
+                     value_set=pa.array(GOPHER_STOP_WORDS)).to_numpy(
+                         zero_copy_only=False),
+            nonempty_w)
+        n_stop = np.zeros(n, np.int64)
+        np.add.at(n_stop, par[is_stop], 1)
+
+        is_alpha = np.logical_and(
+            pc.match_substring_regex(flat, pattern="[A-Za-z]").to_numpy(
+                zero_copy_only=False),
+            nonempty_w)
+        n_alpha = np.zeros(n, np.int64)
+        np.add.at(n_alpha, par[is_alpha], 1)
+
+        nonws = pc.utf8_length(pc.replace_substring_regex(
+            text, pattern=r"\s+", replacement="")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        n_sym = (pc.count_substring(text, pattern="#").to_numpy(
+                     zero_copy_only=False).astype(np.int64)
+                 + pc.count_substring(text, pattern="...").to_numpy(
+                     zero_copy_only=False).astype(np.int64))
+
+        lines = pc.split_pattern(text, pattern="\n")
+        lflat = pc.utf8_trim(pc.list_flatten(lines).combine_chunks(),
+                             characters=_LINE_TRIM)
+        lpar = pc.list_parent_indices(lines).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        l_nonempty = pc.not_equal(lflat, "").to_numpy(
+            zero_copy_only=False)
+        n_lines = np.zeros(n, np.int64)
+        np.add.at(n_lines, lpar[l_nonempty], 1)
+
+        def _starts(ch: str):
+            return pc.starts_with(lflat, pattern=ch).to_numpy(
+                zero_copy_only=False)
+
+        is_bullet = np.logical_and(
+            _starts("•") | _starts("-") | _starts("*"), l_nonempty)
+        n_bullet = np.zeros(n, np.int64)
+        np.add.at(n_bullet, lpar[is_bullet], 1)
+
+        def _ends(ch: str):
+            return pc.ends_with(lflat, pattern=ch).to_numpy(
+                zero_copy_only=False)
+
+        is_ell = np.logical_and(_ends("...") | _ends("…"),
+                                l_nonempty)
+        n_ell_lines = np.zeros(n, np.int64)
+        np.add.at(n_ell_lines, lpar[is_ell], 1)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_wl = np.where(n_words > 0, nonws / np.maximum(n_words, 1),
+                               0.0)
+            sym_ratio = np.where(n_words > 0,
+                                 n_sym / np.maximum(n_words, 1), 0.0)
+            alpha_frac = np.where(n_words > 0,
+                                  n_alpha / np.maximum(n_words, 1), 0.0)
+            bullet_frac = np.where(n_lines > 0,
+                                   n_bullet / np.maximum(n_lines, 1), 0.0)
+            ell_frac = np.where(n_lines > 0,
+                                n_ell_lines / np.maximum(n_lines, 1), 0.0)
+
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (mean_wl >= min_mean_word_len)
+                & (mean_wl <= max_mean_word_len)
+                & (sym_ratio <= max_symbol_ratio)
+                & (bullet_frac <= max_bullet_frac)
+                & (ell_frac <= max_ellipsis_frac)
+                & (alpha_frac >= min_alpha_frac)
+                & (n_stop >= min_stop_words))
+
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(mean_wl, pa.float64()),
+            "symbol_ratio": pa.array(sym_ratio, pa.float64()),
+            "bullet_frac": pa.array(bullet_frac, pa.float64()),
+            "ellipsis_frac": pa.array(ell_frac, pa.float64()),
+            "alpha_frac": pa.array(alpha_frac, pa.float64()),
+            "n_stop_words": pa.array(n_stop),
+            "keep": pa.array(keep),
+        })
+
+    return docs.map_batches(flags, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -56,3 +56,51 @@ def test_page_generation_invariant_to_batch_split():
     parts = [PageGenBatch(42)(docs.slice(i, 1)) for i in range(40)]
     joined = pa.concat_tables(parts)
     assert whole.equals(joined)
+
+
+def test_gopher_quality_flags_rules(ray_session):
+    import ray.data
+
+    from full_text_extractor_v6_ray.stages.text_ops import (
+        gopher_quality_flags,
+    )
+
+    good = ("The quick brown fox jumps over the lazy dog and runs far "
+            "away with great speed today. " * 8)
+    short = "The cat sat with joy."                      # < 50 words
+    bullets = "\n".join(f"• item {i} of the list" for i in range(20))
+    symbols = ("the " * 60) + "# " * 30                   # symbol-heavy
+    elliptical = "\n".join(
+        f"the line {i} trails off..." for i in range(10))
+    nonalpha = ("the be to of and that have with " +
+                " ".join("123" for _ in range(100)))
+    empty = ""
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "text": pa.array([good, short, bullets, symbols, elliptical,
+                          nonalpha, empty], pa.string()),
+    }))
+    rows = {r["doc_id"]: r
+            for r in gopher_quality_flags(docs).take_all()}
+
+    assert rows[0]["keep"] is True
+    assert rows[0]["n_words"] == 136 and rows[0]["n_stop_words"] > 2
+
+    assert rows[1]["keep"] is False            # too short
+    assert rows[1]["n_words"] == 5
+
+    assert rows[2]["keep"] is False            # all bullet lines
+    assert rows[2]["bullet_frac"] == 1.0
+
+    assert rows[3]["keep"] is False            # symbol ratio too high
+    assert rows[3]["symbol_ratio"] > 0.1
+
+    assert rows[4]["keep"] is False            # every line ends ...
+    assert rows[4]["ellipsis_frac"] == 1.0
+
+    assert rows[5]["keep"] is False            # alpha fraction too low
+    assert rows[5]["alpha_frac"] < 0.8
+
+    assert rows[6]["keep"] is False and rows[6]["n_words"] == 0
+    assert rows[6]["mean_word_len"] == 0.0
