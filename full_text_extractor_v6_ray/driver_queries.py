@@ -1627,6 +1627,17 @@ def q_docs_gopher_quality(sf_dir: str):
     return gopher_quality_flags(ds)
 
 
+def q_docs_c4_quality(sf_dir: str):
+    """C4 cleaning rule suite (Raffel et al. 2020 §2.2,
+    ``stages/text_ops.c4_quality_flags``): line-level terminal-
+    punctuation + min-word filtering, brace/lorem/javascript doc
+    kills, and the keep decision — recomputed exactly in SQL."""
+    from .stages.text_ops import c4_quality_flags
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return c4_quality_flags(ds)
+
+
 def q_pptx_chart_series(sf_dir: str):
     """M12 parity for BINARY payloads (pptx chart XML parts): every
     doc_id % 5 == 0 document is wrapped as a pptx zip carrying one
@@ -2741,6 +2752,7 @@ QUERIES = {
     "zip_iterate_extract": q_zip_iterate_extract,
     "doc_properties": q_doc_properties,
     "docs_gopher_quality": q_docs_gopher_quality,
+    "docs_c4_quality": q_docs_c4_quality,
     "warc_segment_roundtrip": q_warc_segment_roundtrip,
     "warc_cdx_index": q_warc_cdx_index,
     "pptx_chart_series": q_pptx_chart_series,
@@ -3571,6 +3583,40 @@ ORACLES = {
                  || 'note for ' || CAST(doc_id * 3 AS VARCHAR)
                ) AS n_chars
         FROM documents
+    """,
+    "docs_c4_quality": r"""
+        -- C4 rules recomputed with DuckDB list lambdas over the same
+        -- line split / trim set; word counts use the identical
+        -- unfiltered \s+ split length
+        WITH base AS (
+            SELECT doc_id, COALESCE(text, '') AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, t,
+                list_filter(list_transform(str_split(t, chr(10)),
+                            ln -> trim(ln, ' ' || chr(9) || chr(13))),
+                            x -> x <> '') AS lines
+            FROM base
+        ), m AS (
+            SELECT doc_id, t, len(lines) AS n_lines,
+                list_filter(lines, x ->
+                    (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?'
+                     OR x LIKE '%"' OR x LIKE '%”')
+                    AND len(regexp_split_to_array(x, '\s+')) >= 3
+                ) AS kept
+            FROM tok
+        )
+        SELECT doc_id,
+            CAST(n_lines AS BIGINT) AS n_lines,
+            CAST(len(kept) AS BIGINT) AS n_kept_lines,
+            CAST(COALESCE(list_sum(list_transform(kept,
+                 x -> length(x))), 0) AS BIGINT) AS kept_chars,
+            contains(t, '{') AS has_brace,
+            contains(lower(t), 'lorem ipsum') AS has_lorem,
+            contains(lower(t), 'javascript') AS has_javascript,
+            (len(kept) >= 3 AND NOT contains(t, '{')
+             AND NOT contains(lower(t), 'lorem ipsum')
+             AND NOT contains(lower(t), 'javascript')) AS keep
+        FROM m
     """,
     "docs_gopher_quality": r"""
         -- Gopher rule suite recomputed with DuckDB list lambdas over
@@ -5576,7 +5622,7 @@ _DRIVER_PRIORITY = [
     "docs_packed_chunks", "docs_chunk_assignment", "docs_dsir_weights",
     "docs_bpe_token_count", "docs_normalized_dedup",
     "docs_canonical_url_dedup", "docs_template_ratio", "docs_repetition",
-    "docs_gopher_quality",
+    "docs_gopher_quality", "docs_c4_quality",
     # TPC-H flagships
     "q3_shipping_priority", "q5_local_supplier_volume", "q8_market_share",
     "q9_product_profit", "q14_promo_revenue", "q17_small_qty_revenue",

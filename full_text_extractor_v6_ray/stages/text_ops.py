@@ -956,3 +956,88 @@ def gopher_quality_flags(docs: "ray.data.Dataset",
 
     return docs.map_batches(flags, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2 — the other standard
+# web-text rule suite; line-level, complements the Gopher doc rules)
+# ---------------------------------------------------------------------------
+
+_C4_TERMINAL = (".", "!", "?", '"', "”")
+
+
+def c4_quality_flags(docs: "ray.data.Dataset",
+                     id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_line_words: int = 3,
+                     min_kept_lines: int = 3) -> "ray.data.Dataset":
+    """Per-document C4 cleaning signals + the keep decision.
+
+    Line rules (a line survives iff it ends in terminal punctuation
+    AND has >= ``min_line_words`` words); document rules: any curly
+    brace, the phrase "lorem ipsum", or a javascript-warning line kills
+    the doc, and >= ``min_kept_lines`` surviving lines are required.
+    Output: (id, n_lines, n_kept_lines, kept_chars, has_brace,
+    has_lorem, has_javascript, keep). Vectorized with the same
+    split/flatten/segment-sum shape as ``gopher_quality_flags`` and
+    DuckDB-lambda-mirrorable exactly.
+    """
+
+    def flags(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = pc.fill_null(pc.cast(batch.column(text_col),
+                                    pa.string()), "")
+
+        lines = pc.split_pattern(text, pattern="\n")
+        lflat = pc.utf8_trim(pc.list_flatten(lines).combine_chunks(),
+                             characters=_LINE_TRIM)
+        lpar = pc.list_parent_indices(lines).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        l_nonempty = pc.not_equal(lflat, "").to_numpy(
+            zero_copy_only=False)
+        n_lines = np.zeros(n, np.int64)
+        np.add.at(n_lines, lpar[l_nonempty], 1)
+
+        terminal = np.zeros(len(lflat), bool)
+        for ch in _C4_TERMINAL:
+            terminal |= pc.ends_with(lflat, pattern=ch).to_numpy(
+                zero_copy_only=False)
+
+        # words per line: count \s+ runs inside the trimmed line
+        lwords = pc.list_value_length(pc.split_pattern_regex(
+            lflat, pattern=r"\s+")).to_numpy(zero_copy_only=False)
+        enough_words = lwords >= min_line_words
+
+        kept = terminal & enough_words & l_nonempty
+        n_kept = np.zeros(n, np.int64)
+        np.add.at(n_kept, lpar[kept], 1)
+        lchars = pc.utf8_length(lflat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kept_chars = np.zeros(n, np.int64)
+        np.add.at(kept_chars, lpar[kept], lchars[kept])
+
+        lower = pc.utf8_lower(text)
+        has_brace = pc.match_substring(text, pattern="{").to_numpy(
+            zero_copy_only=False)
+        has_lorem = pc.match_substring(lower,
+                                       pattern="lorem ipsum").to_numpy(
+            zero_copy_only=False)
+        has_js = pc.match_substring(lower, pattern="javascript").to_numpy(
+            zero_copy_only=False)
+
+        keep = ((n_kept >= min_kept_lines)
+                & ~has_brace & ~has_lorem & ~has_js)
+
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(n_lines),
+            "n_kept_lines": pa.array(n_kept),
+            "kept_chars": pa.array(kept_chars),
+            "has_brace": pa.array(has_brace),
+            "has_lorem": pa.array(has_lorem),
+            "has_javascript": pa.array(has_js),
+            "keep": pa.array(keep),
+        })
+
+    return docs.map_batches(flags, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -104,3 +104,39 @@ def test_gopher_quality_flags_rules(ray_session):
 
     assert rows[6]["keep"] is False and rows[6]["n_words"] == 0
     assert rows[6]["mean_word_len"] == 0.0
+
+
+def test_c4_quality_flags_rules(ray_session):
+    import ray.data
+
+    from full_text_extractor_v6_ray.stages.text_ops import (
+        c4_quality_flags,
+    )
+
+    good = ("This is the first proper sentence.\n"
+            "Here is another complete line of text!\n"
+            "And a third one ends with a question mark?\n"
+            "short.\n"                       # < 3 words -> dropped
+            "no terminal punctuation here\n")
+    braces = "A fine sentence here. { code }\nMore text follows now.\n"
+    lorem = ("Lorem ipsum dolor sit amet.\nThe second line is real.\n"
+             "A third sentence sits here.\n")
+    js = ("Please enable JavaScript to view this page.\n"
+          "Second real sentence here.\nThird real sentence too.\n")
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([good, braces, lorem, js], pa.string()),
+    }))
+    rows = {r["doc_id"]: r for r in c4_quality_flags(docs).take_all()}
+
+    assert rows[0]["keep"] is True
+    assert rows[0]["n_lines"] == 5 and rows[0]["n_kept_lines"] == 3
+    assert rows[0]["kept_chars"] == (
+        len("This is the first proper sentence.")
+        + len("Here is another complete line of text!")
+        + len("And a third one ends with a question mark?"))
+
+    assert rows[1]["keep"] is False and rows[1]["has_brace"] is True
+    assert rows[2]["keep"] is False and rows[2]["has_lorem"] is True
+    assert rows[3]["keep"] is False and rows[3]["has_javascript"] is True
