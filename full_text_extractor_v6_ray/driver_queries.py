@@ -1638,6 +1638,17 @@ def q_docs_c4_quality(sf_dir: str):
     return c4_quality_flags(ds)
 
 
+def q_docs_line_repetition(sf_dir: str):
+    """Gopher line-level repetition signals
+    (``stages/text_ops.line_repetition_flags``): duplicate-line
+    fraction + duplicated-line character fraction per document,
+    recomputed exactly in SQL via unnest + two-level grouping."""
+    from .stages.text_ops import line_repetition_flags
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_repetition_flags(ds)
+
+
 def q_pptx_chart_series(sf_dir: str):
     """M12 parity for BINARY payloads (pptx chart XML parts): every
     doc_id % 5 == 0 document is wrapped as a pptx zip carrying one
@@ -2753,6 +2764,7 @@ QUERIES = {
     "doc_properties": q_doc_properties,
     "docs_gopher_quality": q_docs_gopher_quality,
     "docs_c4_quality": q_docs_c4_quality,
+    "docs_line_repetition": q_docs_line_repetition,
     "warc_segment_roundtrip": q_warc_segment_roundtrip,
     "warc_cdx_index": q_warc_cdx_index,
     "pptx_chart_series": q_pptx_chart_series,
@@ -3583,6 +3595,41 @@ ORACLES = {
                  || 'note for ' || CAST(doc_id * 3 AS VARCHAR)
                ) AS n_chars
         FROM documents
+    """,
+    "docs_line_repetition": r"""
+        -- line repetition recomputed via unnest + (doc, line) grouping
+        -- over the identical line split / trim set; docs with zero
+        -- non-empty lines re-enter with zero signals via the left join
+        WITH base AS (
+            SELECT doc_id, COALESCE(text, '') AS t FROM documents
+        ), tok AS (
+            SELECT doc_id,
+                list_filter(list_transform(str_split(t, chr(10)),
+                            ln -> trim(ln, ' ' || chr(9) || chr(13))),
+                            x -> x <> '') AS lines
+            FROM base
+        ), ex AS (
+            SELECT doc_id, unnest(lines) AS ln FROM tok
+        ), g AS (
+            SELECT doc_id, ln, COUNT(*) AS c, length(ln) AS lc
+            FROM ex GROUP BY doc_id, ln
+        ), agg AS (
+            SELECT doc_id,
+                SUM(c) AS n_lines,
+                COUNT(*) AS n_distinct,
+                SUM(c * lc) AS total_chars,
+                SUM(CASE WHEN c > 1 THEN c * lc ELSE 0 END) AS dup_chars
+            FROM g GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+            CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+            CASE WHEN COALESCE(a.n_lines, 0) > 0
+                 THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_lines
+                 ELSE 0.0 END AS dup_line_frac,
+            CASE WHEN COALESCE(a.total_chars, 0) > 0
+                 THEN CAST(a.dup_chars AS DOUBLE) / a.total_chars
+                 ELSE 0.0 END AS dup_line_char_frac
+        FROM base b LEFT JOIN agg a USING (doc_id)
     """,
     "docs_c4_quality": r"""
         -- C4 rules recomputed with DuckDB list lambdas over the same
@@ -5622,7 +5669,7 @@ _DRIVER_PRIORITY = [
     "docs_packed_chunks", "docs_chunk_assignment", "docs_dsir_weights",
     "docs_bpe_token_count", "docs_normalized_dedup",
     "docs_canonical_url_dedup", "docs_template_ratio", "docs_repetition",
-    "docs_gopher_quality", "docs_c4_quality",
+    "docs_gopher_quality", "docs_c4_quality", "docs_line_repetition",
     # TPC-H flagships
     "q3_shipping_priority", "q5_local_supplier_volume", "q8_market_share",
     "q9_product_profit", "q14_promo_revenue", "q17_small_qty_revenue",

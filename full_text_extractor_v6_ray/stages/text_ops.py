@@ -1041,3 +1041,61 @@ def c4_quality_flags(docs: "ray.data.Dataset",
 
     return docs.map_batches(flags, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def line_repetition_flags(docs: "ray.data.Dataset",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> "ray.data.Dataset":
+    """Gopher line-level repetition signals (arXiv:2112.11446 §A1.1,
+    completing ``RepetitionBatch``'s token-level ones): per document
+    the non-empty-line count, the duplicate-line fraction
+    (``1 - distinct/total``) and the fraction of line characters
+    contained in duplicated lines. Map-only: every doc's lines stay in
+    its batch; counting is Arrow ``group_by`` (no Python per line);
+    definitions are DuckDB-mirrorable exactly (same line split/trim as
+    the quality suites)."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = pc.fill_null(pc.cast(batch.column(text_col),
+                                    pa.string()), "")
+        lines = pc.split_pattern(text, pattern="\n")
+        lflat = pc.utf8_trim(pc.list_flatten(lines).combine_chunks(),
+                             characters=_LINE_TRIM)
+        lpar = pc.list_parent_indices(lines).combine_chunks()
+        nonempty = pc.not_equal(lflat, "")
+        t = pa.table({"d": lpar.filter(nonempty),
+                      "ln": lflat.filter(nonempty)})
+        g = t.group_by(["d", "ln"]).aggregate([([], "count_all")])
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        c = g.column("count_all").to_numpy(zero_copy_only=False)
+        lc = pc.utf8_length(g.column("ln")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        n_lines = np.zeros(n, np.int64)
+        np.add.at(n_lines, d, c)
+        n_distinct = np.zeros(n, np.int64)
+        np.add.at(n_distinct, d, 1)
+        total_chars = np.zeros(n, np.int64)
+        np.add.at(total_chars, d, c * lc)
+        dup_chars = np.zeros(n, np.int64)
+        dup_mask = c > 1
+        np.add.at(dup_chars, d[dup_mask], (c * lc)[dup_mask])
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup_line_frac = np.where(
+                n_lines > 0,
+                1.0 - n_distinct / np.maximum(n_lines, 1), 0.0)
+            dup_char_frac = np.where(
+                total_chars > 0,
+                dup_chars / np.maximum(total_chars, 1), 0.0)
+
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(n_lines),
+            "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+            "dup_line_char_frac": pa.array(dup_char_frac, pa.float64()),
+        })
+
+    return docs.map_batches(flags, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -140,3 +140,40 @@ def test_c4_quality_flags_rules(ray_session):
     assert rows[1]["keep"] is False and rows[1]["has_brace"] is True
     assert rows[2]["keep"] is False and rows[2]["has_lorem"] is True
     assert rows[3]["keep"] is False and rows[3]["has_javascript"] is True
+
+
+def test_line_repetition_flags(ray_session):
+    import ray.data
+
+    from full_text_extractor_v6_ray.stages.text_ops import (
+        line_repetition_flags,
+    )
+
+    uniq = "alpha one\nbeta two\ngamma three"
+    half_dup = "same line here\nsame line here\nother line"
+    all_dup = "x y\nx y\nx y\nx y"
+    empty = "\n\n  \n"
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([uniq, half_dup, all_dup, empty], pa.string()),
+    }))
+    rows = {r["doc_id"]: r
+            for r in line_repetition_flags(docs).take_all()}
+
+    assert rows[0]["n_lines"] == 3 and rows[0]["dup_line_frac"] == 0.0
+    assert rows[0]["dup_line_char_frac"] == 0.0
+
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - (1 - 2 / 3)) < 1e-12
+    dup_chars = 2 * len("same line here")
+    total = dup_chars + len("other line")
+    assert abs(r1["dup_line_char_frac"] - dup_chars / total) < 1e-12
+
+    assert rows[2]["dup_line_frac"] == 0.75
+    assert rows[2]["dup_line_char_frac"] == 1.0
+
+    assert rows[3]["n_lines"] == 0
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["dup_line_char_frac"] == 0.0
