@@ -1649,6 +1649,65 @@ def q_docs_line_repetition(sf_dir: str):
     return line_repetition_flags(ds)
 
 
+def q_videos_mjpeg_frames(sf_dir: str):
+    """Real compressed-video path end-to-end (the FAKEVID upgrade):
+    every doc_id % 5 == 0 document becomes an MJPEG AVI
+    (``extractor/codecs.avi_mjpeg_encode``) of k = doc_id%3+2
+    solid-gray 24x16 frames, routed through the REAL stages —
+    ``FrameSampleBatch`` (RIFF walk, stride 2) then
+    ``DecodeImageBatch`` (baseline-JPEG decode). Solid grays roundtrip
+    bit-exactly at q90 (DC-only blocks), so frame means are pure
+    doc_id arithmetic."""
+    from .stages.multimodal import DecodeImageBatch, FrameSampleBatch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    class BuildAvi:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from .extractor.codecs import avi_mjpeg_encode
+
+            ids, media, mtype = [], [], []
+            for doc_id in batch.column("doc_id").to_pylist():
+                if doc_id % 5 != 0:
+                    continue
+                k = doc_id % 3 + 2
+                frames = [np.full((16, 24),
+                                  (doc_id * 7 + i * 31) % 256, np.uint8)
+                          for i in range(k)]
+                ids.append(doc_id)
+                media.append(avi_mjpeg_encode(frames, fps=doc_id % 4 + 1,
+                                              quality=90))
+                mtype.append("video/avi")
+            return pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "media": pa.array(media, pa.binary()),
+                "media_type": pa.array(mtype, pa.string()),
+            })
+
+    vids = ds.map_batches(BuildAvi, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4))
+    frames = vids.map_batches(FrameSampleBatch,
+                              fn_constructor_kwargs={"stride": 2},
+                              batch_format="pyarrow", batch_size=64,
+                              concurrency=(1, 4))
+    decoded = frames.map_batches(DecodeImageBatch, batch_format="pyarrow",
+                                 batch_size=64, concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        meta = batch.column("media_meta")
+        return pa.table({
+            "doc_id": batch.column("id"),
+            "frame_idx": pc.cast(batch.column("frame_idx"), pa.int64()),
+            "width": pc.cast(pc.struct_field(meta, "width"), pa.int64()),
+            "height": pc.cast(pc.struct_field(meta, "height"),
+                              pa.int64()),
+            "mean_intensity": pc.struct_field(meta, "mean_intensity"),
+        })
+
+    return decoded.map_batches(project, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def q_pptx_chart_series(sf_dir: str):
     """M12 parity for BINARY payloads (pptx chart XML parts): every
     doc_id % 5 == 0 document is wrapped as a pptx zip carrying one
@@ -2765,6 +2824,7 @@ QUERIES = {
     "docs_gopher_quality": q_docs_gopher_quality,
     "docs_c4_quality": q_docs_c4_quality,
     "docs_line_repetition": q_docs_line_repetition,
+    "videos_mjpeg_frames": q_videos_mjpeg_frames,
     "warc_segment_roundtrip": q_warc_segment_roundtrip,
     "warc_cdx_index": q_warc_cdx_index,
     "pptx_chart_series": q_pptx_chart_series,
@@ -3595,6 +3655,27 @@ ORACLES = {
                  || 'note for ' || CAST(doc_id * 3 AS VARCHAR)
                ) AS n_chars
         FROM documents
+    """,
+    "videos_mjpeg_frames": """
+        -- mirrors q_videos_mjpeg_frames: k = doc_id%3+2 frames, stride
+        -- 2 samples idx 0 (and 2 when k>=3); solid grays roundtrip the
+        -- baseline JPEG bit-exactly at q90 so the mean is arithmetic
+        WITH v AS (
+            SELECT doc_id, doc_id % 3 + 2 AS k
+            FROM documents WHERE doc_id % 5 = 0
+        ), f AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN k >= 3 THEN [0, 2] ELSE [0] END)
+                       AS frame_idx
+            FROM v
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(24 AS BIGINT) AS width,
+               CAST(16 AS BIGINT) AS height,
+               CAST((doc_id * 7 + frame_idx * 31) % 256 AS DOUBLE)
+                   AS mean_intensity
+        FROM f
     """,
     "docs_line_repetition": r"""
         -- line repetition recomputed via unnest + (doc, line) grouping
@@ -5670,6 +5751,7 @@ _DRIVER_PRIORITY = [
     "docs_bpe_token_count", "docs_normalized_dedup",
     "docs_canonical_url_dedup", "docs_template_ratio", "docs_repetition",
     "docs_gopher_quality", "docs_c4_quality", "docs_line_repetition",
+    "videos_mjpeg_frames",
     # TPC-H flagships
     "q3_shipping_priority", "q5_local_supplier_volume", "q8_market_share",
     "q9_product_profit", "q14_promo_revenue", "q17_small_qty_revenue",

@@ -302,25 +302,36 @@ def make_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
 
 class FrameSampleBatch:
     """Frame-sample stage: one video row -> one row PER SAMPLED frame
-    (every ``stride``-th), each frame a decodable FAKEIMG payload —
-    the row-explosion shape a real video pipeline needs (small batches:
-    wide binary rows)."""
+    (every ``stride``-th) — the row-explosion shape a real video
+    pipeline needs (small batches: wide binary rows). MJPEG AVI
+    payloads (``extractor/codecs.avi_mjpeg_frames``) yield real JPEG
+    frames; FAKEVID remains the fixture container for codecs the
+    sandbox genuinely lacks (H.264 etc.)."""
 
     def __init__(self, stride: int = 2):
         self.stride = max(1, stride)
+
+    @staticmethod
+    def _frames(payload: bytes):
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            for i, jpeg in _codecs.avi_mjpeg_frames(payload):
+                yield i, jpeg, "image/jpeg"
+        else:
+            for i, frame in enumerate(_iter_fake_frames(payload)):
+                yield i, frame, "image/fake"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, media, mtype = [], [], [], []
         for vid, payload in zip(batch.column("id").to_pylist(),
                                 batch.column("media").to_pylist()):
             try:
-                for i, frame in enumerate(_iter_fake_frames(payload or b"")):
+                for i, frame, mt in self._frames(payload or b""):
                     if i % self.stride:
                         continue
                     ids.append(vid)
                     fidx.append(i)
                     media.append(frame)
-                    mtype.append("image/fake")
+                    mtype.append(mt)
             except Exception:
                 continue  # undecodable video: contributes no frames
         return pa.table({"id": pa.array(ids, pa.int64()),

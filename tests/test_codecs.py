@@ -683,3 +683,63 @@ def test_native_seam_covers_all_formats():
             assert np.array_equal(mm.decode_image_payload(payload), pure)
         finally:
             mm.unregister_native_decoder(fmt)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI
+# ---------------------------------------------------------------------------
+
+def test_avi_mjpeg_roundtrip_gray_and_rgb():
+    frames = [np.full((16, 24), g, np.uint8) for g in (0, 64, 128, 255)]
+    avi = codecs.avi_mjpeg_encode(frames, fps=12, quality=90)
+    probe = codecs.avi_mjpeg_probe(avi)
+    assert probe == {"width": 24, "height": 16, "n_frames": 4, "fps": 12}
+    outs = list(codecs.avi_mjpeg_frames(avi))
+    assert [i for i, _ in outs] == [0, 1, 2, 3]
+    for (_, jpeg), f in zip(outs, frames):
+        np.testing.assert_array_equal(codecs.jpeg_decode(jpeg), f)
+
+    rgb = [_rand((9, 11, 3), seed=i) for i in range(3)]
+    avi2 = codecs.avi_mjpeg_encode(rgb, fps=1)
+    assert codecs.avi_mjpeg_probe(avi2)["n_frames"] == 3
+    for (_, jpeg), f in zip(codecs.avi_mjpeg_frames(avi2), rgb):
+        dec = codecs.jpeg_decode(jpeg)
+        assert dec.shape == f.shape     # lossy: shape only for noise
+
+    # odd-sized jpeg chunks must keep RIFF 2-byte alignment
+    one = codecs.avi_mjpeg_encode([np.full((8, 8), 7, np.uint8)])
+    assert len(list(codecs.avi_mjpeg_frames(one))) == 1
+
+
+def test_avi_mjpeg_rejects_non_avi():
+    with pytest.raises(ValueError):
+        codecs.avi_mjpeg_probe(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        list(codecs.avi_mjpeg_frames(b"not riff at all"))
+    with pytest.raises(ValueError):
+        codecs.avi_mjpeg_encode([])
+
+
+def test_frame_sample_batch_avi(ray_session):
+    import pyarrow as pa
+
+    from full_text_extractor_v6_ray.stages.multimodal import (
+        DecodeImageBatch,
+        FrameSampleBatch,
+    )
+
+    frames = [np.full((8, 8), 10 * i, np.uint8) for i in range(5)]
+    avi = codecs.avi_mjpeg_encode(frames, fps=4, quality=90)
+    batch = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "media": pa.array([avi], pa.binary()),
+        "media_type": pa.array(["video/avi"], pa.string()),
+    })
+    sampled = FrameSampleBatch(stride=2)(batch)
+    assert sampled.column("frame_idx").to_pylist() == [0, 2, 4]
+    assert sampled.column("media_type").to_pylist() == ["image/jpeg"] * 3
+    decoded = DecodeImageBatch()(sampled)
+    means = [m["mean_intensity"]
+             for m in decoded.column("media_meta").to_pylist()]
+    assert means == [0.0, 20.0, 40.0]
+    assert decoded.column("decode_error").to_pylist() == ["", "", ""]
