@@ -474,13 +474,19 @@ def _xls_cells(cf: CompoundFile) -> str:
 _PPT_TEXT_CHARS = 0x0FA0
 _PPT_TEXT_BYTES = 0x0FA8
 _PPT_CSTRING = 0x0FBA
+_PPT_SLIDE_PERSIST = 0x03F3
 
 
 def _ppt_text(cf: CompoundFile) -> str:
+    """Text atoms in record order; when the stream carries
+    SlidePersistAtoms (the SlideListWithText layout real decks use),
+    atoms group under ``## Slide N`` headers in slide order — the
+    reference's per-slide markdown shape
+    (powerpoint_processor.py:222-243)."""
     s = cf.stream("PowerPoint Document")
     if s is None:
         raise ValueError("ppt_no_document_stream")
-    atoms: list[str] = []
+    events: list = []          # "break" | decoded atom text
 
     def walk(data: bytes, depth: int) -> None:
         pos = 0
@@ -489,18 +495,30 @@ def _ppt_text(cf: CompoundFile) -> str:
             body = data[pos + 8:pos + 8 + rlen]
             if (ver_inst & 0x000F) == 0x000F and depth < 16:
                 walk(body, depth + 1)
+            elif rtype == _PPT_SLIDE_PERSIST:
+                events.append(None)
             elif rtype in (_PPT_TEXT_CHARS, _PPT_CSTRING):
-                atoms.append(body.decode("utf-16-le", "replace"))
+                events.append(body.decode("utf-16-le", "replace"))
             elif rtype == _PPT_TEXT_BYTES:
-                atoms.append(body.decode("cp1252", "replace"))
+                events.append(body.decode("cp1252", "replace"))
             pos += 8 + rlen
 
     walk(s, 0)
+    has_slides = any(e is None for e in events)
     paragraphs: list[str] = []
-    for atom in atoms:
-        for para in atom.split("\r"):
+    slide_no = 0
+    pending_header = False
+    for ev in events:
+        if ev is None:
+            slide_no += 1
+            pending_header = True
+            continue
+        for para in ev.split("\r"):
             p = normalize_text(para.replace("\x0b", "\n"))
             if p:
+                if has_slides and pending_header:
+                    paragraphs.append(f"## Slide {slide_no}")
+                    pending_header = False
                 paragraphs.append(p)
     return "\n\n".join(paragraphs)
 
@@ -536,15 +554,35 @@ def _filetime_iso(ft: int) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+_DOCSUMMARY_STREAM = "\x05DocumentSummaryInformation"
+_FMTID_DOCSUMMARY = bytes.fromhex(
+    "02d5cdd5 9c2e 1b10 9397 08002b2cf9ae".replace(" ", ""))
+# PIDDSI property ids -> field names
+_PIDDSI = {2: "category", 7: "n_slides", 14: "manager", 15: "company"}
+
+
 def ole2_summary_properties(payload: bytes) -> dict[str, str]:
     """Document properties from the ``\\x05SummaryInformation``
     property-set stream (MS-OLEPS): title/subject/author/keywords/
     comments/last_modified_by/revision/created/modified, every value
     normalized to a string, missing -> "". Never raises."""
-    out = {k: "" for k in _PIDSI.values()}
+    return _read_property_set(payload, _SUMMARY_STREAM, _FMTID_SUMMARY,
+                              _PIDSI)
+
+
+def ole2_doc_summary_properties(payload: bytes) -> dict[str, str]:
+    """Properties from ``\\x05DocumentSummaryInformation`` (PIDDSI):
+    category / slide count / manager / company. Never raises."""
+    return _read_property_set(payload, _DOCSUMMARY_STREAM,
+                              _FMTID_DOCSUMMARY, _PIDDSI)
+
+
+def _read_property_set(payload: bytes, stream_name: str, fmtid: bytes,
+                       pid_map: dict) -> dict[str, str]:
+    out = {k: "" for k in pid_map.values()}
     try:
         cf = CompoundFile(payload)
-        s = cf.stream(_SUMMARY_STREAM)
+        s = cf.stream(stream_name)
         if s is None or len(s) < 48:
             return out
         (byte_order,) = struct.unpack_from("<H", s, 0)
@@ -553,8 +591,8 @@ def ole2_summary_properties(payload: bytes) -> dict[str, str]:
         (n_sections,) = struct.unpack_from("<I", s, 24)
         sec_off = None
         for i in range(min(n_sections, 4)):
-            fmtid = s[28 + 20 * i:28 + 20 * i + 16]
-            if fmtid == _FMTID_SUMMARY:
+            got = s[28 + 20 * i:28 + 20 * i + 16]
+            if got == fmtid:
                 (sec_off,) = struct.unpack_from("<I", s, 28 + 20 * i + 16)
                 break
         if sec_off is None:
@@ -562,7 +600,7 @@ def ole2_summary_properties(payload: bytes) -> dict[str, str]:
         (_cb, n_props) = struct.unpack_from("<II", s, sec_off)
         for i in range(min(n_props, 64)):
             pid, off = struct.unpack_from("<II", s, sec_off + 8 + 8 * i)
-            name = _PIDSI.get(pid)
+            name = pid_map.get(pid)
             if name is None:
                 continue
             base = sec_off + off
@@ -588,14 +626,18 @@ def ole2_summary_properties(payload: bytes) -> dict[str, str]:
     return out
 
 
-def build_summary_stream(props: dict) -> bytes:
-    """Write a SummaryInformation property-set stream: strings as
-    VT_LPSTR, ints as VT_I4, ``datetime`` values as VT_FILETIME."""
+def build_summary_stream(props: dict, pid_map: dict | None = None,
+                         fmtid: bytes = _FMTID_SUMMARY) -> bytes:
+    """Write a property-set stream (SummaryInformation by default,
+    DocumentSummaryInformation via ``pid_map=_PIDDSI`` +
+    ``fmtid=_FMTID_DOCSUMMARY``): strings as VT_LPSTR, ints as VT_I4,
+    ``datetime`` values as VT_FILETIME."""
     import datetime
 
+    pid_map = pid_map if pid_map is not None else _PIDSI
     entries = []
     for name, value in props.items():
-        pid = next(k for k, v in _PIDSI.items() if v == name)
+        pid = next(k for k, v in pid_map.items() if v == name)
         if isinstance(value, datetime.datetime):
             ft = (int(value.timestamp() if value.tzinfo else
                       (value - datetime.datetime(1970, 1, 1))
@@ -620,7 +662,7 @@ def build_summary_stream(props: dict) -> bytes:
         section += struct.pack("<II", pid, off)
     section += blob
     header = (struct.pack("<HHI", 0xFFFE, 0, 0) + b"\x00" * 16
-              + struct.pack("<I", 1) + _FMTID_SUMMARY
+              + struct.pack("<I", 1) + fmtid
               + struct.pack("<I", 48))
     return header + section
 
@@ -920,14 +962,9 @@ def build_xls(sheets: list[tuple[str, list[list[object]]]],
     return build_cfb([("Workbook", wb)])
 
 
-def build_ppt(texts: list[str], as_bytes: list[bool] | None = None) -> bytes:
-    """Write a .ppt 'PowerPoint Document' stream: a Document container
-    holding one text atom per entry (TextCharsAtom UTF-16LE, or
-    TextBytesAtom cp1252 where ``as_bytes[i]``)."""
-    ab = list(as_bytes or [])
-    ab += [False] * (len(texts) - len(ab))
+def _ppt_atoms(texts: list[str], as_bytes: list[bool]) -> bytes:
     atoms = b""
-    for t, b in zip(texts, ab):
+    for t, b in zip(texts, as_bytes):
         if b:
             atoms += struct.pack("<HHI", 0x0000, _PPT_TEXT_BYTES,
                                  len(t)) + t.encode("cp1252", "replace")
@@ -935,5 +972,30 @@ def build_ppt(texts: list[str], as_bytes: list[bool] | None = None) -> bytes:
             data = t.encode("utf-16-le")
             atoms += struct.pack("<HHI", 0x0000, _PPT_TEXT_CHARS,
                                  len(data)) + data
+    return atoms
+
+
+def build_ppt(texts: list[str] | None = None,
+              as_bytes: list[bool] | None = None,
+              slides: list[list[str]] | None = None) -> bytes:
+    """Write a .ppt 'PowerPoint Document' stream: a Document container
+    holding one text atom per entry (TextCharsAtom UTF-16LE, or
+    TextBytesAtom cp1252 where ``as_bytes[i]``). ``slides`` instead
+    builds a SlideListWithText layout — one SlidePersistAtom per slide
+    followed by that slide's text atoms (the real-deck record shape the
+    reader renders with ``## Slide N`` headers)."""
+    if slides is not None:
+        body = b""
+        for slide_texts in slides:
+            body += struct.pack("<HHI", 0x0000, _PPT_SLIDE_PERSIST, 20
+                                ) + b"\x00" * 20
+            body += _ppt_atoms(slide_texts, [False] * len(slide_texts))
+        slwt = struct.pack("<HHI", 0x000F, 0x0FF0, len(body)) + body
+        doc = struct.pack("<HHI", 0x000F, 0x03E8, len(slwt)) + slwt
+        return build_cfb([("PowerPoint Document", doc)])
+    texts = texts or []
+    ab = list(as_bytes or [])
+    ab += [False] * (len(texts) - len(ab))
+    atoms = _ppt_atoms(texts, ab)
     doc = struct.pack("<HHI", 0x000F, 0x03E8, len(atoms)) + atoms
     return build_cfb([("PowerPoint Document", doc)])

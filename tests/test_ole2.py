@@ -371,3 +371,40 @@ def test_ooxml_core_properties():
     assert props["n_slides"] == "12" and props["n_words"] == "120"
     # zips without docProps degrade to empty strings
     assert all(v == "" for v in ooxml_core_properties(b"PK").values())
+
+
+def test_ppt_slide_segmentation():
+    from full_text_extractor_v6_ray.extractor.ole2 import build_ppt
+
+    p = build_ppt(slides=[["Title A", "Body A1"], ["Title B"], []])
+    text, _, method, err = extract_ole2(p)
+    assert (method, err) == ("ppt", "")
+    assert text == ("## Slide 1\n\nTitle A\n\nBody A1"
+                    "\n\n## Slide 2\n\nTitle B")
+    # flat decks (no SlidePersistAtom) keep the headerless shape
+    assert extract_ole2(build_ppt(["X", "Y"]))[0] == "X\n\nY"
+
+
+def test_document_summary_information():
+    from full_text_extractor_v6_ray.extractor.ole2 import (
+        _DOCSUMMARY_STREAM,
+        _FMTID_DOCSUMMARY,
+        _PIDDSI,
+        build_summary_stream,
+        ole2_doc_summary_properties,
+    )
+
+    dsi = build_summary_stream(
+        {"company": "ACME Corp", "n_slides": 12, "category": "deck",
+         "manager": "M. Boss"},
+        pid_map=_PIDDSI, fmtid=_FMTID_DOCSUMMARY)
+    data = build_cfb([("PowerPoint Document", b"\x00" * 8),
+                      (_DOCSUMMARY_STREAM, dsi)])
+    assert ole2_doc_summary_properties(data) == {
+        "category": "deck", "n_slides": "12", "manager": "M. Boss",
+        "company": "ACME Corp"}
+    # absent stream / garbage -> empty fields, never raises
+    assert all(v == "" for v in
+               ole2_doc_summary_properties(build_doc(["x"])).values())
+    assert all(v == "" for v in
+               ole2_doc_summary_properties(b"junk").values())
