@@ -16,12 +16,13 @@ single pipeline a scheduler would run per recrawl cycle.
                     │
              schedule (url, host, wave, delay_s, fetch_at_s)
 
-Scale shape: the snapshot streams TWO filtered map-side passes of its
-own (one fused meta pass parses robots AND sitemaps together; one
-content pass feeds the CDC round, which adds its slim-hash scan and
-work-filter pass) — no pass materializes the wide html rows, and at
-100 TB a handful of streaming IO passes beat pinning the snapshot in
-the object store. Robots/sitemap records are a per-host trickle (the
+Scale shape: THREE streaming full-snapshot passes total — one fused
+meta pass (robots AND sitemaps parsed together), then the CDC round's
+slim-hash scan and work-filter pass over the robots-filtered content
+lineage. The frontier's recrawl urls come from the round's committed
+manifest (slim parquet), never a fourth snapshot pass. No pass
+materializes the wide html rows; at 100 TB a handful of streaming IO
+passes beat pinning the snapshot in the object store. Robots/sitemap records are a per-host trickle (the
 dimension-table contract `apply_robots_rules` already documents); the
 only corpus-wide exchanges are the frontier wave ranking (slim url
 rows) and the CDC hash diff, both bucketed. Host keys are int64
@@ -188,8 +189,14 @@ def crawl_round(warc_dir: str, state_dir: str, agent: str = "*",
 
     # frontier = allowed content urls (recrawl) ∪ sitemap-discovered
     # urls, robots-filtered, url-dedup (max priority wins), then
-    # politeness waves + per-host delay decorate
-    recrawl = allowed.map_batches(
+    # politeness waves + per-host delay decorate. The recrawl urls come
+    # from the round's just-committed manifest (slim url->hash parquet
+    # = exactly the allowed pages) — re-deriving them from ``allowed``
+    # would re-execute the content+robots lineage, a FOURTH full
+    # snapshot pass for rows the CDC round already persisted.
+    manifest_dir = os.path.join(state_dir, "manifest",
+                                f"round-{summary['round']}")
+    recrawl = ray.data.read_parquet(manifest_dir).map_batches(
         lambda b, _p=default_priority: pa.table({
             "url": b.column("url"),
             "priority": pa.array([_p] * b.num_rows, pa.float64()),
