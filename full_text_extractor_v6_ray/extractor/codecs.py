@@ -1384,10 +1384,14 @@ def avi_mjpeg_encode(frames, fps: int = 10, quality: int = 85) -> bytes:
 
 
 def _riff_iter(data: bytes, start: int, end: int):
+    # never trust declared sizes past the real buffer (truncated /
+    # hostile files)
+    end = min(end, len(data))
     pos = start
     while pos + 8 <= end:
         fourcc = data[pos:pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
+        size = min(size, end - pos - 8)
         yield fourcc, pos + 8, size
         pos += 8 + size + (size & 1)
 

@@ -260,3 +260,22 @@ def test_cfb_roundtrip_property(streams):
     cf = CompoundFile(build_cfb(streams))
     for name, blob in streams:
         assert cf.stream(name) == blob
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_avi_walker_never_hangs_on_garbage(tail):
+    # arbitrary bytes behind the RIFF/AVI magic: probe and frame walk
+    # must terminate with ValueError or a (possibly empty) result
+    from full_text_extractor_v6_ray.extractor import codecs
+
+    payload = b"RIFF" + tail[:4].ljust(4, b"\x00") + b"AVI " + tail
+    try:
+        codecs.avi_mjpeg_probe(payload)
+    except ValueError:
+        pass
+    try:
+        frames = list(codecs.avi_mjpeg_frames(payload))
+        assert all(isinstance(i, int) for i, _ in frames)
+    except ValueError:
+        pass
